@@ -1,0 +1,72 @@
+"""Direct solvers for the banded FOM systems.
+
+Replaces PETSc GMRES+ILU (reference: fom/base.py:360-375, solve at :774).
+The 1-D P1 system is tridiagonal: a direct Thomas sweep is exact (more
+accurate than the reference's 1e-10 iterative tolerance) and runs as a
+``lax.scan`` whose per-step work vectorizes over the vmapped μ-batch axis.
+Higher degrees (p ≤ 5, used by the Mock/test layer) fall back to a dense
+solve — Nh there is small by construction.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .assembly import band_to_dense
+
+
+def tridiag_solve(band, rhs):
+    """Solve A x = rhs with tridiagonal A in banded storage (3, nh).
+
+    band[0, r] = A[r, r-1], band[1, r] = A[r, r], band[2, r] = A[r, r+1].
+    Thomas algorithm, no pivoting (the BDF system is diagonally dominant).
+    Batch axes broadcast: band (..., 3, nh), rhs (..., nh).
+    """
+    lower, diag, upper = band[..., 0, :], band[..., 1, :], band[..., 2, :]
+
+    def fwd(carry, inp):
+        c_prev, d_prev = carry
+        a_i, b_i, c_i, r_i = inp
+        m = b_i - a_i * c_prev
+        c_new = c_i / m
+        d_new = (r_i - a_i * d_prev) / m
+        return (c_new, d_new), (c_new, d_new)
+
+    # Move the spatial axis to the front for scan; keep batch axes behind.
+    def _solve(lo, di, up, r):
+        init = (jnp.zeros_like(di[0]), jnp.zeros_like(di[0]))
+        (_, _), (cs, ds) = jax.lax.scan(fwd, init, (lo, di, up, r))
+
+        def bwd(x_next, inp):
+            c_i, d_i = inp
+            x_i = d_i - c_i * x_next
+            return x_i, x_i
+
+        _, xs = jax.lax.scan(bwd, jnp.zeros_like(di[0]), (cs, ds), reverse=True)
+        return xs
+
+    # Support arbitrary leading batch dims by flattening them.
+    if rhs.ndim == 1:
+        return _solve(lower, diag, upper, rhs)
+    batch_shape = rhs.shape[:-1]
+    nh = rhs.shape[-1]
+    flat = lambda a: a.reshape((-1, nh)).T  # (nh, B)
+    x = _solve(flat(lower), flat(diag), flat(upper), flat(rhs))
+    return x.T.reshape(batch_shape + (nh,))
+
+
+def solve_banded(band, rhs, p):
+    """Direct solve with half-bandwidth p banded matrix."""
+    if p == 1:
+        return tridiag_solve(band, rhs)
+    dense = band_to_dense(band, p)
+    return jnp.linalg.solve(dense, rhs)
+
+
+def solve_dense_batch(mats, rhs):
+    """Batched dense solve for the reduced N×N online systems.
+
+    Replaces scipy GMRES on the reduced system (reference: rom/rom.py:414-425,
+    :492): at N ≲ 50 a batched LU on the MXU beats any iterative scheme.
+    mats: (..., N, N), rhs: (..., N).
+    """
+    return jnp.linalg.solve(mats, rhs[..., None])[..., 0]
