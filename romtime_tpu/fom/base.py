@@ -1,0 +1,574 @@
+"""Abstract 1-D full-order solver (TPU-native).
+
+Mirrors the reference's ``OneDimensionalSolver`` (reference:
+src/romtime/fom/base.py:46-915) with the *unified* time-stepping contract
+``assemble_system(mu, t, bdf, u_n, u_n1)`` / ``assemble_system_rhs(mu, t,
+Mh, u_n, u_n1)`` (fixing the signature drift documented in SURVEY.md §0).
+
+Design differences from the reference, all TPU-first:
+
+- No mesh object ever moves. The ALE map ``mesh.scale(Lt)`` (reference:
+  fom/base.py:222-255) becomes a scalar pull-back factor applied to
+  quadrature coordinates and Jacobians at assembly time.
+- Operators are banded arrays assembled by einsum kernels
+  (:mod:`romtime_tpu.ops.assembly`), not FEniCS matrices.
+- The time loop (reference: fom/base.py:693-831) is a single ``lax.scan``
+  compiled once per problem shape; the per-step linear solve is a Thomas
+  sweep instead of PETSc GMRES+ILU.
+- Expression strings JIT-compiled by FFC become plain Python/JAX callables:
+  boundary data ``f(t, L=..., dLt_dt=..., **mu)``; space-time fields
+  ``f(x, t=..., **mu)``.
+"""
+
+from abc import ABC, abstractmethod
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import SolutionsStorage
+from ..conventions import BDF, BoundaryConditions, Domain
+from ..ops import Mesh1D
+from ..ops.assembly import (
+    apply_dirichlet_band,
+    apply_dirichlet_vector,
+    apply_entry_dirichlet,
+    assemble_bilinear_band,
+    assemble_bilinear_entries,
+    assemble_linear_entries,
+    assemble_linear_vector,
+    band_gather_nnz,
+    band_matvec,
+    band_nonzero_entries,
+    band_to_dense,
+    eval_function_at,
+    norm_L2,
+    norm_H1,
+)
+from ..ops.linalg import solve_banded
+
+
+def move_mesh(assemble):
+    """API-parity decorator (reference: fom/base.py:17-43).
+
+    The TPU rebuild never moves data; assembly methods already consume the
+    pull-back scale. This decorator only marks the method as moving-mesh for
+    introspection and passes through.
+    """
+    assemble.__moving__ = True
+    return assemble
+
+
+class BandedOperator:
+    """Assembled operator in banded storage with a scipy-CSR-like face.
+
+    ``.data`` plays the role of ``csr.data`` on the stored-nonzero pattern
+    (reference: utils.py:76-93,116-149); ``todense``/``dot`` support the
+    test/projection layer.
+    """
+
+    def __init__(self, band, mesh):
+        self.band = band
+        self.mesh = mesh
+
+    @property
+    def p(self):
+        return self.mesh.degree
+
+    @property
+    def shape(self):
+        return (self.mesh.nh, self.mesh.nh)
+
+    def todense(self):
+        return np.asarray(band_to_dense(self.band, self.p))
+
+    def array(self):
+        return self.todense()
+
+    def dot(self, v):
+        return band_matvec(self.band, v, self.p)
+
+    def __mul__(self, v):
+        # Mirrors dolfin's ``Mh_mat * u.vector()`` matvec syntax.
+        return self.dot(v)
+
+    def nonzero_entries(self, tolerance=None):
+        return band_nonzero_entries(self.band, self.mesh, tolerance=tolerance)
+
+    @property
+    def data(self):
+        rows, cols, values = self.nonzero_entries()
+        return values
+
+    def gather(self, rows, cols):
+        return band_gather_nnz(self.band, rows, cols, self.p)
+
+    def __add__(self, other):
+        band = other.band if isinstance(other, BandedOperator) else other
+        return BandedOperator(self.band + band, self.mesh)
+
+    def __rmul__(self, scalar):
+        return BandedOperator(scalar * self.band, self.mesh)
+
+
+class OneDimensionalSolver(ABC):
+    """Abstract FEM solver for 1-D parametrized problems on (possibly)
+    moving domains."""
+
+    RUNTIME_PROCESS = False
+
+    DIRICHLET_ENTRY = 1.0
+    DIRICHLET_VALUE = 0.0
+
+    NX = Domain.NX
+    NT = Domain.NT
+    L0 = Domain.L0
+    T = Domain.T
+
+    B0 = BoundaryConditions.B0
+    BL = BoundaryConditions.BL
+    DB0_DT = BoundaryConditions.DB0_DT
+    DBL_DT = BoundaryConditions.DBL_DT
+
+    BDF_SCHEME = BDF.TWO
+
+    # Whether operators integrate over the ALE-scaled domain.
+    MOVING_ASSEMBLY = False
+
+    def __init__(
+        self,
+        domain=None,
+        dirichlet=None,
+        parameters=None,
+        forcing_term=None,
+        u0=None,
+        Lt=None,
+        dLt_dt=None,
+        filename=None,
+        poly_type="P",
+        degrees=1,
+        project_u0=False,
+        exact_solution=None,
+    ) -> None:
+
+        self.filename = filename
+        self.domain = dict(domain) if domain else None
+        self.dirichlet = dict(dirichlet) if dirichlet else None
+        self.mu = dict(parameters) if parameters else None
+        self.forcing_term = forcing_term
+        self.u0 = u0
+        self.Lt = Lt
+        self.dLt_dt = dLt_dt
+        self.poly_type = poly_type
+        self.degrees = degrees
+        self.project_u0 = project_u0
+        self.exact_solution = exact_solution
+        self.exact = None
+        self.errors = None
+
+        self._scale = 1.0  # mesh-motion shim state (API parity)
+
+        self.mesh = None
+        self.entries_dirichlet = None
+        self.dofs_dirichlet = None
+
+        self.solutions = None
+        self.is_setup = False
+
+        self._entry_map_cache = {}
+        self._solve_jit = None
+
+    # ------------------------------------------------------------------
+    # Geometry
+    # ------------------------------------------------------------------
+    @property
+    def x(self):
+        """Dof coordinates at the current (possibly moved) mesh position
+        (reference: fom/base.py:145-153)."""
+        return np.asarray(self.mesh.x_dofs) * self._scale
+
+    @property
+    def L(self):
+        """Current domain length (reference: fom/base.py:155-163)."""
+        return float(self.domain[self.L0]) * self._scale
+
+    @property
+    def scale_solutions(self):
+        return 1.0
+
+    @property
+    def dt(self):
+        return self.domain[self.T] / self.domain[self.NT]
+
+    @property
+    def timesteps(self):
+        return self.solutions.ts
+
+    def scale_factor(self, mu, t):
+        """ALE pull-back factor Lt(μ, t) (reference: mesh.scale at
+        fom/base.py:239-255). 1.0 for fixed domains."""
+        if self.Lt is None:
+            return 1.0
+        return self.Lt(t=t, **mu)
+
+    def move_mesh(self, mu=None, t=None, back=False):
+        """API-parity shim: set/reset the scale that ``x``/``L`` report."""
+        if back:
+            self._scale = 1.0
+        else:
+            self._scale = self.scale_factor(mu, t)
+
+    def _move_mesh(self, scale=None, back=False):
+        if back:
+            self._scale = 1.0
+        else:
+            self._scale = scale
+
+    # ------------------------------------------------------------------
+    # Setup
+    # ------------------------------------------------------------------
+    def setup(self):
+        """Create the static FEM structures (reference: fom/base.py:260-295)."""
+        self.mesh = Mesh1D(
+            L0=float(self.domain[self.L0]),
+            nx=int(self.domain[self.NX]),
+            degree=int(self.degrees),
+        )
+        self.find_dirichlet_entries()
+        self._entry_map_cache = {}
+        self._solve_jit = None
+        self.is_setup = True
+
+    @property
+    def dirichlet_dofs(self):
+        """Dofs pinned by the homogeneous Dirichlet convention. Both ends by
+        default (reference: fom/base.py:858-876)."""
+        return (0, self.mesh.nh - 1)
+
+    def find_dirichlet_entries(self):
+        """Record Dirichlet entries for the (M)DEIM local-assembly
+        short-circuit (reference: fom/base.py:320-348)."""
+        dofs = self.dirichlet_dofs
+        self.dofs_dirichlet = [(d,) for d in dofs]
+        self.entries_dirichlet = [(d, d) for d in dofs]
+
+    def update_parametrization(self, new):
+        self.mu = dict(new)
+
+    # ------------------------------------------------------------------
+    # Generic assembly drivers
+    # ------------------------------------------------------------------
+    def _assembly_scale(self, mu, t):
+        return self.scale_factor(mu, t) if self.MOVING_ASSEMBLY else 1.0
+
+    def _entry_map(self, entries):
+        key = tuple(tuple(int(v) for v in e) for e in entries)
+        cached = self._entry_map_cache.get(key)
+        if cached is None:
+            cached = self.mesh.build_entry_map(key, dirichlet_dofs=self.dirichlet_dofs)
+            self._entry_map_cache[key] = cached
+        return cached
+
+    def _xq(self, scale, elements=None):
+        xq = jnp.asarray(self.mesh.xq_ref)
+        if elements is not None:
+            xq = xq[elements]
+        return xq * scale
+
+    @staticmethod
+    def _call_coeff(c, xq, elements):
+        """Coefficient callables take (x_phys[, elements]) — ``elements``
+        lets state-dependent coefficients (trilinear u_n·u′·v) gather their
+        FE-function values on the reduced element set."""
+        nargs = getattr(c, "__code__", None)
+        if nargs is not None and nargs.co_argcount >= 2:
+            return c(xq, elements)
+        return c(xq)
+
+    def _assemble_matrix(self, terms, mu, t, entries=None, raw_band=False):
+        """Assemble a sum of bilinear terms.
+
+        terms: list of (a, b, coeff) with coeff(x_phys[, elements]) -> array
+        shaped like x_phys; coefficients close over (mu, t).
+        """
+        scale = self._assembly_scale(mu, t)
+        h = self.mesh.h0 * scale
+        if entries:
+            emap = self._entry_map(entries)
+            xq = self._xq(scale, emap.elements)
+            values = sum(
+                assemble_bilinear_entries(
+                    self.mesh, emap, self._call_coeff(c, xq, emap.elements),
+                    a, b, h, apply_dirichlet=False
+                )
+                for (a, b, c) in terms
+            )
+            values = apply_entry_dirichlet(values, emap)
+            return np.asarray(values)
+        xq = self._xq(scale)
+        band = sum(
+            assemble_bilinear_band(self.mesh, self._call_coeff(c, xq, None), a, b, h)
+            for (a, b, c) in terms
+        )
+        band = apply_dirichlet_band(
+            band, self.dirichlet_dofs, self.mesh.degree, self.DIRICHLET_ENTRY
+        )
+        if raw_band:
+            return band
+        return BandedOperator(band, self.mesh)
+
+    def _assemble_vector(self, terms, mu, t, entries=None):
+        """Assemble a sum of linear terms: (b, coeff)."""
+        scale = self._assembly_scale(mu, t)
+        h = self.mesh.h0 * scale
+        if entries:
+            emap = self._entry_map(entries)
+            xq = self._xq(scale, emap.elements)
+            values = sum(
+                assemble_linear_entries(
+                    self.mesh, emap, self._call_coeff(c, xq, emap.elements),
+                    b, h, apply_dirichlet=False
+                )
+                for (b, c) in terms
+            )
+            values = apply_entry_dirichlet(values, emap)
+            return np.asarray(values)
+        xq = self._xq(scale)
+        vec = sum(
+            assemble_linear_vector(self.mesh, self._call_coeff(c, xq, None), b, h)
+            for (b, c) in terms
+        )
+        return apply_dirichlet_vector(vec, self.dirichlet_dofs, self.DIRICHLET_VALUE)
+
+    # ------------------------------------------------------------------
+    # Operators (subclasses override/extend)
+    # ------------------------------------------------------------------
+    def assemble_mass(self, mu, t, entries=None):
+        """Mass operator u·v (reference: fom/base.py:651-665)."""
+        one = lambda x: jnp.ones_like(x)
+        return self._assemble_matrix([(0, 0, one)], mu, t, entries)
+
+    @abstractmethod
+    def assemble_stiffness(self, mu=None, t=None, entries=None):
+        ...
+
+    def assemble_convection(self, mu=None, t=None, entries=None):
+        pass
+
+    @abstractmethod
+    def assemble_forcing(self, mu, t, entries=None):
+        ...
+
+    @abstractmethod
+    def assemble_lifting(self, mu, t, entries=None):
+        ...
+
+    @abstractmethod
+    def assemble_system(self, mu, t, bdf=1.0, u_n=None, u_n1=None):
+        """Return (Mh, Kh) for the BDF step (unified contract)."""
+        ...
+
+    @abstractmethod
+    def assemble_system_rhs(self, mu, t, Mh_mat, u_n, u_n1=None):
+        ...
+
+    # ------------------------------------------------------------------
+    # Lifting
+    # ------------------------------------------------------------------
+    def _dirichlet_value(self, key, mu, t, L, dLt_dt=0.0):
+        fn = self.dirichlet[key]
+        if callable(fn):
+            return fn(t=t, L=L, dLt_dt=dLt_dt, **mu)
+        return fn
+
+    def create_lifting_operator(self, mu, t, L, only_g=False):
+        """Lifting g, dg/dt, ∇g as callables of physical x
+        (reference: fom/base.py:377-498).
+
+        The moving-boundary correction of dg/dt (reference:
+        fom/base.py:407-421) is included when ``dLt_dt`` is defined.
+        """
+        b0 = self._dirichlet_value(self.B0, mu, t, L)
+        bL = self._dirichlet_value(self.BL, mu, t, L)
+
+        def g(x):
+            return bL * (x / L) + b0 * (L - x) / L
+
+        if only_g:
+            return g
+
+        if self.dLt_dt:
+            L0 = self.domain[self.L0]
+            dLt_dt_val = self.dLt_dt(t=t, **mu) * L0
+            db0 = self._dirichlet_value(self.DB0_DT, mu, t, L, dLt_dt=dLt_dt_val)
+            dbL = self._dirichlet_value(self.DBL_DT, mu, t, L, dLt_dt=dLt_dt_val)
+
+            def dg_dt(x):
+                linear = dbL * (x / L) + db0 * (L - x) / L
+                moving = (b0 - bL) * (x / L) * (dLt_dt_val / L)
+                return linear + moving
+
+        else:
+            db0 = self._dirichlet_value(self.DB0_DT, mu, t, L, dLt_dt=0.0)
+            dbL = self._dirichlet_value(self.DBL_DT, mu, t, L, dLt_dt=0.0)
+
+            def dg_dt(x):
+                return dbL * (x / L) + db0 * (L - x) / L
+
+        grad_g = (bL - b0) / L
+
+        return g, dg_dt, grad_g
+
+    # ------------------------------------------------------------------
+    # Interpolation / evaluation
+    # ------------------------------------------------------------------
+    def interpolate_func(self, g, V=None, mu=None, t=None):
+        """Interpolate a callable onto the dof grid; moving solvers evaluate
+        at the scaled coordinates (reference: fom/base.py:841-856 and the
+        moving overrides heat.py:222-240)."""
+        scale = self.scale_factor(mu, t) if self.MOVING_ASSEMBLY else 1.0
+        x = jnp.asarray(self.mesh.x_dofs) * scale
+        return self._eval_field(g, x, mu, t)
+
+    def _eval_field(self, fn, x, mu, t):
+        if callable(fn):
+            return fn(x, t=t, **(mu or {}))
+        return jnp.full_like(x, float(fn))
+
+    def runtime_process(self, u):
+        pass
+
+    # ------------------------------------------------------------------
+    # Time integration (lax.scan)
+    # ------------------------------------------------------------------
+    def _initial_condition(self, mu):
+        scale0 = self.scale_factor(mu, 0.0) if self.MOVING_ASSEMBLY else 1.0
+        x0 = jnp.asarray(self.mesh.x_dofs) * scale0
+        u_init = self._eval_field(self.u0, x0, mu, 0.0)
+        g0 = self.create_lifting_operator(mu=mu, t=0.0, L=self.domain[self.L0] * scale0,
+                                          only_g=True)
+        return u_init - g0(x0)
+
+    def _mu_array(self, mu):
+        names = sorted(mu.keys())
+        return {k: jnp.asarray(float(mu[k])) for k in names}
+
+    def _step_outputs(self, mu, t, uh, uc, scale):
+        """Per-step auxiliary outputs collected by the scan (probes etc.)."""
+        return {}
+
+    def _step_extras(self, mu, t, u_n, u_n1):
+        """Pre-solve per-step outputs (e.g. nonlinear operator snapshots)."""
+        return {}
+
+    def _solve_impl(self, mu):
+        """Full time loop as one scan; returns stacked solution arrays."""
+        nt = int(self.domain[self.NT])
+        dt = self.dt
+        nh = self.mesh.nh
+        bdf2 = self.BDF_SCHEME == BDF.TWO
+
+        u0 = self._initial_condition(mu)
+
+        def step(carry, k):
+            u_n, u_n1 = carry
+            t = (k + 1) * dt
+            bdf = jnp.where(k > 0, 1.5, 1.0) if bdf2 else 1.0
+
+            # Under BDF-2 the history u_n1 starts as a zero vector, matching
+            # the reference's zero Function (fom/base.py:717-720).
+            Mh, Kh = self.assemble_system(mu, t, bdf, u_n, u_n1 if bdf2 else None)
+            bh = self.assemble_system_rhs(mu, t, Mh, u_n, u_n1 if bdf2 else None)
+            extras = self._step_extras(mu, t, u_n, u_n1 if bdf2 else None)
+
+            Kh_band = Kh.band if isinstance(Kh, BandedOperator) else Kh
+            uh = solve_banded(Kh_band, bh, self.mesh.degree)
+
+            scale = self.scale_factor(mu, t) if self.Lt else 1.0
+            L = self.domain[self.L0] * scale
+            x_phys = jnp.asarray(self.mesh.x_dofs) * scale
+            g = self.create_lifting_operator(mu=mu, t=t, L=L, only_g=True)
+            gh = g(x_phys)
+            uc = uh + gh
+
+            outputs = dict(uh=uh, uc=uc, x=x_phys, t=t)
+            outputs.update(extras)
+            outputs.update(self._step_outputs(mu, t, uh, uc, scale))
+
+            if self.exact_solution is not None:
+                ue_h = self._eval_field(self.exact_solution, x_phys, mu, t)
+                outputs["exact"] = ue_h
+                outputs["error"] = norm_L2(uc - ue_h, self.mesh)
+
+            return (uh, u_n), outputs
+
+        carry0 = (u0, jnp.zeros_like(u0))
+        _, outs = jax.lax.scan(step, carry0, jnp.arange(nt))
+        return outs
+
+    def solve(self):
+        """Integrate the problem in time (reference: fom/base.py:693-831)."""
+        mu = self.mu
+        mu_jnp = self._mu_array(mu)
+
+        if self._solve_jit is None:
+            self._solve_jit = jax.jit(self._solve_impl)
+        outs = self._solve_jit(mu_jnp)
+        outs = jax.tree_util.tree_map(np.asarray, outs)
+
+        ts = outs["t"]
+        snapshots = outs["uh"].T  # (nh, nt)
+        fom = outs["uc"].T
+        domain_x = outs["x"].T
+
+        self.solutions = SolutionsStorage(
+            ts=ts,
+            mu=mu,
+            domain=domain_x,
+            fom=fom,
+            snapshots=snapshots,
+        )
+        self.domain_x = domain_x
+
+        if self.exact_solution is not None:
+            self._exact = outs["exact"].T
+            self.errors = dict(zip(ts, outs["error"]))
+            self.exact = {t: outs["exact"][i] for i, t in enumerate(ts)}
+
+        self._collect_runtime_outputs(outs)
+        return self.solutions
+
+    def _collect_runtime_outputs(self, outs):
+        """Hook for subclasses to harvest scan outputs (probes, nonlinear
+        snapshots)."""
+        pass
+
+    def dump_solutions(self, name):
+        self.solutions.to_pickle(name)
+
+    # ------------------------------------------------------------------
+    # Errors
+    # ------------------------------------------------------------------
+    def _compute_error(self, u, ue, norm_type="L2"):
+        """Error norms matching ``fenics.errornorm`` with degree_rise=0
+        (reference: fom/base.py:878-915)."""
+        e = jnp.asarray(u) - jnp.asarray(ue)
+        if norm_type == "max":
+            return float(jnp.max(jnp.abs(e)))
+        if norm_type == "L2":
+            return float(norm_L2(e, self.mesh))
+        if norm_type == "H1":
+            return float(norm_H1(e, self.mesh))
+        raise ValueError(f"Unknown norm type {norm_type}.")
+
+    # ------------------------------------------------------------------
+    # Point evaluation (probes)
+    # ------------------------------------------------------------------
+    def evaluate_at(self, u, x_points, scale=1.0):
+        return eval_function_at(jnp.asarray(u), jnp.asarray(x_points), self.mesh,
+                                scale=scale)
+
+    @staticmethod
+    def dict_to_array(my_dict):
+        return np.array([np.asarray(v) for v in my_dict.values()]).T

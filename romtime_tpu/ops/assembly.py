@@ -90,47 +90,58 @@ def assemble_linear_vector(mesh, c_eq, b, h_phys):
 # ----------------------------------------------------------------------
 # Gathered assembly on DEIM entry sets
 # ----------------------------------------------------------------------
-def assemble_bilinear_entries(mesh, entry_map, c_eq_needed, a, b, h_phys):
+def assemble_bilinear_entries(mesh, entry_map, c_eq_needed, a, b, h_phys,
+                              apply_dirichlet=True):
     """Integrate a bilinear form at selected matrix entries only.
 
     ``c_eq_needed`` holds coefficient values at quadrature points of the
     *needed* elements (entry_map.elements) — the reduced-mesh escape hatch
     of DEIM, without any Python↔C++ crossings (reference analog:
-    fom/base.py:523-599).
+    fom/base.py:523-599). Pass ``apply_dirichlet=False`` when summing
+    multiple terms of one operator; apply the override once at the end with
+    :func:`apply_entry_dirichlet`.
     """
     values = _gather_terms(
         _local_bilinear(c_eq_needed, mesh.tables, a, b, h_phys),
         entry_map,
         is_vector=False,
     )
+    if apply_dirichlet:
+        values = apply_entry_dirichlet(values, entry_map)
     return values
 
 
-def assemble_linear_entries(mesh, entry_map, c_eq_needed, b, h_phys):
+def assemble_linear_entries(mesh, entry_map, c_eq_needed, b, h_phys,
+                            apply_dirichlet=True):
     """Integrate a linear form at selected dofs only."""
     values = _gather_terms(
         _local_linear(c_eq_needed, mesh.tables, b, h_phys),
         entry_map,
         is_vector=True,
     )
+    if apply_dirichlet:
+        values = apply_entry_dirichlet(values, entry_map)
     return values
+
+
+def apply_entry_dirichlet(values, entry_map):
+    """Override Dirichlet-convention entries of a gathered value vector."""
+    mask = jnp.asarray(entry_map.dirichlet_mask)
+    diri = jnp.asarray(entry_map.dirichlet_values, dtype=values.dtype)
+    return jnp.where(mask, diri, values)
 
 
 def _gather_terms(local, entry_map, is_vector):
     n_entries = entry_map.n_entries
     if len(entry_map.term_entry) == 0:
-        contrib = jnp.zeros((n_entries,), dtype=local.dtype)
+        return jnp.zeros((n_entries,), dtype=local.dtype)
+    if is_vector:
+        vals = local[entry_map.term_elem_pos, entry_map.term_i]
     else:
-        if is_vector:
-            vals = local[entry_map.term_elem_pos, entry_map.term_i]
-        else:
-            vals = local[entry_map.term_elem_pos, entry_map.term_i, entry_map.term_j]
-        contrib = jax.ops.segment_sum(
-            vals, jnp.asarray(entry_map.term_entry), num_segments=n_entries
-        )
-    mask = jnp.asarray(entry_map.dirichlet_mask)
-    diri = jnp.asarray(entry_map.dirichlet_values, dtype=local.dtype)
-    return jnp.where(mask, diri, contrib)
+        vals = local[entry_map.term_elem_pos, entry_map.term_i, entry_map.term_j]
+    return jax.ops.segment_sum(
+        vals, jnp.asarray(entry_map.term_entry), num_segments=n_entries
+    )
 
 
 # ----------------------------------------------------------------------
