@@ -304,8 +304,7 @@ class OneDimensionalSolver(ABC):
                 )
                 for (a, b, c) in terms
             )
-            values = apply_entry_dirichlet(values, emap)
-            return np.asarray(values)
+            return apply_entry_dirichlet(values, emap)
         xq = self._xq(scale)
         band = sum(
             assemble_bilinear_band(self.mesh, self._call_coeff(c, xq, None), a, b, h)
@@ -332,8 +331,7 @@ class OneDimensionalSolver(ABC):
                 )
                 for (b, c) in terms
             )
-            values = apply_entry_dirichlet(values, emap)
-            return np.asarray(values)
+            return apply_entry_dirichlet(values, emap)
         xq = self._xq(scale)
         vec = sum(
             assemble_linear_vector(self.mesh, self._call_coeff(c, xq, None), b, h)

@@ -174,13 +174,17 @@ class OneDimensionalBurgers(OneDimensionalSolver):
 
         # Fixed topology for the per-step trilinear snapshot capture: probe
         # with a non-constant state u = x so every structural entry is live
-        # (reference analog: deim/nonlinear.py:133-157).
-        mu_probe = self.mu if self.mu else {OneDimensionalBurgersConventions.A0: 1.0}
-        if OneDimensionalBurgersConventions.A0 not in mu_probe:
-            mu_probe = dict(mu_probe)
-            mu_probe[OneDimensionalBurgersConventions.A0] = 1.0
+        # (reference analog: deim/nonlinear.py:133-157). The sparsity
+        # pattern is scale-independent, so probe with mesh motion bypassed —
+        # the placeholder μ need not satisfy Lt's signature.
+        mu_probe = {OneDimensionalBurgersConventions.A0: 1.0}
         x_state = np.asarray(self.mesh.x_dofs)
-        Nh_op = self.assemble_trilinear(mu=mu_probe, t=0.0, u_n=x_state)
+        Lt_saved, dLt_saved = self.Lt, self.dLt_dt
+        self.Lt = self.dLt_dt = None
+        try:
+            Nh_op = self.assemble_trilinear(mu=mu_probe, t=0.0, u_n=x_state)
+        finally:
+            self.Lt, self.dLt_dt = Lt_saved, dLt_saved
         rows, cols, _ = Nh_op.nonzero_entries(tolerance=1e-15)
         self._nonlinear_topology = (rows, cols)
 

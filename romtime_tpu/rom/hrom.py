@@ -1,0 +1,819 @@
+"""Hyper-reduced pipeline drivers: end-to-end orchestration + persistence +
+reporting + S-ROM error certification.
+
+Rebuild of the reference drivers (reference: src/romtime/rom/hrom.py:45-1182):
+``HyperReducedOrderModelFixed`` (heat, fixed domain),
+``HyperReducedOrderModelMoving`` (adds MDEIM convection) and
+``HyperReducedPiston`` (full nonlinear pipeline with N-MDEIM trilinear).
+
+Contract:
+  setup() → setup_hyperreduction() → run_offline_rom() →
+  run_offline_hyperreduction() → project_reductors() →
+  evaluate_validation()/evaluate_online() → generate_summary()
+with checkpoint/resume via ``start_from_existing_basis()``.
+"""
+
+from collections import defaultdict
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ..conventions import (
+    Errors,
+    OperatorType,
+    ProbeLocations,
+    ProblemType,
+    RomParameters,
+    Stage,
+    StorageNames,
+    Treewalk,
+    TreewalkNonlinear,
+)
+from ..deim import (
+    DiscreteEmpiricalInterpolation,
+    MatrixDiscreteEmpiricalInterpolation,
+)
+from ..deim.nonlinear import MatrixDiscreteEmpiricalInterpolationNonlinear
+from ..fom import (
+    HeatEquationMovingSolver,
+    HeatEquationSolver,
+    OneDimensionalBurgers,
+)
+from ..utils import (
+    compute_rom_difference,
+    dump_csv,
+    dump_json,
+    dump_pickle,
+    read_json,
+    read_pickle,
+)
+from .rom import RomConstructor, RomConstructorMoving, RomConstructorNonlinear
+
+
+class HyperReducedOrderModelFixed:
+    """Heat, fixed domain (reference: rom/hrom.py:45-877)."""
+
+    def __init__(
+        self,
+        grid: dict,
+        fom_params: dict,
+        rom_params: dict,
+        deim_params: dict,
+        mdeim_params: dict,
+        models: dict,
+        rnd=None,
+    ) -> None:
+
+        self.grid = grid
+        self.fom_params = fom_params
+        self.rom_params = rom_params
+        self.deim_params = deim_params
+        self.mdeim_params = mdeim_params
+        self.models = models
+        self.online_params = None
+        self.rnd = rnd
+
+        self.fom = None
+        self.rom = None
+        self.srom = None
+        self.deim_rhs = None
+        self.mdeim_mass = None
+        self.mdeim_stiffness = None
+        self.mdeim_convection = None
+        self.mdeim_nonlinear = None
+        self.mdeim_trilinear = None
+        self.mdeim_trilinear_lifting = None
+
+        self.deim_runned = False
+        self.rom_runned = False
+
+        self.errors = dict()
+        self.summary_basis = defaultdict(dict)
+        self._summary_basis = defaultdict(dict)
+        self.summary_errors = defaultdict(dict)
+        self.summary_errors_deim = defaultdict(dict)
+        self.mu_space_deim = dict()
+        self.summary_sigmas = defaultdict(dict)
+        self.summary_energy = defaultdict(dict)
+
+        self.validation_solutions = None
+
+    # ------------------------------------------------------------------
+    # Accessors
+    # ------------------------------------------------------------------
+    @property
+    def mu_space(self):
+        return self.rom.mu_space
+
+    @property
+    def basis(self):
+        """Reduced Order Basis V."""
+        return self.rom.basis
+
+    # ------------------------------------------------------------------
+    # Persistence (reference: rom/hrom.py:137-227)
+    # ------------------------------------------------------------------
+    def dump_mu_space(self, path=None):
+        dump_json(path or StorageNames.MU_SPACE, self.mu_space)
+
+    def dump_mu_space_deim(self, path=None):
+        dump_json(path or StorageNames.MU_SPACE_DEIM, self.mu_space_deim)
+
+    def dump_reduced_basis(self, path=None):
+        dump_pickle(StorageNames.ROM, self.basis)
+        if self.srom is not None and self.srom.basis is not None:
+            dump_pickle(StorageNames.SROM, self.srom.basis)
+
+    def dump_nonlinear_basis(self, path=None):
+        dump_pickle(
+            f"basis_fom_n-mdeim_{OperatorType.TRILINEAR}.pkl",
+            self.srom.basis_nonlinear,
+        )
+
+    def dump_validation_fom(self, path=None):
+        dump_pickle(path or StorageNames.VALIDATION_SOLUTIONS,
+                    self.validation_solutions)
+
+    def dump_errors(self, which, path=None):
+        path = Path(path or ".")
+        if which in self.errors:
+            pd.DataFrame(self.errors[which]).to_csv(path / f"errors_{which}.csv")
+        else:
+            raise Warning(f"These errors ({which}) have not been computed yet.")
+
+    def dump_errors_deim(self, path=None):
+        path = Path(path or ".")
+        for operator, errors in self.summary_errors_deim.items():
+            df = pd.DataFrame(errors)
+            if not df.empty:
+                df.to_csv(path / f"errors_deim_{operator.lower()}.csv")
+
+    def dump_setup(self, path):
+        out = dict()
+        out["fom_params"] = self.fom_params.get("domain")
+        out["mu_space"] = self.fom_params.get("grid_params")
+        out["rom_params"] = self.rom_params
+        out["deim_params"] = {
+            k: v for k, v in self.deim_params.items() if k != RomParameters.TS
+        }
+        out["mdeim_params"] = {
+            k: v for k, v in self.mdeim_params.items() if k != RomParameters.TS
+        }
+        out["online_params"] = self.online_params
+        dump_json(path or StorageNames.SETUP, out)
+
+    def load_validation_fom(self, path=None):
+        try:
+            self.validation_solutions = read_pickle(
+                path or StorageNames.VALIDATION_SOLUTIONS
+            )
+        except FileNotFoundError:
+            print("Validation solutions are not defined.")
+
+    # ------------------------------------------------------------------
+    # Setup (reference: rom/hrom.py:229-306)
+    # ------------------------------------------------------------------
+    def _create_fom(self):
+        fom_params = self.fom_params
+        return HeatEquationSolver(
+            domain=fom_params.get("domain"),
+            dirichlet=fom_params.get("dirichlet"),
+            parameters=fom_params.get("parameters", None),
+            forcing_term=fom_params.get("forcing_term"),
+            u0=fom_params.get("u0"),
+            exact_solution=fom_params.get("exact_solution", None),
+        )
+
+    def _create_rom(self, fom, name="ROM"):
+        return RomConstructor(fom=fom, grid=self.grid, name=name)
+
+    def setup(self):
+        """Create FOM + ROM + S-ROM structures."""
+        fom = self._create_fom()
+        fom.setup()
+
+        rnd = self.rnd
+        rom = self._create_rom(fom, name="ROM")
+        rom.setup(rnd=rnd)
+
+        srom = self._create_rom(fom, name="S-ROM")
+        srom.setup(rnd=rnd)
+
+        self.rom = rom
+        self.srom = srom
+        self.fom = fom
+
+    def setup_hyperreduction(self):
+        """Instantiate the (M)DEIM objects (reference: rom/hrom.py:266-306)."""
+        fom = self.fom
+        grid = self.grid
+        rnd = self.rnd
+
+        deim_rhs = DiscreteEmpiricalInterpolation(
+            name="RHS",
+            assemble=fom.assemble_rhs,
+            grid=grid,
+            tree_walk_params=self.deim_params,
+        )
+        mdeim_mass = MatrixDiscreteEmpiricalInterpolation(
+            name="Mass",
+            assemble=fom.assemble_mass,
+            grid=grid,
+            tree_walk_params=self.mdeim_params,
+        )
+        mdeim_stiffness = MatrixDiscreteEmpiricalInterpolation(
+            name="Stiffness",
+            assemble=fom.assemble_stiffness,
+            grid=grid,
+            tree_walk_params=self.mdeim_params,
+        )
+
+        deim_rhs.setup(rnd=rnd)
+        mdeim_mass.setup(rnd=rnd)
+        mdeim_stiffness.setup(rnd=rnd)
+
+        self.deim_rhs = deim_rhs
+        self.mdeim_mass = mdeim_mass
+        self.mdeim_stiffness = mdeim_stiffness
+
+    # ------------------------------------------------------------------
+    # Offline phases (reference: rom/hrom.py:308-448)
+    # ------------------------------------------------------------------
+    def run_offline_rom(self, mu_space=None):
+        """Build the S-ROM basis, then truncate into the ROM."""
+        num_snapshots = self.rom_params[RomParameters.NUM_SNAPSHOTS]
+        num_basis = self.rom_params.get(RomParameters.NUM_MU, None)
+
+        tolerances = {
+            RomParameters.TOL_TIME: self.rom_params.get(RomParameters.TOL_TIME,
+                                                        None),
+            RomParameters.TOL_MU: self.rom_params.get(RomParameters.TOL_MU, None),
+        }
+
+        srom = self.srom
+        fom_solutions = srom.build_reduced_basis(
+            num_snapshots=num_snapshots,
+            mu_space=mu_space,
+            num_basis=num_basis,
+            tolerances=tolerances,
+        )
+
+        n = self.rom_params[RomParameters.SROM_TRUNCATE]
+        rom = srom.truncate(n=n)
+        rom.name = "ROM"
+        self.rom = rom
+
+        self.validation_solutions = fom_solutions
+        self.rom_runned = True
+
+    def run_offline_hyperreduction(self, mu_space=None, evaluate=True):
+        """Collateral bases for the linear operators."""
+        if self.models.get(OperatorType.STIFFNESS):
+            self._run_mdeim(
+                object=self.mdeim_stiffness,
+                which=OperatorType.STIFFNESS,
+                evaluate=evaluate,
+                mu_space=mu_space,
+            )
+        if self.models.get(OperatorType.MASS):
+            self._run_mdeim(
+                object=self.mdeim_mass,
+                which=OperatorType.MASS,
+                evaluate=evaluate,
+                mu_space=mu_space,
+            )
+        if self.models.get(OperatorType.RHS):
+            self._run_deim(
+                object=self.deim_rhs,
+                which=OperatorType.RHS,
+                evaluate=evaluate,
+                mu_space=mu_space,
+            )
+        self.deim_runned = True
+
+    def project_reductors(self):
+        self.rom.project_reductors()
+        self.srom.project_reductors()
+
+    # ------------------------------------------------------------------
+    # Resume from disk (reference: rom/hrom.py:344-417)
+    # ------------------------------------------------------------------
+    def start_from_existing_basis(self):
+        self.load_validation_fom()
+
+        try:
+            mu_space = read_json(StorageNames.MU_SPACE)
+        except FileNotFoundError:
+            mu_space = {
+                Stage.OFFLINE: list(),
+                Stage.ONLINE: list(),
+                Stage.VALIDATION: list(),
+            }
+
+        srom = self.srom
+        basis_srom = read_pickle(StorageNames.SROM)
+        N_srom = self.rom_params.get(RomParameters.SROM_KEEP)
+        if N_srom is not None:
+            basis_srom = basis_srom[:, :N_srom]
+
+        srom.load_from_basis(basis=basis_srom, mu_space=mu_space)
+        self.rom = srom.truncate(self.rom_params[RomParameters.SROM_TRUNCATE])
+
+        deims, operators = self._resume_reductors()
+        for reductor, which in zip(deims, operators):
+            if reductor is None:
+                continue
+            for _rom in (self.rom, self.srom):
+                _rom.add_hyper_reductor(reductor=reductor, which=which)
+
+    def _resume_reductors(self):
+        self.deim_rhs.load_fom_basis()
+        self.mdeim_mass.load_fom_basis()
+        self.mdeim_stiffness.load_fom_basis()
+        operators = [OperatorType.RHS, OperatorType.MASS, OperatorType.STIFFNESS]
+        deims = [self.deim_rhs, self.mdeim_mass, self.mdeim_stiffness]
+        return deims, operators
+
+    # ------------------------------------------------------------------
+    # Evaluation (reference: rom/hrom.py:450-626)
+    # ------------------------------------------------------------------
+    def solve(self, mu, step):
+        self.rom.solve(mu, step)
+
+    def evaluate_validation(self):
+        """(H)ROM evaluation on the training parameter set."""
+        space = self.rom.mu_space[Stage.OFFLINE]
+        self._evaluate(which=Stage.VALIDATION, mu_space=space)
+
+    def evaluate_online(self, params, rnd=None):
+        """(H)ROM evaluation on a fresh random parameter set."""
+        self.online_params = params
+        num = params["num"]
+        space = self.rom.build_sampling_space(num=num, rnd=rnd)
+        self._evaluate(which=Stage.ONLINE, mu_space=space)
+
+    def _evaluate(self, which, mu_space=None):
+        fom = self.fom
+        rom = self.rom
+        srom = self.srom
+
+        rom_fom_errors = dict()
+        mu_space = list(mu_space)
+
+        compute_error = rom._compute_error
+        for mu in mu_space:
+            idx_mu = rom.solve(mu=mu, step=which)
+            srom.solve(mu=mu, step=which)
+
+            rom.solutions.to_pickle(f"solutions_rom_{rom.N}_{which}_{idx_mu}")
+            srom.solutions.to_pickle(f"solutions_srom_{srom.N}_{which}_{idx_mu}")
+
+            # ----------------------------------------------------------
+            # FOM truth
+            if which == Stage.VALIDATION:
+                uh_fom = self.validation_solutions[idx_mu]
+            else:
+                fom.setup()
+                fom.update_parametrization(mu)
+                fom.solve()
+                uh_fom = fom.solutions.fom
+
+            uh_rom = rom.solutions.fom
+            uh_srom = srom.solutions.fom
+
+            nt = uh_fom.shape[1]
+            errors_rom = np.array(
+                [compute_error(uh_fom[:, i], uh_rom[:, i]) for i in range(nt)]
+            )
+            errors_srom = np.array(
+                [compute_error(uh_fom[:, i], uh_srom[:, i]) for i in range(nt)]
+            )
+
+            # ----------------------------------------------------------
+            # S-ROM estimator (reference: rom/hrom.py:563-574)
+            uNs = rom.solutions.rom
+            uNs_srom = srom.solutions.rom
+            V_srom = srom.basis
+
+            estimator = np.array(
+                [
+                    compute_rom_difference(
+                        uN=uNs[:, i], uN_srom=uNs_srom[:, i], V_srom=V_srom
+                    )
+                    for i in range(uNs.shape[1])
+                ]
+            )
+
+            rom_fom_errors[idx_mu] = {
+                Errors.ESTIMATOR: estimator,
+                Errors.ROM: errors_rom,
+                Errors.SACRIFICIAL: errors_srom,
+            }
+
+            self._postprocess_mu(which, idx_mu, mu, uh_fom)
+
+        # With a manufactured solution available, also keep the per-μ
+        # exact-solution error series the ROM collected (the reference
+        # points at the never-populated errors_rom here — drift,
+        # rom/hrom.py:623-626).
+        if fom.exact_solution is None:
+            self.errors[which] = rom_fom_errors
+        else:
+            self.errors[which] = dict(rom.errors)
+        self.errors[f"{which}-vs-fom"] = rom_fom_errors
+
+    def _postprocess_mu(self, which, idx_mu, mu, uh_fom):
+        """Hook: probe/mass-conservation dumps for the piston driver."""
+        pass
+
+    # ------------------------------------------------------------------
+    # DEIM evaluation
+    # ------------------------------------------------------------------
+    def evaluate_deim(self):
+        mu_space = self.mu_space[Stage.OFFLINE]
+        for obj in (self.deim_rhs, self.mdeim_mass, self.mdeim_stiffness,
+                    self.mdeim_convection, self.mdeim_trilinear_lifting,
+                    self.mdeim_trilinear):
+            if obj is not None:
+                self.evaluate_deim_model(object=obj, mu_space=mu_space)
+
+    def evaluate_deim_model(self, object, mu_space):
+        params = object.tree_walk_params
+        n_online = params.get(RomParameters.NUM_ONLINE, None)
+        timesteps = params[RomParameters.TS]
+        object.evaluate(ts=timesteps, num=n_online, mu_space=mu_space)
+
+    # ------------------------------------------------------------------
+    # DEIM runners (reference: rom/hrom.py:811-876)
+    # ------------------------------------------------------------------
+    def _run_deim(self, object, which, mu_space, is_mdeim=False, evaluate=False):
+        object.run(mu_space=mu_space)
+        object.dump_fom_basis()
+
+        if evaluate:
+            self.evaluate_deim_model(object=object, mu_space=mu_space)
+
+        for rom in (self.rom, self.srom):
+            rom.add_hyper_reductor(reductor=object, which=which)
+
+    def _run_mdeim(self, object, which, mu_space, evaluate=False):
+        self._run_deim(
+            object=object, which=which, mu_space=mu_space,
+            evaluate=evaluate, is_mdeim=True,
+        )
+
+    # ------------------------------------------------------------------
+    # Summaries (reference: rom/hrom.py:683-809)
+    # ------------------------------------------------------------------
+    def generate_summary(self):
+        summary_basis = self._summary_basis
+        summary_sig = self.summary_sigmas
+        summary_energy = self.summary_energy
+        summary_errors_deim = self.summary_errors_deim
+        mu_space_deim = self.mu_space_deim
+
+        OFFLINE = Stage.OFFLINE
+        rom = self.rom
+        report = rom.report[OFFLINE]
+
+        BASIS_WALK = Treewalk.BASIS_AFTER_WALK
+        BASIS_FINAL = Treewalk.BASIS_FINAL
+        SPECTRUM_MU = Treewalk.SPECTRUM_MU
+        ENERGY_MU = Treewalk.ENERGY_MU
+
+        RB = OperatorType.REDUCED_BASIS
+        summary_basis[RB][BASIS_WALK] = report[BASIS_WALK]
+        summary_basis[RB][BASIS_FINAL] = report[BASIS_FINAL]
+        summary_sig[RB][SPECTRUM_MU] = report[SPECTRUM_MU]
+        summary_energy[RB][ENERGY_MU] = report[ENERGY_MU]
+
+        TRI = OperatorType.TRILINEAR
+        summary_basis[TRI][BASIS_WALK] = report[TreewalkNonlinear.BASIS_AFTER_WALK]
+        summary_basis[TRI][BASIS_FINAL] = report[TreewalkNonlinear.BASIS_FINAL]
+        summary_sig[TRI][SPECTRUM_MU] = report[TreewalkNonlinear.SPECTRUM_MU]
+        summary_energy[TRI][ENERGY_MU] = report[TreewalkNonlinear.ENERGY_MU]
+
+        generate_operator_summary = partial(
+            self.generate_operator_summary,
+            basis=summary_basis,
+            sigma=summary_sig,
+            energy=summary_energy,
+            errors_deim=summary_errors_deim,
+            mu_space_deim=mu_space_deim,
+        )
+
+        for operator in (self.deim_rhs, self.mdeim_mass, self.mdeim_stiffness,
+                         self.mdeim_convection, self.mdeim_trilinear_lifting):
+            if operator is not None:
+                generate_operator_summary(operator)
+
+        self.summary_basis = pd.DataFrame(summary_basis).T
+
+        summary_errors = defaultdict(dict)
+        for idx, error in rom.errors.items():
+            summary_errors[idx]["mean"] = np.mean(error)
+            summary_errors[idx]["median"] = np.median(error)
+            summary_errors[idx]["max"] = np.max(error)
+            summary_errors[idx]["min"] = np.min(error)
+
+        self.summary_errors = pd.DataFrame(summary_errors).T
+
+    @staticmethod
+    def generate_operator_summary(operator, basis, sigma, energy, errors_deim,
+                                  mu_space_deim):
+        BASIS_WALK = Treewalk.BASIS_AFTER_WALK
+        BASIS_FINAL = Treewalk.BASIS_FINAL
+        SPECTRUM_MU = Treewalk.SPECTRUM_MU
+        ENERGY_MU = Treewalk.ENERGY_MU
+        NAME = operator.name
+        report = operator.report[Stage.OFFLINE]
+
+        basis[NAME][BASIS_WALK] = report[BASIS_WALK]
+        basis[NAME][BASIS_FINAL] = report[BASIS_FINAL]
+        sigma[NAME][SPECTRUM_MU] = report[SPECTRUM_MU]
+        energy[NAME][ENERGY_MU] = report[ENERGY_MU]
+
+        errors_deim[NAME] = dict(operator.errors_rom)
+        mu_space_deim[NAME] = operator.mu_space
+
+
+class HyperReducedOrderModelMoving(HyperReducedOrderModelFixed):
+    """Adds MDEIM convection for the ALE heat path
+    (reference: rom/hrom.py:879-976)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.deim_moving_runned = False
+
+    def _create_fom(self):
+        fom_params = self.fom_params
+        return HeatEquationMovingSolver(
+            domain=fom_params.get("domain"),
+            dirichlet=fom_params.get("dirichlet"),
+            parameters=fom_params.get("parameters", None),
+            forcing_term=fom_params.get("forcing_term"),
+            u0=fom_params.get("u0"),
+            exact_solution=fom_params.get("exact_solution", None),
+            Lt=fom_params.get("Lt"),
+            dLt_dt=fom_params.get("dLt_dt"),
+        )
+
+    def _create_rom(self, fom, name="ROM"):
+        return RomConstructorMoving(fom=fom, grid=self.grid, name=name)
+
+    def setup_hyperreduction(self):
+        super().setup_hyperreduction()
+
+        mdeim_convection = MatrixDiscreteEmpiricalInterpolation(
+            name=OperatorType.CONVECTION,
+            assemble=self.fom.assemble_convection,
+            grid=self.grid,
+            tree_walk_params=self.mdeim_params,
+        )
+        mdeim_convection.setup(rnd=self.rnd)
+        self.mdeim_convection = mdeim_convection
+
+    def run_offline_hyperreduction(self, mu_space=None, evaluate=True):
+        super().run_offline_hyperreduction(mu_space=mu_space, evaluate=evaluate)
+
+        if self.models.get(OperatorType.CONVECTION):
+            self._run_mdeim(
+                object=self.mdeim_convection,
+                mu_space=mu_space,
+                evaluate=evaluate,
+                which=OperatorType.CONVECTION,
+            )
+        self.deim_moving_runned = True
+
+    def _resume_reductors(self):
+        deims, operators = super()._resume_reductors()
+        self.mdeim_convection.load_fom_basis()
+        deims.append(self.mdeim_convection)
+        operators.append(OperatorType.CONVECTION)
+        return deims, operators
+
+
+class HyperReducedPiston(HyperReducedOrderModelFixed):
+    """Full nonlinear pipeline: ROM + S-ROM pair, 4 MDEIMs + DEIM-RHS +
+    N-MDEIM trilinear (reference: rom/hrom.py:979-1182)."""
+
+    def __init__(
+        self,
+        grid: dict,
+        fom_params: dict,
+        rom_params: dict,
+        deim_params: dict,
+        mdeim_params: dict,
+        mdeim_nonlinear_params: dict,
+        models: dict,
+        rnd=None,
+    ) -> None:
+        super().__init__(
+            grid=grid,
+            fom_params=fom_params,
+            rom_params=rom_params,
+            deim_params=deim_params,
+            mdeim_params=mdeim_params,
+            models=models,
+            rnd=rnd,
+        )
+        self.mdeim_nonlinear_params = dict(mdeim_nonlinear_params)
+        self.deim_moving_runned = False
+
+    def _create_fom(self):
+        fom_params = self.fom_params
+        return OneDimensionalBurgers(
+            domain=fom_params.get("domain"),
+            dirichlet=fom_params.get("dirichlet"),
+            parameters=fom_params.get("parameters", None),
+            forcing_term=fom_params.get("forcing_term"),
+            u0=fom_params.get("u0"),
+            exact_solution=fom_params.get("exact_solution", None),
+            Lt=fom_params.get("Lt"),
+            dLt_dt=fom_params.get("dLt_dt"),
+        )
+
+    def _create_rom(self, fom, name="ROM"):
+        return RomConstructorNonlinear(fom=fom, grid=self.grid, name=name)
+
+    def setup_hyperreduction(self):
+        """RHS-DEIM + mass/stiffness/convection/nonlinear-lifting MDEIM +
+        trilinear/nonlinear N-MDEIM (reference: rom/hrom.py:1042-1090)."""
+        super().setup_hyperreduction()
+
+        fom = self.fom
+        grid = self.grid
+        rnd = self.rnd
+
+        mdeim_convection = MatrixDiscreteEmpiricalInterpolation(
+            name=OperatorType.CONVECTION,
+            assemble=fom.assemble_convection,
+            grid=grid,
+            tree_walk_params=self.mdeim_params,
+        )
+        mdeim_trilinear_lifting = MatrixDiscreteEmpiricalInterpolation(
+            name=OperatorType.NONLINEAR_LIFTING,
+            assemble=fom.assemble_nonlinear_lifting,
+            grid=grid,
+            tree_walk_params=self.mdeim_params,
+        )
+        mdeim_trilinear = MatrixDiscreteEmpiricalInterpolationNonlinear(
+            name=OperatorType.TRILINEAR,
+            assemble=fom.assemble_trilinear,
+            grid=grid,
+            tree_walk_params=self.mdeim_nonlinear_params,
+        )
+        mdeim_nonlinear = MatrixDiscreteEmpiricalInterpolationNonlinear(
+            name=OperatorType.NONLINEAR,
+            assemble=fom.assemble_nonlinear,
+            grid=grid,
+            tree_walk_params=self.mdeim_nonlinear_params,
+        )
+
+        mdeim_convection.setup(rnd=rnd)
+        mdeim_trilinear_lifting.setup(rnd=rnd)
+        mdeim_trilinear.setup(rnd=rnd)
+        mdeim_nonlinear.setup(rnd=rnd)
+
+        self.mdeim_convection = mdeim_convection
+        self.mdeim_trilinear_lifting = mdeim_trilinear_lifting
+        self.mdeim_trilinear = mdeim_trilinear
+        self.mdeim_nonlinear = mdeim_nonlinear
+
+    def run_offline_hyperreduction(self, mu_space=None, u_n=None, evaluate=True):
+        """Linear operators + convection + nonlinear lifting + trilinear
+        N-MDEIM (basis from the FOM-captured nonlinear snapshots)."""
+        super().run_offline_hyperreduction(mu_space=mu_space, evaluate=evaluate)
+
+        if self.models.get(OperatorType.CONVECTION):
+            self._run_mdeim(
+                object=self.mdeim_convection,
+                mu_space=mu_space,
+                evaluate=evaluate,
+                which=OperatorType.CONVECTION,
+            )
+
+        if self.models.get(OperatorType.NONLINEAR_LIFTING):
+            self._run_mdeim(
+                object=self.mdeim_trilinear_lifting,
+                mu_space=mu_space,
+                evaluate=evaluate,
+                which=OperatorType.NONLINEAR_LIFTING,
+            )
+
+        if self.models.get(OperatorType.TRILINEAR):
+            basis_mdeim = self.srom.basis_nonlinear
+            if u_n is None:
+                u_n = self.basis
+            self._run_mdeim_nonlinear(
+                object=self.mdeim_trilinear,
+                mu_space=mu_space,
+                evaluate=evaluate,
+                which=OperatorType.TRILINEAR,
+                u_n=u_n,
+                basis=basis_mdeim,
+            )
+
+        self.deim_moving_runned = True
+
+    def _run_mdeim_nonlinear(self, object, u_n, which, mu_space, evaluate=False,
+                             basis=None):
+        """Train N-MDEIM from scratch, or adopt the FOM-captured nonlinear
+        basis (reference: rom/hrom.py:1148-1182)."""
+        if basis is None:
+            object.run(u_n=u_n, mu_space=mu_space)
+            object.dump_fom_basis()
+            if evaluate:
+                self.evaluate_deim_model(object=object, mu_space=mu_space)
+        else:
+            object.u_n = np.asarray(u_n) if u_n is not None else None
+            if object.u_n is not None and object.u_n.ndim == 1:
+                object.u_n = object.u_n.reshape((-1, 1))
+            keep = self.rom_params.get(RomParameters.NMDEIM_SIZE)
+            object.load_fom_basis(basis=basis, keep=keep)
+
+        for rom in (self.rom, self.srom):
+            rom.add_hyper_reductor(reductor=object, which=which)
+
+    def _resume_reductors(self):
+        deims, operators = super()._resume_reductors()
+
+        self.mdeim_convection.load_fom_basis()
+        self.mdeim_trilinear_lifting.load_fom_basis()
+        N_tri = self.rom_params.get(RomParameters.NMDEIM_SIZE)
+        self.mdeim_trilinear.load_fom_basis(keep=N_tri)
+
+        deims += [self.mdeim_convection, self.mdeim_trilinear_lifting,
+                  self.mdeim_trilinear]
+        operators += [OperatorType.CONVECTION, OperatorType.NONLINEAR_LIFTING,
+                      OperatorType.TRILINEAR]
+        return deims, operators
+
+    # ------------------------------------------------------------------
+    # Piston-specific postprocessing (reference: rom/hrom.py:586-681)
+    # ------------------------------------------------------------------
+    def _postprocess_mu(self, which, idx_mu, mu, uh_fom):
+        fom = self.fom
+        rom = self.rom
+        srom = self.srom
+
+        if fom.RUNTIME_PROCESS and (which == Stage.ONLINE):
+            name_probes = f"probes_{which}_fom_{idx_mu}.csv"
+            probes = fom.save_probes(name=name_probes)
+
+            piston = probes["L"].squeeze()
+            piston.name = ProbeLocations.PISTON
+            name = (
+                f"probes_comparison_rom_{rom.N}_srom_{srom.N}_trilinear_"
+                f"{self.mdeim_trilinear.N}_{which}_{idx_mu}.csv"
+            )
+            self.save_fom_rom_probes(
+                name=name, piston=piston, fom=fom, rom=rom, srom=srom
+            )
+
+        # Mass conservation for ROM and FOM
+        timesteps = rom.timesteps
+        output_rom = fom.compute_mass_conservation(
+            mu=mu, ts=timesteps, solutions=rom.solutions.fom.T,
+            which=ProblemType.ROM,
+        )
+        name_rom = (
+            f"mass_conservation_rom_{rom.N}_srom_{srom.N}_mdeim_"
+            f"{self.mdeim_trilinear.N}_{which}_rom_{idx_mu}.csv"
+        )
+        dump_csv(name_rom, obj=output_rom)
+
+        output_fom = fom.compute_mass_conservation(
+            mu=mu, ts=timesteps, solutions=np.asarray(uh_fom).T,
+            which=ProblemType.FOM,
+        )
+        dump_csv(f"mass_conservation_{which}_fom_{idx_mu}.csv", obj=output_fom)
+
+    @staticmethod
+    def compare_models(x, piston, ts, fom, rom, srom):
+        """FOM/ROM/S-ROM physical probes at a location
+        (reference: rom/hrom.py:628-642)."""
+        x_fom = fom.solutions.compute_at(x=x)
+        x_rom = rom.solutions.compute_at(x=x)
+        x_srom = srom.solutions.compute_at(x=x)
+
+        data = np.vstack([x_fom, x_rom, x_srom]).T
+        columns = [ProblemType.FOM, ProblemType.ROM, ProblemType.SROM]
+        df = pd.DataFrame(data=data, index=ts, columns=columns)
+        df[ProbeLocations.PISTON] = np.asarray(piston)
+        return df
+
+    def save_fom_rom_probes(self, name, piston, fom, rom, srom):
+        """Outflow + halfway comparisons (reference: rom/hrom.py:644-681)."""
+        ts = rom.solutions.ts
+        compare = partial(self.compare_models, fom=fom, rom=rom, srom=srom,
+                          piston=piston, ts=ts)
+
+        outflow = compare(x=0.0)
+        half = compare(x=0.5)
+
+        outflow.to_csv("_".join([ProbeLocations.OUTFLOW, name]))
+        half.to_csv("_".join([ProbeLocations.MIDDLE, name]))
+        return outflow, half

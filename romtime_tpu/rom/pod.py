@@ -1,0 +1,58 @@
+"""POD orthogonalization (reference: src/romtime/rom/pod.py:7-62).
+
+The SVD runs on-device (``jnp.linalg.svd``) — the TPU replacement for the
+reference's LAPACK ``gesvd`` call; truncation logic is host-side because the
+retained rank is data-dependent. For snapshot matrices too tall for one
+chip, :func:`romtime_tpu.parallel.tsqr.tsqr_svd` shards the row dimension.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+DROP_TOLERANCE = 1e-7
+
+
+def orth(snapshots, num=None, tol=None, normalize=True, return_VT=False):
+    """Compute an orthonormal basis of the snapshot span via SVD.
+
+    Truncation modes (reference semantics, pod.py:44-57):
+    - ``tol``: keep modes while the cumulative energy is *below* tol;
+    - ``num``: keep the first ``num`` modes;
+    - neither: drop modes with singular value < DROP_TOLERANCE.
+
+    Returns (Q, sigmas, energy[, VT]).
+    """
+    if isinstance(snapshots, list):
+        raise ValueError("You should use an array, not a list.")
+
+    snapshots = np.asarray(snapshots)
+
+    if normalize:
+        l2_norms = np.linalg.norm(snapshots, axis=0)
+        _snapshots = np.divide(snapshots, l2_norms)
+    else:
+        _snapshots = snapshots
+
+    u, s, vt = jnp.linalg.svd(jnp.asarray(_snapshots), full_matrices=False)
+    u = np.asarray(u)
+    s = np.asarray(s)
+    vt = np.asarray(vt)
+
+    eigenvalues = np.power(s, 2)
+    total = np.sum(eigenvalues)
+    energy = np.cumsum(eigenvalues) / total
+
+    if tol:
+        mask = energy < tol
+        Q = u[:, mask]
+        VT = vt[mask, :]
+    elif num:
+        Q = u[:, :num]
+        VT = vt[:num, :]
+    else:
+        Q = u[:, s > DROP_TOLERANCE]
+        VT = vt[s > DROP_TOLERANCE, :]
+
+    if return_VT:
+        return Q, s, energy, VT
+    return Q, s, energy

@@ -1,0 +1,604 @@
+"""Online reduced-order solvers + offline reduced-basis construction.
+
+Rebuild of the reference's ROM constructors (reference:
+src/romtime/rom/rom.py:34-974) designed around the TPU execution model:
+
+- the reduced BDF time loop is one ``lax.scan`` whose per-step work is
+  (gathered DEIM assembly → θ-solve → Σθᵢ·Bᵢ → dense N×N solve) — all small
+  matmuls that batch onto the MXU;
+- the online μ-sweep — the framework's headline metric — is the scanned
+  loop ``vmap``-ed over a μ-batch (``solve_batch``), optionally sharded over
+  a device mesh (:mod:`romtime_tpu.parallel`); the reference loops μ
+  serially through scipy GMRES (rom/rom.py:468-492);
+- the online phase is FOM-free: hyper-reduced operators never call back
+  into a FEM backend (the reference calls FEniCS local assembly per online
+  step, SURVEY.md §3.4).
+"""
+
+from copy import deepcopy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import RomSolutionsStorage
+from ..conventions import (
+    BDF,
+    OperatorType,
+    PistonParameters,
+    RomParameters,
+    Stage,
+    Treewalk,
+    TreewalkNonlinear,
+)
+from ..fom.base import BandedOperator
+from ..ops.assembly import band_matmat
+from ..rom.pod import orth
+from .base import Reductor
+
+
+class RomConstructor(Reductor):
+    """Reduced solver for the fixed-domain heat path
+    (reference: rom/rom.py:34-685)."""
+
+    # The reference solves the N×N system with GMRES at 1e-10 tolerances
+    # (rom/rom.py:36); a batched dense solve is exact and faster on TPU.
+    GMRES_OPTIONS = dict(atol=1e-10, tol=1e-10, maxiter=1e6)
+
+    def __init__(self, fom, grid: dict, name=None) -> None:
+        super().__init__(grid=grid)
+
+        self.fom = fom
+        self.name = name
+
+        self.basis = None
+        self.basis_nonlinear = None
+
+        self.solutions = dict()
+        self.errors = dict()
+        self.exact = dict()
+
+        self.deim_fh = None
+        self.deim_fgh = None
+        self.deim_rhs = None
+
+        self.mdeim_Mh = None  # mass
+        self.mdeim_Ah = None  # stiffness
+        self.mdeim_Ch = None  # convection
+        self.mdeim_Nh = None  # trilinear
+        self.mdeim_Nh_hat = None  # nonlinear lifting
+
+        self._online_fns = {}
+
+    # ------------------------------------------------------------------
+    # Shapes
+    # ------------------------------------------------------------------
+    @property
+    def N(self):
+        return self.basis.shape[1]
+
+    @property
+    def shape(self):
+        return self.basis.shape
+
+    @property
+    def timesteps(self):
+        return self.solutions.ts
+
+    # ------------------------------------------------------------------
+    # Projections
+    # ------------------------------------------------------------------
+    def to_fom_vector(self, uN):
+        """u_h = V u_N (reference: rom/rom.py:97-114)."""
+        return jnp.asarray(self.basis) @ uN
+
+    def to_rom_vector(self, uh):
+        """u_N = Vᵀ u_h (reference: rom/rom.py:116-133)."""
+        return jnp.asarray(self.basis).T @ jnp.asarray(uh)
+
+    def to_rom(self, oph):
+        """Project a FOM operator onto the reduced space
+        (reference: rom/rom.py:135-158)."""
+        V = jnp.asarray(self.basis)
+        if isinstance(oph, BandedOperator):
+            return V.T @ band_matmat(oph.band, V, oph.p)
+        return V.T @ jnp.asarray(oph)
+
+    # ------------------------------------------------------------------
+    # Lifecycle
+    # ------------------------------------------------------------------
+    def setup(self, rnd):
+        super().setup(rnd=rnd)
+        self.algebraic_solver = self.create_algebraic_solver()
+        self._online_fns = {}
+
+    def create_algebraic_solver(self):
+        """Reduced-system solver: batched dense LU (replaces scipy GMRES,
+        reference: rom/rom.py:414-425)."""
+        return lambda A, b: (jnp.linalg.solve(A, b), 0)
+
+    def load_from_basis(self, basis, mu_space):
+        """Adopt an externally built basis (resume path; reference:
+        rom/rom.py:160-167)."""
+        self.basis = deepcopy(np.asarray(basis))
+        mu_space = deepcopy(mu_space)
+        mu_space[Stage.ONLINE] = []
+        mu_space[Stage.VALIDATION] = []
+        self.mu_space = mu_space
+        self._online_fns = {}
+
+    def truncate(self, n):
+        """Drop n modes: the S-ROM → ROM path (reference:
+        rom/rom.py:169-198)."""
+        truncated = self.__class__(fom=self.fom, grid=self.grid, name=self.name)
+        truncated.setup(rnd=self.random_state)
+
+        N = self.N
+        assert n < N, "You want to remove too many modes from S-ROM to create ROM."
+        truncated.basis = self.basis[:, : N - n]
+
+        truncated.mu_space = deepcopy(self.mu_space)
+        truncated.report = deepcopy(self.report)
+        truncated.report[Stage.OFFLINE][Treewalk.BASIS_FINAL] = truncated.N
+        return truncated
+
+    # ------------------------------------------------------------------
+    # Hyper-reduction plumbing
+    # ------------------------------------------------------------------
+    def add_hyper_reductor(self, reductor, which):
+        """Attach a trained (M)DEIM object per operator
+        (reference: rom/rom.py:213-251)."""
+        _reductor = reductor.copy()
+
+        if which == OperatorType.FORCING:
+            self.deim_fh = _reductor
+        elif which == OperatorType.LIFTING:
+            self.deim_fgh = _reductor
+        elif which == OperatorType.RHS:
+            self.deim_rhs = _reductor
+        elif which == OperatorType.MASS:
+            self.mdeim_Mh = _reductor
+        elif which == OperatorType.STIFFNESS:
+            self.mdeim_Ah = _reductor
+        elif which == OperatorType.CONVECTION:
+            self.mdeim_Ch = _reductor
+        elif which == OperatorType.TRILINEAR:
+            self.mdeim_Nh = _reductor
+        elif which == OperatorType.NONLINEAR_LIFTING:
+            self.mdeim_Nh_hat = _reductor
+        else:
+            raise NotImplementedError(f"Which is this reductor? {which}")
+
+        self._online_fns = {}
+
+    def project_reductors(self):
+        """Project every collateral basis onto the solution basis
+        (reference: rom/rom.py:253-274)."""
+        V = self.basis
+        for red in (
+            self.deim_fh,
+            self.deim_fgh,
+            self.deim_rhs,
+            self.mdeim_Mh,
+            self.mdeim_Ah,
+            self.mdeim_Ch,
+            self.mdeim_Nh,
+            self.mdeim_Nh_hat,
+        ):
+            if red:
+                red.project_basis(V=V)
+        self._online_fns = {}
+
+    # ------------------------------------------------------------------
+    # Reduced operator assembly (traceable; DEIM-or-project fallback)
+    # ------------------------------------------------------------------
+    def _reduced_matrix(self, mdeim, fom_assemble, mu, t, u_n=None):
+        if mdeim:
+            if u_n is None:
+                values = mdeim._interpolate_traced(mu, t, which=self.ROM)
+            else:
+                values = mdeim._interpolate_traced(mu, t, u_n, which=self.ROM)
+            return values.reshape((self.N, self.N))
+        if u_n is None:
+            oph = fom_assemble(mu, t)
+        else:
+            oph = fom_assemble(mu=mu, t=t, u_n=u_n)
+        return self.to_rom(oph)
+
+    def _reduced_vector(self, deim, fom_assemble, mu, t):
+        if deim:
+            return deim._interpolate_traced(mu, t, which=self.ROM)
+        return self.to_rom(fom_assemble(mu, t))
+
+    def assemble_mass(self, mu, t):
+        return self._reduced_matrix(self.mdeim_Mh, self.fom.assemble_mass, mu, t)
+
+    def assemble_stiffness(self, mu, t):
+        return self._reduced_matrix(self.mdeim_Ah, self.fom.assemble_stiffness, mu, t)
+
+    def assemble_rhs(self, mu, t):
+        """Forcing + lifting (reference: rom/rom.py:618-642)."""
+        if self.deim_rhs:
+            return self.deim_rhs._interpolate_traced(mu, t, which=self.ROM)
+        fh = self.fom.assemble_forcing(mu, t)
+        fgh = self.fom.assemble_lifting(mu, t)
+        return self.to_rom(fh) + self.to_rom(fgh)
+
+    def assemble_forcing(self, mu, t):
+        return self._reduced_vector(self.deim_fh, self.fom.assemble_forcing, mu, t)
+
+    def assemble_lifting(self, mu, t):
+        return self._reduced_vector(self.deim_fgh, self.fom.assemble_lifting, mu, t)
+
+    def assemble_system(self, mu, t, bdf=1.0, uh=None, uh_n1=None):
+        """K_N = bdf·M_N + dt·A_N (reference: rom/rom.py:565-573, with the
+        unified bdf factor)."""
+        MN = self.assemble_mass(mu=mu, t=t)
+        AN = self.assemble_stiffness(mu=mu, t=t)
+        KN = bdf * MN + self.fom.dt * AN
+        return MN, KN
+
+    def assemble_system_rhs(self, mu, t, MN_mat, uN_n, uN_n1=None):
+        fN = self.assemble_rhs(mu=mu, t=t)
+        if uN_n1 is None:
+            bdf_term = MN_mat @ uN_n
+        else:
+            bdf_term = MN_mat @ (2.0 * uN_n - 0.5 * uN_n1)
+        return bdf_term + self.fom.dt * fN
+
+    # ------------------------------------------------------------------
+    # Offline: reduced-basis construction
+    # ------------------------------------------------------------------
+    def build_reduced_basis(
+        self,
+        num_snapshots=None,
+        mu_space=None,
+        num_basis=None,
+        tolerances=dict(),
+    ):
+        """FOM sweep per μ + POD tree walk (+ nonlinear-term basis for the
+        Burgers path) — reference: rom/rom.py:276-412."""
+        if num_snapshots:
+            space = self.build_sampling_space(num=num_snapshots,
+                                              rnd=self.random_state)
+        elif mu_space:
+            space = mu_space
+        else:
+            raise NotImplementedError(
+                "You need to provide a number of mu-snapshots or a space."
+            )
+
+        fom = self.fom
+        if fom.is_setup is False:
+            fom.setup()
+
+        collect_nonlinear = hasattr(fom, "nonlinear_snapshots")
+
+        fom_solutions = dict()
+        basis_time = []
+        basis_nonlinear = []
+        tol_t = tolerances.get(RomParameters.TOL_TIME, None)
+        offline = self.report[Stage.OFFLINE]
+
+        for mu in space:
+            mu_idx, mu = self.add_mu(mu=mu, step=Stage.OFFLINE)
+
+            fom.setup()
+            fom.update_parametrization(mu)
+            fom.solve()
+
+            fom_solutions[mu_idx] = fom.solutions.fom.copy()
+
+            # POD in time of the homogeneous snapshots
+            _basis, sigmas_time, energy_time = orth(fom.solutions.snapshots,
+                                                    tol=tol_t)
+            basis_time.append(_basis)
+
+            offline[Treewalk.SPECTRUM_TIME][mu_idx] = sigmas_time
+            offline[Treewalk.ENERGY_TIME][mu_idx] = energy_time
+            offline[Treewalk.BASIS_TIME][mu_idx] = _basis.shape[1]
+
+            # POD in time of the captured nonlinear-operator snapshots
+            # (first one dropped: zero initial state, rom/rom.py:345)
+            if collect_nonlinear:
+                nl = np.array(fom.nonlinear_snapshots[1:]).T
+                if hasattr(self, "_zero_nonlinear_boundary"):
+                    nl = self._zero_nonlinear_boundary(nl)
+                _basis_nl, _sigmas_nl, _energy_nl = orth(nl, tol=tol_t)
+                basis_nonlinear.append(_basis_nl)
+
+                offline[TreewalkNonlinear.SPECTRUM_TIME][mu_idx] = _sigmas_nl
+                offline[TreewalkNonlinear.ENERGY_TIME][mu_idx] = _energy_nl
+                offline[TreewalkNonlinear.BASIS_TIME][mu_idx] = _basis_nl.shape[1]
+
+            if fom.RUNTIME_PROCESS and hasattr(fom, "save_probes"):
+                fom.save_probes(name=f"probes_offline_fom_{mu_idx}.csv")
+
+        basis = np.hstack(basis_time)
+        offline[Treewalk.BASIS_AFTER_WALK] = basis.shape[1]
+
+        tol_mu = tolerances.get(RomParameters.TOL_MU, None)
+        basis, sigmas_mu, energy_mu = orth(
+            basis, num=num_basis, tol=tol_mu, normalize=False
+        )
+
+        offline[Treewalk.SPECTRUM_MU] = sigmas_mu
+        offline[Treewalk.ENERGY_MU] = energy_mu
+        offline[Treewalk.BASIS_FINAL] = basis.shape[1]
+
+        self.basis = basis
+
+        if collect_nonlinear and basis_nonlinear:
+            basis_nonlinear = np.hstack(basis_nonlinear)
+            offline[TreewalkNonlinear.BASIS_AFTER_WALK] = basis_nonlinear.shape[1]
+            basis_nonlinear, sigmas_nl, energy_nl = orth(
+                basis_nonlinear, normalize=False
+            )
+            offline[TreewalkNonlinear.SPECTRUM_MU] = sigmas_nl
+            offline[TreewalkNonlinear.ENERGY_MU] = energy_nl
+            offline[TreewalkNonlinear.BASIS_FINAL] = basis_nonlinear.shape[1]
+            self.basis_nonlinear = basis_nonlinear
+
+        assert self.N != 0, "(ROM) There are no basis vectors."
+
+        self._online_fns = {}
+        return fom_solutions
+
+    # ------------------------------------------------------------------
+    # Online: scanned reduced BDF loop (+ vmapped μ-batch)
+    # ------------------------------------------------------------------
+    def runtime_process(self, u=None, mu=None, t=None):
+        pass
+
+    def _online_scan(self, mu):
+        """Traceable full reduced time loop; returns stacked outputs."""
+        fom = self.fom
+        nt = int(fom.domain[fom.NT])
+        dt = fom.dt
+        bdf2 = fom.BDF_SCHEME == BDF.TWO
+        N = self.N
+        V = jnp.asarray(self.basis)
+
+        def step(carry, k):
+            uN_n, uN_n1, uh, uh_n1 = carry
+            t = (k + 1) * dt
+            bdf = jnp.where(k > 0, 1.5, 1.0) if bdf2 else 1.0
+
+            MN, KN = self.assemble_system(mu, t, bdf, uh, uh_n1 if bdf2 else None)
+            bN = self.assemble_system_rhs(mu, t, MN, uN_n,
+                                          uN_n1 if bdf2 else None)
+
+            uN = jnp.linalg.solve(KN, bN)
+            uh_new = V @ uN
+
+            scale = fom.scale_factor(mu, t) if fom.Lt else 1.0
+            L = fom.domain[fom.L0] * scale
+            x_phys = jnp.asarray(fom.mesh.x_dofs) * scale
+            g = fom.create_lifting_operator(mu=mu, t=t, L=L, only_g=True)
+            uc = uh_new + g(x_phys)
+
+            outputs = dict(uN=uN, uc=uc, x=x_phys, t=t)
+
+            if fom.exact_solution is not None:
+                ue_h = fom._eval_field(fom.exact_solution, x_phys, mu, t)
+                e = uc - ue_h
+                outputs["error"] = jnp.linalg.norm(e) / jnp.sqrt(e.shape[0])
+
+            new_carry = (uN, uN_n, uh_new, uh)
+            return new_carry, outputs
+
+        zeros_N = jnp.zeros((N,), dtype=V.dtype)
+        zeros_h = jnp.zeros((V.shape[0],), dtype=V.dtype)
+        carry0 = (zeros_N, zeros_N, zeros_h, zeros_h)
+        _, outs = jax.lax.scan(step, carry0, jnp.arange(nt))
+        return outs
+
+    def _get_online_fn(self, batched):
+        key = ("batched" if batched else "single", self.N)
+        fn = self._online_fns.get(key)
+        if fn is None:
+            if batched:
+                fn = jax.jit(jax.vmap(self._online_scan))
+            else:
+                fn = jax.jit(self._online_scan)
+            self._online_fns[key] = fn
+        return fn
+
+    @staticmethod
+    def _mu_jnp(mu):
+        return {k: jnp.asarray(float(v)) for k, v in mu.items()}
+
+    def solve(self, mu, step):
+        """Solve the reduced problem for one μ (reference:
+        rom/rom.py:430-555)."""
+        idx_mu, mu = self.add_mu(mu=mu, step=step)
+
+        fom = self.fom
+        outs = self._get_online_fn(batched=False)(self._mu_jnp(mu))
+        outs = jax.tree_util.tree_map(np.asarray, outs)
+
+        timesteps = outs["t"]
+        fom_sols = outs["uc"].T
+        rom_sols = outs["uN"].T
+        domains = outs["x"].T
+
+        self.solutions = RomSolutionsStorage(
+            ts=timesteps,
+            mu=mu,
+            domain=domains,
+            fom=fom_sols,
+            rom=rom_sols,
+        )
+
+        if fom.exact_solution is not None:
+            self.errors[idx_mu] = outs["error"]
+            self.exact[idx_mu] = None
+
+        return idx_mu
+
+    def solve_batch(self, mus, step=Stage.ONLINE):
+        """Batched online μ-sweep: one vmapped scan over a parameter batch —
+        the TPU-native replacement for the reference's serial online loop
+        (rom/hrom.py:521-526). Returns stacked outputs dict."""
+        names = sorted(mus[0].keys())
+        batch = {
+            k: jnp.asarray(np.array([float(mu[k]) for mu in mus])) for k in names
+        }
+        for mu in mus:
+            self.add_mu(mu=mu, step=step)
+        outs = self._get_online_fn(batched=True)(batch)
+        return jax.tree_util.tree_map(np.asarray, outs)
+
+
+class RomConstructorMoving(RomConstructor):
+    """Adds the reduced ALE convection operator
+    (reference: rom/rom.py:688-736)."""
+
+    def assemble_convection(self, mu, t):
+        return self._reduced_matrix(self.mdeim_Ch, self.fom.assemble_convection,
+                                    mu, t)
+
+    def assemble_system(self, mu, t, bdf=1.0, uh=None, uh_n1=None):
+        MN = self.assemble_mass(mu=mu, t=t)
+        AN = self.assemble_stiffness(mu=mu, t=t)
+        CN = self.assemble_convection(mu=mu, t=t)
+        KN = bdf * MN + self.fom.dt * (AN + CN)
+        return MN, KN
+
+
+class RomConstructorNonlinear(RomConstructorMoving):
+    """Piston ROM: Mach-stratified sampling, trilinear + nonlinear-lifting
+    operators, BDF-2 (reference: rom/rom.py:739-974)."""
+
+    # Forcing bounds for the stratified sampler (reference: rom/rom.py:741-743)
+    PISTON_MACH_MIN = 0.15
+    PISTON_MACH_MAX = 0.4
+
+    def __init__(self, fom, grid: dict, name=None) -> None:
+        super().__init__(fom=fom, grid=grid, name=name)
+        self.probe_location = getattr(fom, "probe_location", None)
+        self.probes = None
+
+    # ------------------------------------------------------------------
+    # Mach-stratified sampling (reference: rom/rom.py:751-815)
+    # ------------------------------------------------------------------
+    def build_sampling_space(self, num, rnd=None):
+        grid = self.grid
+
+        piston_mach_space = self.compute_piston_mach_number_space(
+            grid=grid,
+            num=num,
+            mach_min=self.PISTON_MACH_MIN,
+            mach_max=self.PISTON_MACH_MAX,
+        )
+
+        # Oversample, then fill one sample per Mach bin.
+        _num = int(2e4)
+        sampler = super(RomConstructorMoving, self).build_sampling_space(
+            rnd=rnd, num=_num
+        )
+
+        samples = []
+        domains = [
+            (start, end)
+            for start, end in zip(piston_mach_space, piston_mach_space[1:])
+        ]
+        for sample in sampler:
+            piston_mach = self.compute_piston_mach_number(sample)
+
+            remove = None
+            for domain in domains:
+                start, end = domain
+                if (piston_mach >= start) and (piston_mach <= end):
+                    sample[PistonParameters.MACH_PISTON] = piston_mach
+                    samples.append(sample)
+                    remove = domain
+                    break
+
+            if remove is not None:
+                domains.remove(remove)
+            if len(domains) == 0:
+                break
+
+        samples = sorted(samples, key=lambda x: x[PistonParameters.MACH_PISTON])
+        return samples
+
+    @staticmethod
+    def compute_piston_mach_number(sample):
+        """δω/a0 (reference: rom/rom.py:817-826)."""
+        return (
+            sample[PistonParameters.DELTA]
+            * sample[PistonParameters.OMEGA]
+            / sample[PistonParameters.A0]
+        )
+
+    @staticmethod
+    def compute_piston_mach_number_space(grid, num, mach_min=None, mach_max=None):
+        """Bin edges across the admissible Mach range
+        (reference: rom/rom.py:828-857)."""
+        params = [PistonParameters.A0, PistonParameters.OMEGA,
+                  PistonParameters.DELTA]
+        support = {}
+        for var in params:
+            _support = grid[var].support()
+            support[var] = {"min": min(_support), "max": max(_support)}
+
+        A0, OMEGA, DELTA = params
+        if mach_min is None:
+            mach_min = (
+                support[DELTA]["min"] * support[OMEGA]["min"] / support[A0]["max"]
+            )
+        if mach_max is None:
+            mach_max = (
+                support[DELTA]["max"] * support[OMEGA]["max"] / support[A0]["min"]
+            )
+
+        return np.linspace(start=mach_min, stop=mach_max, num=num + 1)
+
+    # ------------------------------------------------------------------
+    # Reduced operators
+    # ------------------------------------------------------------------
+    def assemble_trilinear(self, mu, t, uh):
+        """N_N(u*) (reference: rom/rom.py:931-952)."""
+        return self._reduced_matrix(self.mdeim_Nh, self.fom.assemble_trilinear,
+                                    mu, t, u_n=uh)
+
+    def assemble_nonlinear_lifting(self, mu, t):
+        """N̂_N (reference: rom/rom.py:954-974)."""
+        return self._reduced_matrix(
+            self.mdeim_Nh_hat, self.fom.assemble_nonlinear_lifting, mu, t
+        )
+
+    def assemble_system(self, mu, t, bdf=1.0, uh=None, uh_n1=None):
+        """K_N = bdf·M_N + dt·(A_N + C_N + N_N(u*) + N̂_N)
+        (reference: rom/rom.py:877-909)."""
+        MN = self.assemble_mass(mu=mu, t=t)
+        AN = self.assemble_stiffness(mu=mu, t=t)
+        CN = self.assemble_convection(mu=mu, t=t)
+
+        if uh_n1 is None:
+            u_star = uh
+        else:
+            u_star = 2.0 * uh - uh_n1
+
+        NN = self.assemble_trilinear(mu=mu, t=t, uh=u_star)
+        NhatN = self.assemble_nonlinear_lifting(mu=mu, t=t)
+
+        KN = bdf * MN + self.fom.dt * (AN + CN + NN + NhatN)
+        return MN, KN
+
+    def assemble_system_rhs(self, mu, t, MN_mat, uN_n, uN_n1=None):
+        """b_N = M_N·(2u_N − ½u_N₋₁) + dt·f_gN (reference:
+        rom/rom.py:911-929; no forcing term for Burgers)."""
+        fgN = self.assemble_lifting(mu=mu, t=t)
+        if uN_n1 is None:
+            bdf_term = MN_mat @ uN_n
+        else:
+            bdf_term = MN_mat @ (2.0 * uN_n - 0.5 * uN_n1)
+        return bdf_term + self.fom.dt * fgN
+
+    def assemble_lifting(self, mu, t):
+        """The piston RHS lifting vector (via DEIM when attached)."""
+        if self.deim_rhs:
+            return self.deim_rhs._interpolate_traced(mu, t, which=self.ROM)
+        return self.to_rom(self.fom.assemble_lifting(mu, t))

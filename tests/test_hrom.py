@@ -1,0 +1,307 @@
+"""End-to-end HROM pipeline tests for all three drivers
+(reference: tests/test_mpf1.py:565-720 test_hrom, tests/fom/test_piston.py),
+including the S-ROM estimator and resume-from-disk."""
+
+import numpy as np
+import pytest
+
+from romtime_tpu.conventions import (
+    Errors,
+    OperatorType,
+    PistonParameters,
+    RomParameters,
+    Stage,
+)
+from romtime_tpu.parameters import get_uniform_dist
+from romtime_tpu.problems import define_mfp1_problem, define_piston_problem
+from romtime_tpu.rom import (
+    HyperReducedOrderModelFixed,
+    HyperReducedOrderModelMoving,
+    HyperReducedPiston,
+)
+
+
+# ---------------------------------------------------------------------------
+# Heat (fixed) driver
+# ---------------------------------------------------------------------------
+def _heat_config(nx=80, nt=50, tf=10.0, L=2.0, moving=False):
+    domain, bcs, forcing, u0, ue, Lt, dLt_dt = define_mfp1_problem(L, nx, tf, nt)
+
+    grid = {
+        "delta": get_uniform_dist(min=0.01, max=2.0),
+        "beta": get_uniform_dist(min=1.0, max=10.0),
+        "alpha_0": get_uniform_dist(min=0.01, max=2.0),
+    }
+    if moving:
+        omegas = [(1.0 / tf) * np.arcsin(1.0 - n) for n in (0.5, 0.8)]
+        grid["omega"] = get_uniform_dist(min=min(omegas), max=max(omegas))
+
+    fom_params = dict(
+        domain=domain,
+        dirichlet=bcs,
+        forcing_term=forcing,
+        u0=u0,
+        exact_solution=ue,
+        grid_params={k: "uniform" for k in grid},
+    )
+    if moving:
+        fom_params.update(Lt=Lt, dLt_dt=dLt_dt)
+        # The manufactured exact solution is defined on the moving domain
+        # through the same expression.
+
+    ts = np.linspace(tf / nt, tf, nt)
+    rom_params = {
+        RomParameters.NUM_SNAPSHOTS: 4,
+        RomParameters.SROM_TRUNCATE: 2,
+        RomParameters.TOL_TIME: None,
+        RomParameters.TOL_MU: None,
+    }
+    deim_params = {RomParameters.TS: ts, RomParameters.NUM_SNAPSHOTS: 6}
+    mdeim_params = {RomParameters.TS: ts, RomParameters.NUM_SNAPSHOTS: 6}
+    models = {
+        OperatorType.MASS: True,
+        OperatorType.STIFFNESS: True,
+        OperatorType.RHS: True,
+        OperatorType.CONVECTION: moving,
+    }
+    return grid, fom_params, rom_params, deim_params, mdeim_params, models
+
+
+@pytest.fixture(scope="module")
+def heat_hrom():
+    (grid, fom_params, rom_params, deim_params, mdeim_params,
+     models) = _heat_config()
+
+    hrom = HyperReducedOrderModelFixed(
+        grid=grid,
+        fom_params=fom_params,
+        rom_params=rom_params,
+        deim_params=deim_params,
+        mdeim_params=mdeim_params,
+        models=models,
+        rnd=np.random.RandomState(0),
+    )
+    hrom.setup()
+    hrom.setup_hyperreduction()
+    hrom.run_offline_rom()
+    hrom.run_offline_hyperreduction(
+        mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=True
+    )
+    hrom.project_reductors()
+    return hrom
+
+
+def test_hrom_offline(heat_hrom):
+    hrom = heat_hrom
+    assert hrom.rom.N > 0
+    assert hrom.srom.N == hrom.rom.N + 2
+    assert hrom.deim_runned
+    # DEIM evaluation errors during offline are tiny (affine operators)
+    for obj in (hrom.mdeim_mass, hrom.mdeim_stiffness, hrom.deim_rhs):
+        errs = np.concatenate(
+            [np.atleast_1d(v) for v in obj.errors_rom.values() if np.size(v)]
+        )
+        assert errs.mean() < 1e-10
+
+
+def test_hrom_validation(heat_hrom, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    hrom = heat_hrom
+    hrom.evaluate_validation()
+
+    # exact solution exists → errors vs exact per μ
+    errors = hrom.errors[Stage.VALIDATION]
+    assert len(errors) > 0
+
+    hrom.generate_summary()
+    assert not hrom.summary_errors.empty
+    assert not hrom.summary_basis.empty
+
+
+def test_hrom_online_and_estimator(heat_hrom, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    hrom = heat_hrom
+
+    # Force the FOM-comparison path (estimator payloads) by hiding the
+    # exact solution, as for problems without manufactured solutions.
+    fom = hrom.fom
+    exact = fom.exact_solution
+    fom.exact_solution = None
+    fom._solve_jit = None
+    try:
+        hrom.rom._online_fns = {}
+        hrom.srom._online_fns = {}
+        hrom.evaluate_online(params={"num": 2}, rnd=np.random.RandomState(5))
+    finally:
+        fom.exact_solution = exact
+        fom._solve_jit = None
+        hrom.rom._online_fns = {}
+        hrom.srom._online_fns = {}
+
+    errors = hrom.errors[Stage.ONLINE]
+    assert len(errors) == 2
+    for payload in errors.values():
+        rom_err = payload[Errors.ROM]
+        srom_err = payload[Errors.SACRIFICIAL]
+        est = payload[Errors.ESTIMATOR]
+        assert rom_err.shape == srom_err.shape == est.shape
+        # The S-ROM (more modes) is at least as accurate on average
+        assert srom_err.mean() <= 2.0 * rom_err.mean()
+        # The estimator lives on the same scale as the true ROM error
+        ratio = est.mean() / max(rom_err.mean(), 1e-16)
+        assert 1e-3 < ratio < 1e3
+
+
+def test_hrom_resume_from_existing_basis(heat_hrom, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    hrom = heat_hrom
+
+    hrom.dump_mu_space()
+    hrom.dump_reduced_basis()
+    for obj in (hrom.deim_rhs, hrom.mdeim_mass, hrom.mdeim_stiffness):
+        obj.dump_fom_basis()
+
+    (grid, fom_params, rom_params, deim_params, mdeim_params,
+     models) = _heat_config()
+    rom_params[RomParameters.SROM_KEEP] = hrom.srom.N
+
+    fresh = HyperReducedOrderModelFixed(
+        grid=grid,
+        fom_params=fom_params,
+        rom_params=rom_params,
+        deim_params=deim_params,
+        mdeim_params=mdeim_params,
+        models=models,
+        rnd=np.random.RandomState(0),
+    )
+    fresh.setup()
+    fresh.setup_hyperreduction()
+    fresh.start_from_existing_basis()
+    fresh.project_reductors()
+
+    assert fresh.rom.N == hrom.rom.N
+    assert np.allclose(fresh.srom.basis, hrom.srom.basis)
+
+    mu = hrom.mu_space[Stage.OFFLINE][0]
+    idx = fresh.rom.solve(mu=mu, step=Stage.ONLINE)
+    hrom.rom.solve(mu=mu, step=Stage.ONLINE)
+    assert np.allclose(
+        fresh.rom.solutions.fom, hrom.rom.solutions.fom, atol=1e-10
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heat (moving) driver
+# ---------------------------------------------------------------------------
+def test_hrom_moving_pipeline(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    (grid, fom_params, rom_params, deim_params, mdeim_params,
+     models) = _heat_config(nx=60, nt=30, moving=True)
+
+    hrom = HyperReducedOrderModelMoving(
+        grid=grid,
+        fom_params=fom_params,
+        rom_params=rom_params,
+        deim_params=deim_params,
+        mdeim_params=mdeim_params,
+        models=models,
+        rnd=np.random.RandomState(0),
+    )
+    hrom.setup()
+    hrom.setup_hyperreduction()
+    hrom.run_offline_rom()
+    hrom.run_offline_hyperreduction(
+        mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
+    )
+    hrom.project_reductors()
+
+    assert hrom.mdeim_convection.N > 0
+    hrom.evaluate_validation()
+    assert len(hrom.errors[Stage.VALIDATION]) > 0
+
+
+# ---------------------------------------------------------------------------
+# Piston driver
+# ---------------------------------------------------------------------------
+@pytest.mark.slow
+def test_hrom_piston_pipeline(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+
+    L, nx, nt, tf = 1.0, 200, 150, 0.75
+    domain, bcs, forcing, u0, Lt, dLt_dt = define_piston_problem(
+        L=L, nx=nx, tf=tf, nt=nt
+    )
+
+    grid = {
+        PistonParameters.A0: get_uniform_dist(min=8.0, max=10.0),
+        PistonParameters.OMEGA: get_uniform_dist(min=15.0, max=20.0),
+        PistonParameters.DELTA: get_uniform_dist(min=0.1, max=0.15),
+        PistonParameters.ALPHA: get_uniform_dist(min=1e-6, max=1e-6),
+        PistonParameters.GAMMA: get_uniform_dist(min=1.4, max=1.4),
+    }
+
+    fom_params = dict(
+        domain=domain, dirichlet=bcs, forcing_term=forcing, u0=u0,
+        Lt=Lt, dLt_dt=dLt_dt, grid_params={k: "uniform" for k in grid},
+    )
+
+    ts = np.linspace(tf / nt, tf, nt)
+    rom_params = {
+        RomParameters.NUM_SNAPSHOTS: 3,
+        RomParameters.SROM_TRUNCATE: 2,
+        RomParameters.TOL_TIME: None,
+        RomParameters.TOL_MU: None,
+        RomParameters.NMDEIM_SIZE: None,
+    }
+    deim_params = {RomParameters.TS: ts, RomParameters.NUM_SNAPSHOTS: 3}
+    mdeim_params = {RomParameters.TS: ts, RomParameters.NUM_SNAPSHOTS: 3}
+    mdeim_nonlinear_params = {
+        RomParameters.TS: ts[:: max(1, nt // 25)],
+        RomParameters.NUM_SNAPSHOTS: 2,
+    }
+    models = {
+        OperatorType.MASS: True,
+        OperatorType.STIFFNESS: True,
+        OperatorType.RHS: True,
+        OperatorType.CONVECTION: True,
+        OperatorType.NONLINEAR_LIFTING: True,
+        OperatorType.TRILINEAR: True,
+    }
+
+    hrom = HyperReducedPiston(
+        grid=grid,
+        fom_params=fom_params,
+        rom_params=rom_params,
+        deim_params=deim_params,
+        mdeim_params=mdeim_params,
+        mdeim_nonlinear_params=mdeim_nonlinear_params,
+        models=models,
+        rnd=np.random.RandomState(0),
+    )
+    hrom.setup()
+    hrom.setup_hyperreduction()
+    hrom.run_offline_rom()
+    hrom.run_offline_hyperreduction(
+        mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
+    )
+    hrom.project_reductors()
+
+    assert hrom.rom.N > 0
+    assert hrom.mdeim_trilinear.N > 0
+
+    # Validation: ROM reproduces the training FOM solutions
+    hrom.evaluate_validation()
+    errors = hrom.errors[Stage.VALIDATION]
+    for payload in errors.values():
+        # scaled velocity field is O(0.25); ROM should track it closely
+        assert payload[Errors.ROM].mean() < 5e-3
+        est = payload[Errors.ESTIMATOR]
+        assert np.all(np.isfinite(est))
+
+    # Mach-stratified sampler
+    samples = hrom.rom.build_sampling_space(num=4, rnd=np.random.RandomState(1))
+    machs = [s[PistonParameters.MACH_PISTON] for s in samples]
+    assert machs == sorted(machs)
+    assert all(
+        hrom.rom.PISTON_MACH_MIN <= m <= hrom.rom.PISTON_MACH_MAX for m in machs
+    )

@@ -1,0 +1,156 @@
+"""ROM constructor tests: reduced-basis construction, hyper-reduced online
+solves, truncation, and batched-sweep consistency
+(reference behaviors: tests/test_mpf1.py:374-563)."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from romtime_tpu.conventions import OperatorType, Stage
+from romtime_tpu.deim import (
+    DiscreteEmpiricalInterpolation,
+    MatrixDiscreteEmpiricalInterpolation,
+)
+from romtime_tpu.fom import HeatEquationSolver
+from romtime_tpu.parameters import get_uniform_dist
+from romtime_tpu.problems import define_mfp1_problem
+from romtime_tpu.rom import RomConstructor
+
+
+@pytest.fixture
+def grid():
+    return {
+        "delta": get_uniform_dist(min=0.01, max=2.0),
+        "beta": get_uniform_dist(min=1.0, max=10.0),
+        "alpha_0": get_uniform_dist(min=0.01, max=2.0),
+    }
+
+
+@pytest.fixture
+def fom():
+    nx, nt, tf, L = 100, 100, 10.0, 2.0
+    domain, bcs, forcing, u0, ue, Lt, dLt_dt = define_mfp1_problem(L, nx, tf, nt)
+    fom = HeatEquationSolver(
+        domain=domain, dirichlet=bcs,
+        parameters=dict(delta=1.0, beta=5.0, alpha_0=1.0),
+        forcing_term=forcing, u0=u0, exact_solution=ue,
+    )
+    fom.setup()
+    return fom
+
+
+@pytest.fixture
+def trained_rom(fom, grid):
+    """RB + DEIM-RHS + MDEIM mass/stiffness, projected."""
+    rnd = np.random.RandomState(0)
+    nt, tf = 100, 10.0
+    ts = np.linspace(tf / nt, tf, nt)
+    tw = {"ts": ts, "num_snapshots": 10}
+
+    deim_rhs = DiscreteEmpiricalInterpolation(
+        name="RHS", assemble=fom.assemble_rhs, grid=grid, tree_walk_params=tw
+    )
+    deim_rhs.setup(rnd=rnd)
+    deim_rhs.run()
+
+    mdeim_Ah = MatrixDiscreteEmpiricalInterpolation(
+        name="Stiffness", assemble=fom.assemble_stiffness, grid=grid,
+        tree_walk_params=tw,
+    )
+    mdeim_Ah.setup(rnd=rnd)
+    mdeim_Ah.run()
+
+    mdeim_Mh = MatrixDiscreteEmpiricalInterpolation(
+        name="Mass", assemble=fom.assemble_mass, grid=grid, tree_walk_params=tw
+    )
+    mdeim_Mh.setup(rnd=rnd)
+    mdeim_Mh.run()
+
+    rom = RomConstructor(fom=fom, grid=grid)
+    rom.setup(rnd=rnd)
+    rom.build_reduced_basis(num_snapshots=10)
+
+    rom.add_hyper_reductor(reductor=deim_rhs, which=OperatorType.RHS)
+    rom.add_hyper_reductor(reductor=mdeim_Ah, which=OperatorType.STIFFNESS)
+    rom.add_hyper_reductor(reductor=mdeim_Mh, which=OperatorType.MASS)
+    rom.project_reductors()
+    return rom
+
+
+def test_rom_without_hyperreduction(fom, grid):
+    """Pure Galerkin ROM (project fallback) reproduces the FOM well on
+    training parameters."""
+    rom = RomConstructor(fom=fom, grid=grid)
+    rom.setup(rnd=np.random.RandomState(0))
+    fom_solutions = rom.build_reduced_basis(num_snapshots=5)
+
+    mu = rom.mu_space[Stage.OFFLINE][0]
+    idx = rom.solve(mu=mu, step=Stage.VALIDATION)
+
+    uh_fom = fom_solutions[0]
+    uh_rom = rom.solutions.fom
+    err = np.linalg.norm(uh_fom - uh_rom, axis=0) / np.sqrt(uh_fom.shape[0])
+    assert err.max() < 1e-6
+
+
+def test_hyper_reduced_rom_online_errors(trained_rom):
+    """Online errors vs the exact solution stay within the reference's
+    golden band (reference: tests/test_mpf1.py:624-718: mean
+    2e-5…1.2e-2)."""
+    rom = trained_rom
+    rnd2 = np.random.RandomState(1)
+    sampler = rom.build_sampling_space(num=10, rnd=rnd2)
+
+    errors = []
+    for mu in sampler:
+        idx = rom.solve(mu=mu, step=Stage.ONLINE)
+        errors.append(rom.errors[idx])
+
+    errors = np.array(errors)
+    assert np.median(errors) < 1e-3
+    assert errors.mean() < 0.1
+
+
+def test_solve_batch_matches_serial(trained_rom):
+    """The vmapped μ-batch sweep is bit-compatible with serial solves."""
+    rom = trained_rom
+    mus = list(rom.build_sampling_space(num=4, rnd=np.random.RandomState(7)))
+
+    outs = rom.solve_batch(mus, step=Stage.ONLINE)
+    for i, mu in enumerate(mus):
+        rom.solve(mu=mu, step=Stage.ONLINE)
+        assert_allclose(outs["uc"][i].T, rom.solutions.fom, atol=1e-12)
+        assert_allclose(outs["uN"][i].T, rom.solutions.rom, atol=1e-12)
+
+
+def test_truncate(trained_rom):
+    rom = trained_rom
+    N = rom.N
+    truncated = rom.truncate(n=2)
+    assert truncated.N == N - 2
+    assert truncated.basis.shape == (rom.basis.shape[0], N - 2)
+    # The truncated ROM can be re-wired and solved
+    truncated.add_hyper_reductor(rom.deim_rhs, OperatorType.RHS)
+    truncated.add_hyper_reductor(rom.mdeim_Ah, OperatorType.STIFFNESS)
+    truncated.add_hyper_reductor(rom.mdeim_Mh, OperatorType.MASS)
+    truncated.project_reductors()
+    mu = rom.mu_space[Stage.OFFLINE][0]
+    truncated.solve(mu=mu, step=Stage.ONLINE)
+    assert truncated.solutions.rom.shape[0] == N - 2
+
+
+def test_load_from_basis(trained_rom, fom, grid):
+    rom2 = RomConstructor(fom=fom, grid=grid)
+    rom2.setup(rnd=np.random.RandomState(0))
+    rom2.load_from_basis(basis=trained_rom.basis, mu_space=trained_rom.mu_space)
+    assert rom2.N == trained_rom.N
+    assert rom2.mu_space[Stage.ONLINE] == []
+
+
+def test_projection_roundtrip(trained_rom):
+    rom = trained_rom
+    rng = np.random.default_rng(0)
+    uN = rng.normal(size=rom.N)
+    uh = np.asarray(rom.to_fom_vector(uN))
+    back = np.asarray(rom.to_rom_vector(uh))
+    assert_allclose(back, uN, atol=1e-12)
