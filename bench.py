@@ -1,0 +1,205 @@
+"""Benchmark: the BASELINE.md north-star metrics on real hardware.
+
+Pipeline (moving-piston problem, the reference's headline configuration —
+nx=1000, nt=1500, tests/fom/test_piston.py:117-119):
+
+  offline   — Mach-stratified FOM sweep → POD → (M)DEIM training →
+              Galerkin projection (wall-clock tracked),
+  accuracy  — trajectory rel-L2 of the hyper-reduced ROM vs the FOM on a
+              held-out parameter,
+  online    — batched μ-sweep of the reduced BDF-2 solver (vmapped scan),
+              solves/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+vs_baseline is measured against the 10,000 solves/s north star
+(BASELINE.md; the reference publishes no benchmarks of its own — it is a
+serial CPU FEniCS code).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    # Mixed precision: the offline certification pipeline (POD spectra,
+    # DEIM greedy) runs in float64; the online sweep serves in float32.
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    nx = int(os.environ.get("BENCH_NX", 1000))
+    nt = int(os.environ.get("BENCH_NT", 1500))
+    n_offline = int(os.environ.get("BENCH_OFFLINE_MU", 3))
+    n_online = int(os.environ.get("BENCH_ONLINE_MU", 4096))
+    n_modes = int(os.environ.get("BENCH_SROM_MODES", 20))
+    truncate = int(os.environ.get("BENCH_SROM_TRUNCATE", 5))
+
+    import jax.numpy as jnp
+
+    from romtime_tpu.dtypes import compute_dtype_scope
+    from romtime_tpu.conventions import (
+        OperatorType,
+        PistonParameters,
+        RomParameters,
+        Stage,
+    )
+    from romtime_tpu.parameters import get_uniform_dist
+    from romtime_tpu.problems import define_piston_problem
+    from romtime_tpu.rom.hrom import HyperReducedPiston
+
+    tf = 1.0
+    domain, bcs, forcing, u0, Lt, dLt_dt = define_piston_problem(
+        L=1.0, nx=nx, tf=tf, nt=nt
+    )
+
+    grid = {
+        PistonParameters.A0: get_uniform_dist(min=8.0, max=10.0),
+        PistonParameters.OMEGA: get_uniform_dist(min=15.0, max=20.0),
+        PistonParameters.DELTA: get_uniform_dist(min=0.1, max=0.15),
+        PistonParameters.ALPHA: get_uniform_dist(min=1e-6, max=1e-6),
+        PistonParameters.GAMMA: get_uniform_dist(min=1.4, max=1.4),
+    }
+
+    fom_params = dict(
+        domain=domain, dirichlet=bcs, forcing_term=forcing, u0=u0,
+        Lt=Lt, dLt_dt=dLt_dt, grid_params={k: "uniform" for k in grid},
+    )
+
+    ts = np.linspace(tf / nt, tf, nt)
+    ts_walk = ts[:: max(1, nt // 100)]  # tree-walk time grid
+
+    rom_params = {
+        RomParameters.NUM_SNAPSHOTS: n_offline,
+        RomParameters.NUM_MU: n_modes,
+        RomParameters.SROM_TRUNCATE: truncate,
+        RomParameters.TOL_TIME: None,
+        RomParameters.TOL_MU: None,
+        RomParameters.NMDEIM_SIZE: None,
+    }
+    deim_params = {RomParameters.TS: ts_walk,
+                   RomParameters.NUM_SNAPSHOTS: n_offline}
+    mdeim_params = {RomParameters.TS: ts_walk,
+                    RomParameters.NUM_SNAPSHOTS: n_offline}
+    mdeim_nonlinear_params = {RomParameters.TS: ts_walk[::4],
+                              RomParameters.NUM_SNAPSHOTS: 2}
+    models = {
+        OperatorType.MASS: True,
+        OperatorType.STIFFNESS: True,
+        OperatorType.RHS: True,
+        OperatorType.CONVECTION: True,
+        OperatorType.NONLINEAR_LIFTING: True,
+        OperatorType.TRILINEAR: True,
+    }
+
+    # ------------------------------------------------------------------
+    # Offline
+    # ------------------------------------------------------------------
+    t_offline_start = time.time()
+
+    hrom = HyperReducedPiston(
+        grid=grid,
+        fom_params=fom_params,
+        rom_params=rom_params,
+        deim_params=deim_params,
+        mdeim_params=mdeim_params,
+        mdeim_nonlinear_params=mdeim_nonlinear_params,
+        models=models,
+        rnd=np.random.RandomState(0),
+    )
+    hrom.setup()
+    hrom.setup_hyperreduction()
+    hrom.run_offline_rom()
+    hrom.run_offline_hyperreduction(
+        mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
+    )
+    hrom.project_reductors()
+
+    offline_wall = time.time() - t_offline_start
+    rom = hrom.rom
+
+    # ------------------------------------------------------------------
+    # Accuracy: held-out parameter, trajectory rel-L2 vs FOM
+    # ------------------------------------------------------------------
+    fom = hrom.fom
+    mu_val = dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4)
+
+    fom.setup()
+    fom.update_parametrization(mu_val)
+    fom.solve()
+    uh_fom = fom.solutions.fom
+
+    rom.solve(mu=mu_val, step=Stage.VALIDATION)
+    uh_rom = rom.solutions.fom
+
+    rel_l2 = float(
+        np.linalg.norm(uh_rom - uh_fom) / np.linalg.norm(uh_fom)
+    )
+
+    # ------------------------------------------------------------------
+    # Online throughput: batched μ-sweep, served in float32
+    # ------------------------------------------------------------------
+    mus = list(
+        hrom.rom.build_sampling_space(num=64, rnd=np.random.RandomState(3))
+    )
+    # Stratified sampler yields ≤64 points; tile to the full batch size.
+    reps = int(np.ceil(n_online / len(mus)))
+    mus = (mus * reps)[:n_online]
+    for mu in mus:
+        mu.pop(PistonParameters.MACH_PISTON, None)
+
+    serve_dtype = jnp.float32 if os.environ.get("BENCH_F32", "1") == "1" else None
+
+    n_rep = int(os.environ.get("BENCH_REPEAT", 3))
+    with compute_dtype_scope(serve_dtype):
+        # Compile + warm-up
+        outs = rom.solve_batch(mus, step=Stage.ONLINE)
+
+        t0 = time.time()
+        for _ in range(n_rep):
+            outs = rom.solve_batch(mus, step=Stage.ONLINE)
+        online_wall = (time.time() - t0) / n_rep
+    solves_per_sec = n_online / online_wall
+
+    # f32-vs-f64 serving consistency on the validation parameter
+    with compute_dtype_scope(serve_dtype):
+        rom.solve(mu=mu_val, step=Stage.VALIDATION)
+        uh_rom_f32 = rom.solutions.fom
+    serve_drift = float(
+        np.linalg.norm(uh_rom_f32 - uh_rom) / np.linalg.norm(uh_fom)
+    )
+
+    payload = {
+        "metric": "online_mu_rom_solves_per_sec",
+        "value": round(solves_per_sec, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / 10000.0, 4),
+        "extra": {
+            "backend": jax.default_backend(),
+            "nx": nx,
+            "nt": nt,
+            "rom_modes": int(rom.N),
+            "batch": n_online,
+            "online_sweep_wall_s": round(online_wall, 4),
+            "offline_wall_s": round(offline_wall, 2),
+            "rel_l2_vs_fom": rel_l2,
+            "f32_serving_drift": serve_drift,
+            "timesteps_per_sec": round(solves_per_sec * nt, 0),
+        },
+    }
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    # Keep artifacts (probe CSVs from the offline sweep) out of the repo.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
+    with tempfile.TemporaryDirectory() as tmp:
+        os.chdir(tmp)
+        main()

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..conventions import EmpiricalInterpolation, RomParameters, Stage
+from ..dtypes import asarray as _dtype_asarray, compute_dtype, scalar as _dtype_scalar
 from ..rom.base import Reductor
 from ..rom.pod import orth
 from ..utils import dump_pickle, read_pickle
@@ -296,7 +297,7 @@ class DiscreteEmpiricalInterpolation(Reductor):
     # ------------------------------------------------------------------
     @staticmethod
     def _mu_jnp(mu):
-        return {k: jnp.asarray(float(v)) for k, v in mu.items()}
+        return {k: _dtype_scalar(v) for k, v in mu.items()}
 
     def _assemble_snapshot_traced(self, mu, t):
         """One snapshot in vector form under tracing (DEIM: the assembled
@@ -313,10 +314,13 @@ class DiscreteEmpiricalInterpolation(Reductor):
         Returns (dim, nt) — the reference's loop over ``fenics.assemble``
         collapsed into one device launch.
         """
-        if self._batch_snapshots_fn is None:
+        if not isinstance(self._batch_snapshots_fn, dict):
+            self._batch_snapshots_fn = {}
+        key = compute_dtype()
+        if key not in self._batch_snapshots_fn:
             fn = lambda mu, t: self._assemble_snapshot_traced(mu, t)
-            self._batch_snapshots_fn = jax.jit(jax.vmap(fn, in_axes=(None, 0)))
-        out = self._batch_snapshots_fn(self._mu_jnp(mu), jnp.asarray(ts))
+            self._batch_snapshots_fn[key] = jax.jit(jax.vmap(fn, in_axes=(None, 0)))
+        out = self._batch_snapshots_fn[key](self._mu_jnp(mu), _dtype_asarray(ts))
         return np.asarray(out).T
 
     # ------------------------------------------------------------------
@@ -329,8 +333,8 @@ class DiscreteEmpiricalInterpolation(Reductor):
     def _interpolate_traced(self, mu, t, which=None):
         Vf = self.basis_fom if (which is None or which == self.FOM) else self.basis_rom
         fh_local = jnp.asarray(self.assemble(mu=mu, t=t, entries=self.dofs))
-        thetas = jnp.linalg.solve(jnp.asarray(self.PT_U), fh_local)
-        approximation = jnp.asarray(Vf) @ thetas
+        thetas = jnp.linalg.solve(_dtype_asarray(self.PT_U), fh_local)
+        approximation = _dtype_asarray(Vf) @ thetas
         if which is None or which == self.FOM:
             approximation = self._fix_boundary(approximation)
         return approximation
@@ -352,12 +356,13 @@ class DiscreteEmpiricalInterpolation(Reductor):
         """Interpolate over a full time grid in one jitted call."""
         if self._batch_interpolate_fn is None:
             self._batch_interpolate_fn = {}
-        if which not in self._batch_interpolate_fn:
+        key = (which, compute_dtype())
+        if key not in self._batch_interpolate_fn:
             fn = lambda mu, t: self._interpolate_traced(mu, t, which)
-            self._batch_interpolate_fn[which] = jax.jit(
+            self._batch_interpolate_fn[key] = jax.jit(
                 jax.vmap(fn, in_axes=(None, 0))
             )
-        out = self._batch_interpolate_fn[which](self._mu_jnp(mu), jnp.asarray(ts))
+        out = self._batch_interpolate_fn[key](self._mu_jnp(mu), _dtype_asarray(ts))
         return np.asarray(out).T
 
     # ------------------------------------------------------------------

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..conventions import EmpiricalInterpolation, RomParameters, Stage, Treewalk
+from ..dtypes import asarray as _dtype_asarray, compute_dtype
 from ..rom.base import Reductor
 from ..rom.pod import orth
 from .mdeim import MatrixDiscreteEmpiricalInterpolation
@@ -148,13 +149,16 @@ class MatrixDiscreteEmpiricalInterpolationNonlinear(
 
     def assemble_snapshots_batch_psi(self, mu, ts):
         """All (t, ψ) snapshots in one jitted launch: (nt, k, nnz)."""
-        if self._batch_snapshots_psi_fn is None:
+        if not isinstance(self._batch_snapshots_psi_fn, dict):
+            self._batch_snapshots_psi_fn = {}
+        key = compute_dtype()
+        if key not in self._batch_snapshots_psi_fn:
             fn = lambda mu, t, psi: self._assemble_snapshot_traced(mu, t, psi)
             over_psi = jax.vmap(fn, in_axes=(None, None, 1))
             over_t = jax.vmap(over_psi, in_axes=(None, 0, None))
-            self._batch_snapshots_psi_fn = jax.jit(over_t)
-        out = self._batch_snapshots_psi_fn(
-            self._mu_jnp(mu), jnp.asarray(ts), jnp.asarray(self.u_n)
+            self._batch_snapshots_psi_fn[key] = jax.jit(over_t)
+        out = self._batch_snapshots_psi_fn[key](
+            self._mu_jnp(mu), _dtype_asarray(ts), _dtype_asarray(self.u_n)
         )
         return np.asarray(out)
 
@@ -185,8 +189,8 @@ class MatrixDiscreteEmpiricalInterpolationNonlinear(
         fh_local = jnp.asarray(
             self.assemble(mu=mu, t=t, u_n=u_n, entries=self.dofs)
         )
-        thetas = jnp.linalg.solve(jnp.asarray(self.PT_U), fh_local)
-        approximation = jnp.asarray(Vf) @ thetas
+        thetas = jnp.linalg.solve(_dtype_asarray(self.PT_U), fh_local)
+        approximation = _dtype_asarray(Vf) @ thetas
         if which is None or which == self.FOM:
             approximation = self._fix_boundary(approximation)
         return approximation

@@ -29,6 +29,7 @@ import numpy as np
 
 from ..base import SolutionsStorage
 from ..conventions import BDF, BoundaryConditions, Domain
+from ..dtypes import asarray as _asarray, compute_dtype, scalar as _scalar
 from ..ops import Mesh1D
 from ..ops.assembly import (
     apply_dirichlet_band,
@@ -237,7 +238,7 @@ class OneDimensionalSolver(ABC):
         )
         self.find_dirichlet_entries()
         self._entry_map_cache = {}
-        self._solve_jit = None
+        self._solve_jit = {}
         self.is_setup = True
 
     @property
@@ -271,7 +272,7 @@ class OneDimensionalSolver(ABC):
         return cached
 
     def _xq(self, scale, elements=None):
-        xq = jnp.asarray(self.mesh.xq_ref)
+        xq = _asarray(self.mesh.xq_ref)
         if elements is not None:
             xq = xq[elements]
         return xq * scale
@@ -426,7 +427,7 @@ class OneDimensionalSolver(ABC):
         at the scaled coordinates (reference: fom/base.py:841-856 and the
         moving overrides heat.py:222-240)."""
         scale = self.scale_factor(mu, t) if self.MOVING_ASSEMBLY else 1.0
-        x = jnp.asarray(self.mesh.x_dofs) * scale
+        x = _asarray(self.mesh.x_dofs) * scale
         return self._eval_field(g, x, mu, t)
 
     def _eval_field(self, fn, x, mu, t):
@@ -442,7 +443,7 @@ class OneDimensionalSolver(ABC):
     # ------------------------------------------------------------------
     def _initial_condition(self, mu):
         scale0 = self.scale_factor(mu, 0.0) if self.MOVING_ASSEMBLY else 1.0
-        x0 = jnp.asarray(self.mesh.x_dofs) * scale0
+        x0 = _asarray(self.mesh.x_dofs) * scale0
         u_init = self._eval_field(self.u0, x0, mu, 0.0)
         g0 = self.create_lifting_operator(mu=mu, t=0.0, L=self.domain[self.L0] * scale0,
                                           only_g=True)
@@ -450,7 +451,7 @@ class OneDimensionalSolver(ABC):
 
     def _mu_array(self, mu):
         names = sorted(mu.keys())
-        return {k: jnp.asarray(float(mu[k])) for k in names}
+        return {k: _scalar(mu[k]) for k in names}
 
     def _step_outputs(self, mu, t, uh, uc, scale):
         """Per-step auxiliary outputs collected by the scan (probes etc.)."""
@@ -485,7 +486,7 @@ class OneDimensionalSolver(ABC):
 
             scale = self.scale_factor(mu, t) if self.Lt else 1.0
             L = self.domain[self.L0] * scale
-            x_phys = jnp.asarray(self.mesh.x_dofs) * scale
+            x_phys = _asarray(self.mesh.x_dofs) * scale
             g = self.create_lifting_operator(mu=mu, t=t, L=L, only_g=True)
             gh = g(x_phys)
             uc = uh + gh
@@ -510,9 +511,12 @@ class OneDimensionalSolver(ABC):
         mu = self.mu
         mu_jnp = self._mu_array(mu)
 
-        if self._solve_jit is None:
-            self._solve_jit = jax.jit(self._solve_impl)
-        outs = self._solve_jit(mu_jnp)
+        key = compute_dtype()
+        if not isinstance(self._solve_jit, dict):
+            self._solve_jit = {}
+        if key not in self._solve_jit:
+            self._solve_jit[key] = jax.jit(self._solve_impl)
+        outs = self._solve_jit[key](mu_jnp)
         outs = jax.tree_util.tree_map(np.asarray, outs)
 
         ts = outs["t"]

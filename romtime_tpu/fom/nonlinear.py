@@ -20,6 +20,7 @@ import pandas as pd
 from scipy.signal import find_peaks
 
 from ..conventions import BDF, MassConservation, PistonParameters, ProblemType
+from ..dtypes import asarray as _asarray
 from ..ops.assembly import band_gather_nnz, eval_function_at
 from ..utils import dump_csv
 from .base import BandedOperator, OneDimensionalSolver, move_mesh
@@ -254,7 +255,7 @@ class OneDimensionalBurgers(OneDimensionalSolver):
         u_n = jnp.asarray(u_n)
         p = self.mesh.degree
         idx = p * np.arange(self.mesh.ne)[:, None] + np.arange(p + 1)[None, :]
-        B0 = jnp.asarray(self.mesh.tables.B0)
+        B0 = _asarray(self.mesh.tables.B0)
         u_eq_full = jnp.einsum("ei,qi->eq", u_n[idx], B0)
 
         def at(x, elements=None):

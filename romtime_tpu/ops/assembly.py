@@ -22,23 +22,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..dtypes import asarray as _asarray
+
 
 # ----------------------------------------------------------------------
 # Local element integration
 # ----------------------------------------------------------------------
 def _local_bilinear(c_eq, tables, a, b, h_phys):
     """local[e, i, j] with i = test (row), j = trial (col)."""
-    Dtrial = jnp.asarray(tables.basis_table(a))
-    Dtest = jnp.asarray(tables.basis_table(b))
-    w = jnp.asarray(tables.quad_weights)
+    Dtrial = _asarray(tables.basis_table(a))
+    Dtest = _asarray(tables.basis_table(b))
+    w = _asarray(tables.quad_weights)
     local = jnp.einsum("eq,q,qj,qi->eij", c_eq, w, Dtrial, Dtest)
     return local * h_phys ** (1 - a - b)
 
 
 def _local_linear(c_eq, tables, b, h_phys):
     """local[e, i] with i = test (row)."""
-    Dtest = jnp.asarray(tables.basis_table(b))
-    w = jnp.asarray(tables.quad_weights)
+    Dtest = _asarray(tables.basis_table(b))
+    w = _asarray(tables.quad_weights)
     local = jnp.einsum("eq,q,qi->ei", c_eq, w, Dtest)
     return local * h_phys ** (1 - b)
 
@@ -246,7 +248,7 @@ def interpolate_dofs(fn, mesh, scale=1.0, **kwargs):
     Lagrange elements interpolation is pointwise evaluation at dof
     coordinates; mesh motion is the ``scale`` pull-back.
     """
-    x = jnp.asarray(mesh.x_dofs) * scale
+    x = _asarray(mesh.x_dofs) * scale
     return fn(x, **kwargs)
 
 
@@ -262,7 +264,7 @@ def eval_function_at(u, x_eval, mesh, scale=1.0):
     x_eval = jnp.atleast_1d(jnp.asarray(x_eval))
     e = jnp.clip(jnp.floor(x_eval / h).astype(jnp.int32), 0, mesh.ne - 1)
     xi = x_eval / h - e
-    coeffs = jnp.asarray(mesh.tables.coeffs)  # (p+1, p+1)
+    coeffs = _asarray(mesh.tables.coeffs)  # (p+1, p+1)
     powers = xi[:, None] ** jnp.arange(p + 1)[None, :]  # (m, p+1)
     basis = powers @ coeffs.T  # (m, p+1) values P_i(xi)
     dof0 = e * p
@@ -278,8 +280,7 @@ def norm_L2(u, mesh, h_phys=None):
     """
     if h_phys is None:
         h_phys = mesh.h0
-    B0 = jnp.asarray(mesh.tables.B0)
-    w = jnp.asarray(mesh.tables.quad_weights)
+    w = _asarray(mesh.tables.quad_weights)
     u_eq = _function_at_quad(u, mesh)
     return jnp.sqrt(h_phys * jnp.sum(w[None, :] * u_eq**2))
 
@@ -288,7 +289,7 @@ def norm_H1(u, mesh, h_phys=None):
     """Full H1 norm sqrt(∫ u² + ∫ (u')²)."""
     if h_phys is None:
         h_phys = mesh.h0
-    w = jnp.asarray(mesh.tables.quad_weights)
+    w = _asarray(mesh.tables.quad_weights)
     u_eq = _function_at_quad(u, mesh, derivative=0)
     du_eq = _function_at_quad(u, mesh, derivative=1) / h_phys
     val = h_phys * jnp.sum(w[None, :] * (u_eq**2 + du_eq**2))
@@ -298,7 +299,7 @@ def norm_H1(u, mesh, h_phys=None):
 def _function_at_quad(u, mesh, derivative=0):
     """FE function (or derivative, reference coords) at quadrature points."""
     p = mesh.degree
-    table = jnp.asarray(mesh.tables.basis_table(derivative))  # (Q, p+1)
+    table = _asarray(mesh.tables.basis_table(derivative))  # (Q, p+1)
     u_loc = _gather_cell_dofs(u, mesh)  # (ne, p+1)
     return jnp.einsum("ei,qi->eq", u_loc, table)
 

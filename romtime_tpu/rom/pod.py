@@ -50,8 +50,15 @@ def orth(snapshots, num=None, tol=None, normalize=True, return_VT=False):
         Q = u[:, :num]
         VT = vt[:num, :]
     else:
-        Q = u[:, s > DROP_TOLERANCE]
-        VT = vt[s > DROP_TOLERANCE, :]
+        # Reference drops sigma < 1e-7 absolute (pod.py:4). That threshold
+        # assumes float64: in float32 the SVD noise floor (~eps·sigma_1) can
+        # exceed it, and noise modes poison the DEIM greedy selection. Use
+        # the dtype-aware floor, which reduces to the reference behavior in
+        # float64.
+        eps = np.finfo(_snapshots.dtype).eps
+        threshold = max(DROP_TOLERANCE, 50.0 * eps * (s[0] if s.size else 0.0))
+        Q = u[:, s > threshold]
+        VT = vt[s > threshold, :]
 
     if return_VT:
         return Q, s, energy, VT

@@ -31,6 +31,7 @@ from ..conventions import (
     Treewalk,
     TreewalkNonlinear,
 )
+from ..dtypes import asarray as _asarray, compute_dtype, scalar as _scalar
 from ..fom.base import BandedOperator
 from ..ops.assembly import band_matmat
 from ..rom.pod import orth
@@ -90,16 +91,16 @@ class RomConstructor(Reductor):
     # ------------------------------------------------------------------
     def to_fom_vector(self, uN):
         """u_h = V u_N (reference: rom/rom.py:97-114)."""
-        return jnp.asarray(self.basis) @ uN
+        return _asarray(self.basis) @ uN
 
     def to_rom_vector(self, uh):
         """u_N = Vᵀ u_h (reference: rom/rom.py:116-133)."""
-        return jnp.asarray(self.basis).T @ jnp.asarray(uh)
+        return _asarray(self.basis).T @ jnp.asarray(uh)
 
     def to_rom(self, oph):
         """Project a FOM operator onto the reduced space
         (reference: rom/rom.py:135-158)."""
-        V = jnp.asarray(self.basis)
+        V = _asarray(self.basis)
         if isinstance(oph, BandedOperator):
             return V.T @ band_matmat(oph.band, V, oph.p)
         return V.T @ jnp.asarray(oph)
@@ -357,7 +358,7 @@ class RomConstructor(Reductor):
         dt = fom.dt
         bdf2 = fom.BDF_SCHEME == BDF.TWO
         N = self.N
-        V = jnp.asarray(self.basis)
+        V = _asarray(self.basis)
 
         def step(carry, k):
             uN_n, uN_n1, uh, uh_n1 = carry
@@ -373,7 +374,7 @@ class RomConstructor(Reductor):
 
             scale = fom.scale_factor(mu, t) if fom.Lt else 1.0
             L = fom.domain[fom.L0] * scale
-            x_phys = jnp.asarray(fom.mesh.x_dofs) * scale
+            x_phys = _asarray(fom.mesh.x_dofs) * scale
             g = fom.create_lifting_operator(mu=mu, t=t, L=L, only_g=True)
             uc = uh_new + g(x_phys)
 
@@ -394,7 +395,7 @@ class RomConstructor(Reductor):
         return outs
 
     def _get_online_fn(self, batched):
-        key = ("batched" if batched else "single", self.N)
+        key = ("batched" if batched else "single", self.N, compute_dtype())
         fn = self._online_fns.get(key)
         if fn is None:
             if batched:
@@ -406,7 +407,7 @@ class RomConstructor(Reductor):
 
     @staticmethod
     def _mu_jnp(mu):
-        return {k: jnp.asarray(float(v)) for k, v in mu.items()}
+        return {k: _scalar(v) for k, v in mu.items()}
 
     def solve(self, mu, step):
         """Solve the reduced problem for one μ (reference:
@@ -442,7 +443,7 @@ class RomConstructor(Reductor):
         (rom/hrom.py:521-526). Returns stacked outputs dict."""
         names = sorted(mus[0].keys())
         batch = {
-            k: jnp.asarray(np.array([float(mu[k]) for mu in mus])) for k in names
+            k: _asarray(np.array([float(mu[k]) for mu in mus])) for k in names
         }
         for mu in mus:
             self.add_mu(mu=mu, step=step)
