@@ -28,8 +28,14 @@ import numpy as np
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    # Mixed precision: the offline certification pipeline (POD spectra,
-    # DEIM greedy) runs in float64; the online sweep serves in float32.
+    # Heterogeneous execution: the offline certification pipeline (POD
+    # spectra at 1e-7, DEIM greedy selection) runs in float64 on the host
+    # CPU backend — f64 on TPU is emulated and slow — while the online
+    # sweep serves in float32 on the TPU. Expose both backends.
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if platforms and "cpu" not in platforms:
+        os.environ["JAX_PLATFORMS"] = platforms + ",cpu"
+
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -98,8 +104,12 @@ def main():
         OperatorType.TRILINEAR: True,
     }
 
+    cpu0 = jax.devices("cpu")[0]
+    accel = jax.devices()[0]
+    offline_device = cpu0 if accel.platform != "cpu" else accel
+
     # ------------------------------------------------------------------
-    # Offline
+    # Offline (f64, host CPU)
     # ------------------------------------------------------------------
     t_offline_start = time.time()
 
@@ -113,30 +123,32 @@ def main():
         models=models,
         rnd=np.random.RandomState(0),
     )
-    hrom.setup()
-    hrom.setup_hyperreduction()
-    hrom.run_offline_rom()
-    hrom.run_offline_hyperreduction(
-        mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
-    )
-    hrom.project_reductors()
+    with jax.default_device(offline_device):
+        hrom.setup()
+        hrom.setup_hyperreduction()
+        hrom.run_offline_rom()
+        hrom.run_offline_hyperreduction(
+            mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
+        )
+        hrom.project_reductors()
 
     offline_wall = time.time() - t_offline_start
     rom = hrom.rom
 
     # ------------------------------------------------------------------
-    # Accuracy: held-out parameter, trajectory rel-L2 vs FOM
+    # Accuracy: held-out parameter, trajectory rel-L2 vs FOM (f64, CPU)
     # ------------------------------------------------------------------
     fom = hrom.fom
     mu_val = dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4)
 
-    fom.setup()
-    fom.update_parametrization(mu_val)
-    fom.solve()
-    uh_fom = fom.solutions.fom
+    with jax.default_device(offline_device):
+        fom.setup()
+        fom.update_parametrization(mu_val)
+        fom.solve()
+        uh_fom = fom.solutions.fom
 
-    rom.solve(mu=mu_val, step=Stage.VALIDATION)
-    uh_rom = rom.solutions.fom
+        rom.solve(mu=mu_val, step=Stage.VALIDATION)
+        uh_rom = rom.solutions.fom
 
     rel_l2 = float(
         np.linalg.norm(uh_rom - uh_fom) / np.linalg.norm(uh_fom)
@@ -157,7 +169,8 @@ def main():
     serve_dtype = jnp.float32 if os.environ.get("BENCH_F32", "1") == "1" else None
 
     n_rep = int(os.environ.get("BENCH_REPEAT", 3))
-    with compute_dtype_scope(serve_dtype):
+    with jax.default_device(accel), compute_dtype_scope(serve_dtype):
+        rom._online_fns = {}
         # Compile + warm-up
         outs = rom.solve_batch(mus, step=Stage.ONLINE)
 
@@ -168,7 +181,7 @@ def main():
     solves_per_sec = n_online / online_wall
 
     # f32-vs-f64 serving consistency on the validation parameter
-    with compute_dtype_scope(serve_dtype):
+    with jax.default_device(accel), compute_dtype_scope(serve_dtype):
         rom.solve(mu=mu_val, step=Stage.VALIDATION)
         uh_rom_f32 = rom.solutions.fom
     serve_drift = float(

@@ -47,6 +47,17 @@ def greedy_interpolation_points(Vf, forbidden=None):
     Vf = np.asarray(Vf)
     Nh, Ns = Vf.shape
 
+    # Native host kernel (csrc/romtime_native.cpp) — the recursion is
+    # sequential with data-dependent shapes, a poor fit for XLA; falls back
+    # to numpy when the toolchain is unavailable.
+    from .. import native
+
+    dofs = native.deim_greedy(Vf, forbidden or ())
+    if dofs is not None:
+        P = np.zeros((Nh, Ns))
+        P[dofs, np.arange(Ns)] = 1.0
+        return dofs, P
+
     mask = np.zeros((Nh, 1))
     if forbidden is not None and len(forbidden):
         mask[np.asarray(forbidden, dtype=int)] = np.inf

@@ -67,3 +67,17 @@ def define_mfp1_problem(L=None, nx=None, tf=None, nt=None):
         return -omega * jnp.cos(omega * t)
 
     return domain, boundary_conditions, forcing_term, u0, ue, Lt, dLt_dt
+
+
+def __getattr__(name):
+    # The reference keeps an older generation of the HROM drivers in this
+    # module (reference: problems/mfp1.py:80-556, a duplicate of
+    # rom/hrom.py). The rebuild has a single unified implementation; the old
+    # import path stays valid as an alias.
+    if name in ("HyperReducedOrderModelFixed", "HyperReducedOrderModelMoving"):
+        from ..rom import hrom
+
+        return getattr(hrom, name)
+    raise AttributeError(
+        f"module 'romtime_tpu.problems.mfp1' has no attribute {name!r}"
+    )

@@ -24,6 +24,7 @@ from .io import (
     read_npz,
     read_pickle,
 )
+from .profiling import PhaseTimer, block_and_time, jax_trace
 
 __all__ = [
     "compute_rom_difference",
@@ -39,4 +40,7 @@ __all__ = [
     "read_json",
     "read_npz",
     "read_pickle",
+    "PhaseTimer",
+    "block_and_time",
+    "jax_trace",
 ]
