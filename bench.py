@@ -25,6 +25,15 @@ import time
 import numpy as np
 
 
+def log(msg):
+    if os.environ.get("BENCH_QUIET", "0") != "1":
+        print(f"[bench +{time.time() - _T0:8.1f}s] {msg}", file=sys.stderr,
+              flush=True)
+
+
+_T0 = time.time()
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -39,6 +48,18 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)
+
+    # Persistent compilation cache: the driver re-runs this benchmark per
+    # round; the big online-sweep executable compiles once per machine.
+    cache_dir = os.environ.get(
+        "BENCH_CACHE", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    ".jax_cache")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     nx = int(os.environ.get("BENCH_NX", 1000))
     nt = int(os.environ.get("BENCH_NT", 1500))
@@ -124,12 +145,16 @@ def main():
         rnd=np.random.RandomState(0),
     )
     with jax.default_device(offline_device):
+        log("offline: setup")
         hrom.setup()
         hrom.setup_hyperreduction()
+        log("offline: FOM sweep + POD")
         hrom.run_offline_rom()
+        log("offline: (M)DEIM training")
         hrom.run_offline_hyperreduction(
             mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
         )
+        log("offline: projection")
         hrom.project_reductors()
 
     offline_wall = time.time() - t_offline_start
@@ -142,11 +167,13 @@ def main():
     mu_val = dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4)
 
     with jax.default_device(offline_device):
+        log("accuracy: FOM reference solve")
         fom.setup()
         fom.update_parametrization(mu_val)
         fom.solve()
         uh_fom = fom.solutions.fom
 
+        log("accuracy: ROM validation solve")
         rom.solve(mu=mu_val, step=Stage.VALIDATION)
         uh_rom = rom.solutions.fom
 
@@ -171,8 +198,11 @@ def main():
     n_rep = int(os.environ.get("BENCH_REPEAT", 3))
     with jax.default_device(accel), compute_dtype_scope(serve_dtype):
         rom._online_fns = {}
+        log(f"online: compiling batched sweep (batch={n_online}) on "
+            f"{accel.platform}")
         # Compile + warm-up
         outs = rom.solve_batch(mus, step=Stage.ONLINE)
+        log("online: timing")
 
         t0 = time.time()
         for _ in range(n_rep):
@@ -180,6 +210,7 @@ def main():
         online_wall = (time.time() - t0) / n_rep
     solves_per_sec = n_online / online_wall
 
+    log("online: f32 drift check")
     # f32-vs-f64 serving consistency on the validation parameter
     with jax.default_device(accel), compute_dtype_scope(serve_dtype):
         rom.solve(mu=mu_val, step=Stage.VALIDATION)

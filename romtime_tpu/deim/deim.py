@@ -22,6 +22,7 @@ import numpy as np
 
 from ..conventions import EmpiricalInterpolation, RomParameters, Stage
 from ..dtypes import asarray as _dtype_asarray, compute_dtype, scalar as _dtype_scalar
+from ..ops.linalg import gauss_solve
 from ..rom.base import Reductor
 from ..rom.pod import orth
 from ..utils import dump_pickle, read_pickle
@@ -344,7 +345,7 @@ class DiscreteEmpiricalInterpolation(Reductor):
     def _interpolate_traced(self, mu, t, which=None):
         Vf = self.basis_fom if (which is None or which == self.FOM) else self.basis_rom
         fh_local = jnp.asarray(self.assemble(mu=mu, t=t, entries=self.dofs))
-        thetas = jnp.linalg.solve(_dtype_asarray(self.PT_U), fh_local)
+        thetas = gauss_solve(_dtype_asarray(self.PT_U), fh_local)
         approximation = _dtype_asarray(Vf) @ thetas
         if which is None or which == self.FOM:
             approximation = self._fix_boundary(approximation)

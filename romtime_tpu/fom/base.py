@@ -464,16 +464,23 @@ class OneDimensionalSolver(ABC):
     def _solve_impl(self, mu):
         """Full time loop as one scan; returns stacked solution arrays."""
         nt = int(self.domain[self.NT])
-        dt = self.dt
         nh = self.mesh.nh
         bdf2 = self.BDF_SCHEME == BDF.TWO
+
+        # Keep every traced scalar in the active compute dtype — an int32
+        # step counter times a Python float silently promotes to f64 under
+        # x64, which on TPU means emulated double precision everywhere.
+        dtype = compute_dtype()
+        dt = _scalar(self.dt)
+        one_five = _scalar(1.5)
+        one = _scalar(1.0)
 
         u0 = self._initial_condition(mu)
 
         def step(carry, k):
             u_n, u_n1 = carry
-            t = (k + 1) * dt
-            bdf = jnp.where(k > 0, 1.5, 1.0) if bdf2 else 1.0
+            t = (k + 1).astype(dtype) * dt
+            bdf = jnp.where(k > 0, one_five, one) if bdf2 else one
 
             # Under BDF-2 the history u_n1 starts as a zero vector, matching
             # the reference's zero Function (fom/base.py:717-720).

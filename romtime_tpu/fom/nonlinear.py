@@ -251,12 +251,32 @@ class OneDimensionalBurgers(OneDimensionalSolver):
         return self._assemble_matrix([(1, 0, coeff)], mu, t, entries)
 
     def _state_at_quadrature(self, u_n):
-        """FE-state values at quadrature points; returns c(x, elements)."""
-        u_n = jnp.asarray(u_n)
+        """FE-state values at quadrature points; returns c(x, elements).
+
+        ``u_n`` is either a dof vector (nh,) or a *factorized* state
+        ``(V, coeff)`` with u = V·coeff. The factorized form keeps the
+        hyper-reduced online path Nh-free: only the V rows of the DEIM-
+        needed elements are gathered (static), so the per-step cost is
+        O(n_entries·N) instead of O(Nh·N).
+        """
         p = self.mesh.degree
-        idx = p * np.arange(self.mesh.ne)[:, None] + np.arange(p + 1)[None, :]
         B0 = _asarray(self.mesh.tables.B0)
-        u_eq_full = jnp.einsum("ei,qi->eq", u_n[idx], B0)
+        idx_full = p * np.arange(self.mesh.ne)[:, None] + np.arange(p + 1)[None, :]
+
+        if isinstance(u_n, tuple):
+            V, coeff = u_n
+            V = np.asarray(V)
+
+            def at(x, elements=None):
+                idx = idx_full if elements is None else idx_full[elements]
+                V_loc = _asarray(V[idx])  # (e, p+1, N) static gather
+                u_loc = jnp.einsum("eiN,N->ei", V_loc, coeff)
+                return jnp.einsum("ei,qi->eq", u_loc, B0)
+
+            return at
+
+        u_n = jnp.asarray(u_n)
+        u_eq_full = jnp.einsum("ei,qi->eq", u_n[idx_full], B0)
 
         def at(x, elements=None):
             return u_eq_full if elements is None else u_eq_full[elements]
@@ -339,7 +359,7 @@ class OneDimensionalBurgers(OneDimensionalSolver):
         # The reference probes with the mesh at its reference position
         # (fom/base.py:786-792 moves back before runtime_process), i.e. at
         # material coordinates — scale=1.
-        locs = jnp.asarray(self.probe_location)
+        locs = _asarray(self.probe_location)
         vals = eval_function_at(uc, locs, self.mesh, scale=1.0)
         piston = uc[-1]
         return {"probes": jnp.concatenate([vals, piston[None]])}

@@ -126,7 +126,48 @@ def solve_dense_batch(mats, rhs):
     """Batched dense solve for the reduced N×N online systems.
 
     Replaces scipy GMRES on the reduced system (reference: rom/rom.py:414-425,
-    :492): at N ≲ 50 a batched LU on the MXU beats any iterative scheme.
+    :492): at N ≲ 50 a batched direct solve beats any iterative scheme.
     mats: (..., N, N), rhs: (..., N).
     """
-    return jnp.linalg.solve(mats, rhs[..., None])[..., 0]
+    return gauss_solve(mats, rhs)
+
+
+def gauss_solve(A, b):
+    """Batched dense solve via unrolled Gauss-Jordan with partial pivoting.
+
+    ``jnp.linalg.solve`` lowers LU through ``lax.linalg`` loops whose XLA
+    compilation inside a ``lax.scan`` body explodes on TPU (observed:
+    minutes for a 15×15 solve in a 300-step scan). For the reduced systems
+    here (N ≲ 64, statically known) an unrolled pivoted elimination is a
+    few hundred elementwise/VPU ops: compiles in seconds, runs batched.
+
+    A: (..., N, N), b: (..., N) -> x: (..., N).
+    """
+    N = A.shape[-1]
+    M = jnp.concatenate([A, b[..., :, None]], axis=-1)  # (..., N, N+1)
+    row_ids = jnp.arange(N)
+
+    for k in range(N):
+        col = jnp.abs(M[..., :, k])
+        col = jnp.where(row_ids >= k, col, -jnp.inf)
+        piv = jnp.argmax(col, axis=-1)  # (...,)
+
+        # Swap rows k and piv (batched, branch-free).
+        piv_b = piv[..., None, None]
+        row_p = jnp.take_along_axis(
+            M, jnp.broadcast_to(piv_b, M.shape[:-2] + (1, N + 1)), axis=-2
+        )
+        row_k = M[..., k : k + 1, :]
+        is_k = (row_ids == k)[:, None]
+        is_p = (row_ids == piv[..., None])[..., None]
+        M = jnp.where(is_k, row_p, jnp.where(is_p, row_k, M))
+
+        # Eliminate column k from every other row (Gauss-Jordan).
+        pivot_row = M[..., k : k + 1, :]
+        pivot_val = pivot_row[..., 0, k][..., None, None]
+        factor = M[..., :, k : k + 1] / pivot_val
+        factor = jnp.where(is_k, 0.0, factor)
+        M = M - factor * pivot_row
+
+    diag = jnp.diagonal(M[..., :, :N], axis1=-2, axis2=-1)
+    return M[..., :, N] / diag

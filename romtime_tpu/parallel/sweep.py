@@ -76,7 +76,7 @@ def solve_fom_sharded(solver, mus, mesh=None, axis=MU_AXIS):
     return outs
 
 
-def solve_online_sharded(rom, mus, mesh=None, axis=MU_AXIS):
+def solve_online_sharded(rom, mus, mesh=None, axis=MU_AXIS, mode="reduced"):
     """Online ROM μ-sweep sharded over the device mesh.
 
     The TPU-native form of the north-star metric: thousands of reduced BDF
@@ -88,7 +88,7 @@ def solve_online_sharded(rom, mus, mesh=None, axis=MU_AXIS):
     batch = _mu_batch_dict(mus)
     batch, n_true = _pad_batch(batch, mesh.devices.size)
 
-    inner = jax.vmap(rom._online_scan)
+    inner = jax.vmap(partial(rom._online_scan, mode=mode))
     fn = jax.jit(
         jax.shard_map(
             inner,

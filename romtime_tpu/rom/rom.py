@@ -16,6 +16,7 @@ src/romtime/rom/rom.py:34-974) designed around the TPU execution model:
 """
 
 from copy import deepcopy
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,7 @@ from ..conventions import (
 from ..dtypes import asarray as _asarray, compute_dtype, scalar as _scalar
 from ..fom.base import BandedOperator
 from ..ops.assembly import band_matmat
+from ..ops.linalg import gauss_solve
 from ..rom.pod import orth
 from .base import Reductor
 
@@ -114,9 +116,10 @@ class RomConstructor(Reductor):
         self._online_fns = {}
 
     def create_algebraic_solver(self):
-        """Reduced-system solver: batched dense LU (replaces scipy GMRES,
-        reference: rom/rom.py:414-425)."""
-        return lambda A, b: (jnp.linalg.solve(A, b), 0)
+        """Reduced-system solver: batched direct elimination (replaces
+        scipy GMRES, reference: rom/rom.py:414-425; see
+        ops.linalg.gauss_solve for why not lax.linalg on TPU)."""
+        return lambda A, b: (gauss_solve(A, b), 0)
 
     def load_from_basis(self, basis, mu_space):
         """Adopt an externally built basis (resume path; reference:
@@ -351,57 +354,88 @@ class RomConstructor(Reductor):
     def runtime_process(self, u=None, mu=None, t=None):
         pass
 
-    def _online_scan(self, mu):
-        """Traceable full reduced time loop; returns stacked outputs."""
+    def _state_representation(self, V, uN):
+        """How the FOM state enters the reduced operators. Linear problems
+        ignore it; the nonlinear subclass overrides."""
+        return None
+
+    def _online_scan(self, mu, mode="full"):
+        """Traceable full reduced time loop; returns stacked outputs.
+
+        mode="full" materializes the reconstructed trajectory (single-μ
+        API). mode="reduced" keeps the loop Nh-free — only the reduced
+        coefficients and O(1) probes leave the scan — which is what lets a
+        4096-μ × 1500-step sweep fit in HBM and run at MXU speed.
+        """
         fom = self.fom
         nt = int(fom.domain[fom.NT])
-        dt = fom.dt
         bdf2 = fom.BDF_SCHEME == BDF.TWO
         N = self.N
         V = _asarray(self.basis)
 
-        def step(carry, k):
-            uN_n, uN_n1, uh, uh_n1 = carry
-            t = (k + 1) * dt
-            bdf = jnp.where(k > 0, 1.5, 1.0) if bdf2 else 1.0
+        # Scalars pinned to the compute dtype (see fom/base._solve_impl:
+        # int32·python-float promotes to f64 under x64 — emulated on TPU).
+        dtype = compute_dtype()
+        dt = _scalar(fom.dt)
+        one_five = _scalar(1.5)
+        one = _scalar(1.0)
 
-            MN, KN = self.assemble_system(mu, t, bdf, uh, uh_n1 if bdf2 else None)
+        # Boundary rows of V for the reduced-mode probes (outflow, piston).
+        V_ends = _asarray(np.asarray(self.basis)[[0, -1], :])
+
+        def step(carry, k):
+            uN_n, uN_n1 = carry
+            t = (k + 1).astype(dtype) * dt
+            bdf = jnp.where(k > 0, one_five, one) if bdf2 else one
+
+            uh = self._state_representation(V, uN_n)
+            uh_n1 = self._state_representation(V, uN_n1) if bdf2 else None
+
+            MN, KN = self.assemble_system(mu, t, bdf, uh, uh_n1)
             bN = self.assemble_system_rhs(mu, t, MN, uN_n,
                                           uN_n1 if bdf2 else None)
 
-            uN = jnp.linalg.solve(KN, bN)
-            uh_new = V @ uN
+            uN = gauss_solve(KN, bN)
 
-            scale = fom.scale_factor(mu, t) if fom.Lt else 1.0
+            scale = fom.scale_factor(mu, t) if fom.Lt else one
             L = fom.domain[fom.L0] * scale
-            x_phys = _asarray(fom.mesh.x_dofs) * scale
             g = fom.create_lifting_operator(mu=mu, t=t, L=L, only_g=True)
-            uc = uh_new + g(x_phys)
 
-            outputs = dict(uN=uN, uc=uc, x=x_phys, t=t)
+            outputs = dict(uN=uN, t=t)
 
-            if fom.exact_solution is not None:
-                ue_h = fom._eval_field(fom.exact_solution, x_phys, mu, t)
-                e = uc - ue_h
-                outputs["error"] = jnp.linalg.norm(e) / jnp.sqrt(e.shape[0])
+            if mode == "full":
+                x_phys = _asarray(fom.mesh.x_dofs) * scale
+                uc = V @ uN + g(x_phys)
+                outputs["uc"] = uc
+                outputs["x"] = x_phys
+                if fom.exact_solution is not None:
+                    ue_h = fom._eval_field(fom.exact_solution, x_phys, mu, t)
+                    e = uc - ue_h
+                    outputs["error"] = jnp.linalg.norm(e) / float(
+                        np.sqrt(e.shape[0])
+                    )
+            else:
+                # O(N) probes: physical values at the domain ends.
+                ends = V_ends @ uN + g(jnp.stack([_scalar(0.0) * L, L]))
+                outputs["probes"] = ends
 
-            new_carry = (uN, uN_n, uh_new, uh)
-            return new_carry, outputs
+            return (uN, uN_n), outputs
 
         zeros_N = jnp.zeros((N,), dtype=V.dtype)
-        zeros_h = jnp.zeros((V.shape[0],), dtype=V.dtype)
-        carry0 = (zeros_N, zeros_N, zeros_h, zeros_h)
+        carry0 = (zeros_N, zeros_N)
         _, outs = jax.lax.scan(step, carry0, jnp.arange(nt))
         return outs
 
-    def _get_online_fn(self, batched):
-        key = ("batched" if batched else "single", self.N, compute_dtype())
+    def _get_online_fn(self, batched, mode="full"):
+        key = ("batched" if batched else "single", mode, self.N,
+               compute_dtype())
         fn = self._online_fns.get(key)
         if fn is None:
+            scan = partial(self._online_scan, mode=mode)
             if batched:
-                fn = jax.jit(jax.vmap(self._online_scan))
+                fn = jax.jit(jax.vmap(scan))
             else:
-                fn = jax.jit(self._online_scan)
+                fn = jax.jit(scan)
             self._online_fns[key] = fn
         return fn
 
@@ -437,17 +471,21 @@ class RomConstructor(Reductor):
 
         return idx_mu
 
-    def solve_batch(self, mus, step=Stage.ONLINE):
+    def solve_batch(self, mus, step=Stage.ONLINE, mode="reduced"):
         """Batched online μ-sweep: one vmapped scan over a parameter batch —
         the TPU-native replacement for the reference's serial online loop
-        (rom/hrom.py:521-526). Returns stacked outputs dict."""
+        (rom/hrom.py:521-526).
+
+        mode="reduced" (default) returns reduced coefficients + end probes
+        only, keeping the sweep Nh-free on device; mode="full" additionally
+        materializes reconstructed trajectories (memory: B·nt·Nh)."""
         names = sorted(mus[0].keys())
         batch = {
             k: _asarray(np.array([float(mu[k]) for mu in mus])) for k in names
         }
         for mu in mus:
             self.add_mu(mu=mu, step=step)
-        outs = self._get_online_fn(batched=True)(batch)
+        outs = self._get_online_fn(batched=True, mode=mode)(batch)
         return jax.tree_util.tree_map(np.asarray, outs)
 
 
@@ -570,6 +608,16 @@ class RomConstructorNonlinear(RomConstructorMoving):
             self.mdeim_Nh_hat, self.fom.assemble_nonlinear_lifting, mu, t
         )
 
+    def _state_representation(self, V, uN):
+        """State handed to the trilinear operator. With N-MDEIM attached the
+        factorized (basis, uN) form keeps the online loop Nh-free — the DEIM
+        entry assembly statically gathers only the basis rows it needs, so
+        the basis must be the concrete (host) array, not the traced V. The
+        projection fallback requires the materialized FOM vector."""
+        if self.mdeim_Nh is not None:
+            return (np.asarray(self.basis), uN)
+        return V @ uN
+
     def assemble_system(self, mu, t, bdf=1.0, uh=None, uh_n1=None):
         """K_N = bdf·M_N + dt·(A_N + C_N + N_N(u*) + N̂_N)
         (reference: rom/rom.py:877-909)."""
@@ -577,8 +625,14 @@ class RomConstructorNonlinear(RomConstructorMoving):
         AN = self.assemble_stiffness(mu=mu, t=t)
         CN = self.assemble_convection(mu=mu, t=t)
 
+        # BDF-2 extrapolation u* = 2uₙ − uₙ₋₁ in whichever representation
+        # the state arrived: factorized (V, coeff) or materialized vector.
         if uh_n1 is None:
             u_star = uh
+        elif isinstance(uh, tuple):
+            V, cN = uh
+            _, cN1 = uh_n1
+            u_star = (V, 2.0 * cN - cN1)
         else:
             u_star = 2.0 * uh - uh_n1
 

@@ -116,11 +116,27 @@ def test_solve_batch_matches_serial(trained_rom):
     rom = trained_rom
     mus = list(rom.build_sampling_space(num=4, rnd=np.random.RandomState(7)))
 
-    outs = rom.solve_batch(mus, step=Stage.ONLINE)
+    outs = rom.solve_batch(mus, step=Stage.ONLINE, mode="full")
     for i, mu in enumerate(mus):
         rom.solve(mu=mu, step=Stage.ONLINE)
         assert_allclose(outs["uc"][i].T, rom.solutions.fom, atol=1e-12)
         assert_allclose(outs["uN"][i].T, rom.solutions.rom, atol=1e-12)
+
+
+def test_solve_batch_reduced_mode(trained_rom):
+    """The Nh-free reduced sweep returns the same coefficients plus end
+    probes that match the reconstructed boundary values."""
+    rom = trained_rom
+    mus = list(rom.build_sampling_space(num=3, rnd=np.random.RandomState(9)))
+
+    full = rom.solve_batch(mus, step=Stage.ONLINE, mode="full")
+    red = rom.solve_batch(mus, step=Stage.ONLINE, mode="reduced")
+
+    assert_allclose(red["uN"], full["uN"], atol=1e-12)
+    assert "uc" not in red
+    # probes = reconstructed values at the domain ends
+    assert_allclose(red["probes"][..., 0], full["uc"][..., 0], atol=1e-10)
+    assert_allclose(red["probes"][..., 1], full["uc"][..., -1], atol=1e-10)
 
 
 def test_truncate(trained_rom):
