@@ -22,7 +22,7 @@ import numpy as np
 
 from ..conventions import EmpiricalInterpolation, RomParameters, Stage
 from ..dtypes import asarray as _dtype_asarray, compute_dtype, scalar as _dtype_scalar
-from ..ops.linalg import gauss_solve
+from ..ops.linalg import gauss_solve, solve_small
 from ..rom.base import Reductor
 from ..rom.pod import orth
 from ..utils import dump_pickle, read_pickle
@@ -342,10 +342,25 @@ class DiscreteEmpiricalInterpolation(Reductor):
         """Solve PᵀU θ = f|dofs (reference: deim/deim.py:477-493)."""
         return np.linalg.solve(self.PT_U, rhs)
 
+    def _thetas_traced(self, mu, t):
+        """Interpolation coefficients θ(μ, t): gathered local assembly at
+        the interpolation dofs + the small PᵀU solve. Time-independent of
+        state, so the online scan hoists these out of the loop (vmapped
+        over the full time grid in one launch)."""
+        fh_local = jnp.asarray(self.assemble(mu=mu, t=t, entries=self.dofs))
+        return solve_small(_dtype_asarray(self.PT_U), fh_local)
+
+    def _combine_traced(self, thetas, which=None):
+        """Σθᵢ·Vf[:, i] in the requested basis."""
+        Vf = self.basis_fom if (which is None or which == self.FOM) else self.basis_rom
+        approximation = _dtype_asarray(Vf) @ thetas
+        if which is None or which == self.FOM:
+            approximation = self._fix_boundary(approximation)
+        return approximation
+
     def _interpolate_traced(self, mu, t, which=None):
         Vf = self.basis_fom if (which is None or which == self.FOM) else self.basis_rom
-        fh_local = jnp.asarray(self.assemble(mu=mu, t=t, entries=self.dofs))
-        thetas = gauss_solve(_dtype_asarray(self.PT_U), fh_local)
+        thetas = self._thetas_traced(mu, t)
         approximation = _dtype_asarray(Vf) @ thetas
         if which is None or which == self.FOM:
             approximation = self._fix_boundary(approximation)

@@ -15,7 +15,7 @@ import numpy as np
 
 from ..conventions import EmpiricalInterpolation, RomParameters, Stage, Treewalk
 from ..dtypes import asarray as _dtype_asarray, compute_dtype
-from ..ops.linalg import gauss_solve
+from ..ops.linalg import gauss_solve, solve_small
 from ..rom.base import Reductor
 from ..rom.pod import orth
 from .mdeim import MatrixDiscreteEmpiricalInterpolation
@@ -190,7 +190,7 @@ class MatrixDiscreteEmpiricalInterpolationNonlinear(
         fh_local = jnp.asarray(
             self.assemble(mu=mu, t=t, u_n=u_n, entries=self.dofs)
         )
-        thetas = gauss_solve(_dtype_asarray(self.PT_U), fh_local)
+        thetas = solve_small(_dtype_asarray(self.PT_U), fh_local)
         approximation = _dtype_asarray(Vf) @ thetas
         if which is None or which == self.FOM:
             approximation = self._fix_boundary(approximation)

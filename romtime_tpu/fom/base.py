@@ -261,7 +261,24 @@ class OneDimensionalSolver(ABC):
     # Generic assembly drivers
     # ------------------------------------------------------------------
     def _assembly_scale(self, mu, t):
-        return self.scale_factor(mu, t) if self.MOVING_ASSEMBLY else 1.0
+        scale = self.scale_factor(mu, t) if self.MOVING_ASSEMBLY else 1.0
+        # Lane-batched μ (leaves shaped (B,)): quadrature coordinates must
+        # carry the trailing batch axis even on fixed domains, so coefficient
+        # closures broadcast against (B,) parameters (docs/tpu_notes.md).
+        bshape = self._mu_batch_shape(mu)
+        if bshape and jnp.ndim(scale) == 0:
+            scale = scale * jnp.ones(bshape, dtype=compute_dtype())
+        return scale
+
+    @staticmethod
+    def _mu_batch_shape(mu):
+        """() for scalar μ, (B,) when μ leaves are lane-batched arrays."""
+        if not mu:
+            return ()
+        for v in mu.values():
+            if jnp.ndim(v) >= 1:
+                return jnp.shape(v)
+        return ()
 
     def _entry_map(self, entries):
         key = tuple(tuple(int(v) for v in e) for e in entries)
@@ -272,9 +289,16 @@ class OneDimensionalSolver(ABC):
         return cached
 
     def _xq(self, scale, elements=None):
-        xq = _asarray(self.mesh.xq_ref)
+        # Index host-side: the element subset is static, so no gather ever
+        # reaches the compiled program (TPU gathers in scan bodies are
+        # compile-time poison; see ops.assembly._gather_terms).
+        xq = self.mesh.xq_ref
         if elements is not None:
             xq = xq[elements]
+        xq = _asarray(xq)
+        # Batched (lane-last) scale: broadcast over a trailing μ axis.
+        if jnp.ndim(scale) >= 1:
+            return xq[..., None] * scale
         return xq * scale
 
     @staticmethod

@@ -259,6 +259,8 @@ class OneDimensionalBurgers(OneDimensionalSolver):
         needed elements are gathered (static), so the per-step cost is
         O(n_entries·N) instead of O(Nh·N).
         """
+        from ..ops.assembly import _gather_cell_dofs
+
         p = self.mesh.degree
         B0 = _asarray(self.mesh.tables.B0)
         idx_full = p * np.arange(self.mesh.ne)[:, None] + np.arange(p + 1)[None, :]
@@ -268,18 +270,27 @@ class OneDimensionalBurgers(OneDimensionalSolver):
             V = np.asarray(V)
 
             def at(x, elements=None):
+                # Host-side static gather of the needed basis rows; the
+                # traced work is two tiny einsums (no device gathers).
+                # ``coeff`` is (N,) or lane-batched (N, B).
                 idx = idx_full if elements is None else idx_full[elements]
-                V_loc = _asarray(V[idx])  # (e, p+1, N) static gather
-                u_loc = jnp.einsum("eiN,N->ei", V_loc, coeff)
+                V_loc = _asarray(V[idx])  # (e, p+1, N)
+                u_loc = jnp.tensordot(V_loc, coeff, axes=([2], [0]))
+                if u_loc.ndim == 3:
+                    return jnp.einsum("eiB,qi->eqB", u_loc, B0)
                 return jnp.einsum("ei,qi->eq", u_loc, B0)
 
             return at
 
         u_n = jnp.asarray(u_n)
-        u_eq_full = jnp.einsum("ei,qi->eq", u_n[idx_full], B0)
+        u_eq_full = jnp.einsum("ei,qi->eq", _gather_cell_dofs(u_n, self.mesh), B0)
 
         def at(x, elements=None):
-            return u_eq_full if elements is None else u_eq_full[elements]
+            if elements is None:
+                return u_eq_full
+            # Static element subset of a traced array: keep it a (folded)
+            # constant-index take only on the eager/offline paths.
+            return u_eq_full[elements]
 
         return at
 

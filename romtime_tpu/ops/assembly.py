@@ -29,19 +29,29 @@ from ..dtypes import asarray as _asarray
 # Local element integration
 # ----------------------------------------------------------------------
 def _local_bilinear(c_eq, tables, a, b, h_phys):
-    """local[e, i, j] with i = test (row), j = trial (col)."""
+    """local[e, i, j] with i = test (row), j = trial (col).
+
+    ``c_eq`` is (ne, Q) or batch-last (ne, Q, B) — the μ-batched online path
+    keeps the batch in the lane axis (docs/tpu_notes.md); ``h_phys`` is a
+    scalar or (B,)."""
     Dtrial = _asarray(tables.basis_table(a))
     Dtest = _asarray(tables.basis_table(b))
     w = _asarray(tables.quad_weights)
-    local = jnp.einsum("eq,q,qj,qi->eij", c_eq, w, Dtrial, Dtest)
+    if c_eq.ndim == 3:
+        local = jnp.einsum("eqB,q,qj,qi->eijB", c_eq, w, Dtrial, Dtest)
+    else:
+        local = jnp.einsum("eq,q,qj,qi->eij", c_eq, w, Dtrial, Dtest)
     return local * h_phys ** (1 - a - b)
 
 
 def _local_linear(c_eq, tables, b, h_phys):
-    """local[e, i] with i = test (row)."""
+    """local[e, i] with i = test (row); c_eq (ne, Q) or (ne, Q, B)."""
     Dtest = _asarray(tables.basis_table(b))
     w = _asarray(tables.quad_weights)
-    local = jnp.einsum("eq,q,qi->ei", c_eq, w, Dtest)
+    if c_eq.ndim == 3:
+        local = jnp.einsum("eqB,q,qi->eiB", c_eq, w, Dtest)
+    else:
+        local = jnp.einsum("eq,q,qi->ei", c_eq, w, Dtest)
     return local * h_phys ** (1 - b)
 
 
@@ -49,23 +59,29 @@ def _local_linear(c_eq, tables, b, h_phys):
 # Global assembly (banded)
 # ----------------------------------------------------------------------
 def scatter_band(local, mesh):
-    """Scatter element matrices into the banded global matrix."""
+    """Scatter element matrices into the banded global matrix.
+
+    Global row of local index i in element e is e·p + i — a strided slice,
+    so the accumulation lowers to slice updates rather than scatters (TPU
+    scatters in scan bodies are compile poison)."""
     p = mesh.degree
+    ne = mesh.ne
     band = jnp.zeros((2 * p + 1, mesh.nh), dtype=local.dtype)
-    rows = mesh.scatter_rows
     for i in range(p + 1):
         for j in range(p + 1):
-            band = band.at[j - i + p, rows[i]].add(local[:, i, j])
+            sl = slice(i, i + p * (ne - 1) + 1, p) if p > 0 else slice(i, i + ne)
+            band = band.at[j - i + p, sl].add(local[:, i, j])
     return band
 
 
 def scatter_vector(local, mesh):
-    """Scatter element vectors into the global vector."""
+    """Scatter element vectors into the global vector (strided slices)."""
     p = mesh.degree
+    ne = mesh.ne
     vec = jnp.zeros((mesh.nh,), dtype=local.dtype)
-    rows = mesh.scatter_rows
     for i in range(p + 1):
-        vec = vec.at[rows[i]].add(local[:, i])
+        sl = slice(i, i + p * (ne - 1) + 1, p) if p > 0 else slice(i, i + ne)
+        vec = vec.at[sl].add(local[:, i])
     return vec
 
 
@@ -127,23 +143,59 @@ def assemble_linear_entries(mesh, entry_map, c_eq_needed, b, h_phys,
 
 
 def apply_entry_dirichlet(values, entry_map):
-    """Override Dirichlet-convention entries of a gathered value vector."""
-    mask = jnp.asarray(entry_map.dirichlet_mask)
+    """Override Dirichlet-convention entries of a gathered value vector;
+    ``values`` may carry trailing (lane) batch axes."""
+    trailing = (1,) * (values.ndim - 1)
+    mask = jnp.asarray(entry_map.dirichlet_mask).reshape((-1,) + trailing)
     diri = jnp.asarray(entry_map.dirichlet_values, dtype=values.dtype)
+    diri = diri.reshape((-1,) + trailing)
     return jnp.where(mask, diri, values)
 
 
 def _gather_terms(local, entry_map, is_vector):
+    """Accumulate element-local contributions into entry values.
+
+    Implemented as one static 0/1 contraction entries = W · vec(local):
+    gather/scatter ops inside ``lax.scan`` bodies trigger pathological TPU
+    compile times (observed: minutes for a 20-step scan containing one
+    segment_sum), while a tiny dense matmul compiles instantly and rides
+    the MXU. W folds both the (element, i, j) selection and the per-entry
+    accumulation; it is cached on the entry map.
+    """
     n_entries = entry_map.n_entries
+    batched = local.ndim == (3 if is_vector else 4)
     if len(entry_map.term_entry) == 0:
-        return jnp.zeros((n_entries,), dtype=local.dtype)
-    if is_vector:
-        vals = local[entry_map.term_elem_pos, entry_map.term_i]
-    else:
-        vals = local[entry_map.term_elem_pos, entry_map.term_i, entry_map.term_j]
-    return jax.ops.segment_sum(
-        vals, jnp.asarray(entry_map.term_entry), num_segments=n_entries
-    )
+        shape = (n_entries, local.shape[-1]) if batched else (n_entries,)
+        return jnp.zeros(shape, dtype=local.dtype)
+    local_shape = local.shape[:-1] if batched else local.shape
+    W = _entry_accumulation_matrix(entry_map, local_shape, is_vector)
+    flat = local.reshape((-1, local.shape[-1])) if batched else local.reshape(-1)
+    return jnp.asarray(W, dtype=local.dtype) @ flat
+
+
+def _entry_accumulation_matrix(entry_map, local_shape, is_vector):
+    """Static (n_entries, prod(local_shape)) accumulation matrix."""
+    key = (local_shape, is_vector)
+    cache = getattr(entry_map, "_accumulation_matrices", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(entry_map, "_accumulation_matrices", cache)
+    W = cache.get(key)
+    if W is None:
+        if is_vector:
+            _, nb = local_shape
+            flat = entry_map.term_elem_pos * nb + entry_map.term_i
+        else:
+            _, nb, _ = local_shape
+            flat = (
+                entry_map.term_elem_pos * nb * nb
+                + entry_map.term_i * nb
+                + entry_map.term_j
+            )
+        W = np.zeros((entry_map.n_entries, int(np.prod(local_shape))))
+        np.add.at(W, (entry_map.term_entry, flat), 1.0)
+        cache[key] = W
+    return W
 
 
 # ----------------------------------------------------------------------
@@ -305,6 +357,11 @@ def _function_at_quad(u, mesh, derivative=0):
 
 
 def _gather_cell_dofs(u, mesh):
+    """(ne, p+1) element-local dof values via strided slices (gather-free)."""
     p = mesh.degree
-    idx = p * np.arange(mesh.ne)[:, None] + np.arange(p + 1)[None, :]
-    return u[idx]
+    ne = mesh.ne
+    cols = [
+        jax.lax.slice_in_dim(u, i, i + p * (ne - 1) + 1, stride=p)
+        for i in range(p + 1)
+    ]
+    return jnp.stack(cols, axis=1)

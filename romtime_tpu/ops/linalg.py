@@ -132,14 +132,21 @@ def solve_dense_batch(mats, rhs):
     return gauss_solve(mats, rhs)
 
 
-def gauss_solve(A, b):
-    """Batched dense solve via unrolled Gauss-Jordan with partial pivoting.
+def gauss_solve(A, b, pivot=True):
+    """Batched dense solve via unrolled Gauss-Jordan.
 
     ``jnp.linalg.solve`` lowers LU through ``lax.linalg`` loops whose XLA
     compilation inside a ``lax.scan`` body explodes on TPU (observed:
     minutes for a 15×15 solve in a 300-step scan). For the reduced systems
-    here (N ≲ 64, statically known) an unrolled pivoted elimination is a
-    few hundred elementwise/VPU ops: compiles in seconds, runs batched.
+    here (N ≲ 64, statically known) an unrolled elimination is a few
+    hundred elementwise/VPU ops.
+
+    pivot=False drops the partial-pivoting argmax/swap — legitimate for the
+    two matrix families the online scan solves: the reduced BDF system
+    bdf·M_N + dt·K_N (M_N = VᵀMV is SPD and dominates) and PᵀU from greedy
+    DEIM selection (every leading principal minor is nonsingular by
+    construction of the greedy recursion, so elimination without pivoting
+    exists; reference solves the same systems with unpivoted contexts).
 
     A: (..., N, N), b: (..., N) -> x: (..., N).
     """
@@ -148,26 +155,68 @@ def gauss_solve(A, b):
     row_ids = jnp.arange(N)
 
     for k in range(N):
-        col = jnp.abs(M[..., :, k])
-        col = jnp.where(row_ids >= k, col, -jnp.inf)
-        piv = jnp.argmax(col, axis=-1)  # (...,)
-
-        # Swap rows k and piv (batched, branch-free).
-        piv_b = piv[..., None, None]
-        row_p = jnp.take_along_axis(
-            M, jnp.broadcast_to(piv_b, M.shape[:-2] + (1, N + 1)), axis=-2
-        )
-        row_k = M[..., k : k + 1, :]
         is_k = (row_ids == k)[:, None]
-        is_p = (row_ids == piv[..., None])[..., None]
-        M = jnp.where(is_k, row_p, jnp.where(is_p, row_k, M))
 
-        # Eliminate column k from every other row (Gauss-Jordan).
+        if pivot:
+            col = jnp.abs(M[..., :, k])
+            col = jnp.where(row_ids >= k, col, -jnp.inf)
+            piv = jnp.argmax(col, axis=-1)  # (...,)
+
+            # Swap rows k and piv — branch-free AND gather-free: the pivot
+            # row is extracted by a one-hot contraction (dynamic gathers in
+            # scan bodies are TPU compile poison, see
+            # ops.assembly._gather_terms).
+            onehot_p = (row_ids == piv[..., None]).astype(M.dtype)
+            row_p = jnp.einsum("...r,...rc->...c", onehot_p, M)[..., None, :]
+            row_k = M[..., k : k + 1, :]
+            is_p = onehot_p[..., :, None].astype(bool)
+            M = jnp.where(is_k, row_p, jnp.where(is_p, row_k, M))
+
+        # Normalize the pivot row, then eliminate column k from every other
+        # row (Gauss-Jordan). Normalizing as we go leaves the left block
+        # equal to the identity, so the solution is the last column — no
+        # ``jnp.diagonal`` at the end (diagonal extraction inside a scan
+        # body is another TPU compile pathology: observed 90s+ vs ~1s).
         pivot_row = M[..., k : k + 1, :]
-        pivot_val = pivot_row[..., 0, k][..., None, None]
-        factor = M[..., :, k : k + 1] / pivot_val
-        factor = jnp.where(is_k, 0.0, factor)
-        M = M - factor * pivot_row
+        pivot_val = pivot_row[..., 0:1, k : k + 1]
+        pivot_row = pivot_row / pivot_val
+        factor = M[..., :, k : k + 1]
+        M = jnp.where(is_k, pivot_row, M - factor * pivot_row)
 
-    diag = jnp.diagonal(M[..., :, :N], axis1=-2, axis2=-1)
-    return M[..., :, N] / diag
+    return M[..., :, N]
+
+
+def gauss_solve_lanes(A, b):
+    """Batched dense solve with the μ-batch in the LAST (lane) axis.
+
+    Layout is the whole point: inside ``lax.scan`` bodies this TPU toolchain
+    compiles batch-first rank-3 tensors (B, N, N) pathologically (measured:
+    >120 s for plain arithmetic) but batch-last (N, N, B) in ~1 s — every
+    elimination op is then a (B,)-lane vector op (see docs/tpu_notes.md).
+    No pivoting: see :func:`gauss_solve` for why the online systems admit it.
+
+    A: (N, N) shared or (N, N, B); b: (N, B) -> x: (N, B).
+    """
+    N = A.shape[0]
+    if A.ndim == 2:
+        A = jnp.broadcast_to(A[:, :, None], (N, N, b.shape[-1])).astype(b.dtype)
+    M = jnp.concatenate([A, b[:, None, :]], axis=1)  # (N, N+1, B)
+    row_ids = jnp.arange(N)
+
+    for k in range(N):
+        pivot_row = M[k] / M[k, k][None, :]  # (N+1, B)
+        factor = M[:, k][:, None, :]  # (N, 1, B)
+        eliminated = M - factor * pivot_row[None, :, :]
+        is_k = (row_ids == k)[:, None, None]
+        M = jnp.where(is_k, pivot_row[None], eliminated)
+
+    return M[:, N, :]  # (N, B)
+
+
+def solve_small(A, b):
+    """Shape-dispatching small dense solve for DEIM θ-systems: b (N,) →
+    unrolled Gauss-Jordan; b (N, B) lanes → batch-last elimination."""
+    A = jnp.asarray(A)
+    if b.ndim == 1:
+        return gauss_solve(A, b)
+    return gauss_solve_lanes(A, b)

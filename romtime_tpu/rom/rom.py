@@ -35,7 +35,7 @@ from ..conventions import (
 from ..dtypes import asarray as _asarray, compute_dtype, scalar as _scalar
 from ..fom.base import BandedOperator
 from ..ops.assembly import band_matmat
-from ..ops.linalg import gauss_solve
+from ..ops.linalg import gauss_solve, gauss_solve_lanes
 from ..rom.pod import orth
 from .base import Reductor
 
@@ -47,6 +47,10 @@ class RomConstructor(Reductor):
     # The reference solves the N×N system with GMRES at 1e-10 tolerances
     # (rom/rom.py:36); a batched dense solve is exact and faster on TPU.
     GMRES_OPTIONS = dict(atol=1e-10, tol=1e-10, maxiter=1e6)
+
+    # Unroll factor of the lane-batched online scan: amortizes per-iteration
+    # loop overhead on TPU (the body is ~100 tiny lane ops).
+    ONLINE_UNROLL = 8
 
     def __init__(self, fom, grid: dict, name=None) -> None:
         super().__init__(grid=grid)
@@ -202,7 +206,10 @@ class RomConstructor(Reductor):
                 values = mdeim._interpolate_traced(mu, t, which=self.ROM)
             else:
                 values = mdeim._interpolate_traced(mu, t, u_n, which=self.ROM)
-            return values.reshape((self.N, self.N))
+            if values.ndim == 1:
+                return values.reshape((self.N, self.N))
+            # Lane-batched: (N², B) → (N, N, B)
+            return values.reshape((self.N, self.N, -1))
         if u_n is None:
             oph = fom_assemble(mu, t)
         else:
@@ -359,6 +366,23 @@ class RomConstructor(Reductor):
         ignore it; the nonlinear subclass overrides."""
         return None
 
+    def _theta_sources(self):
+        """name -> (reductor, reduced-assembly fallback). Every entry whose
+        reductor is attached has its θ(μ, t) precomputed for the whole time
+        grid *outside* the scan — the scan body then only recombines small
+        tables, which keeps its op count (and the TPU compile time) tiny."""
+        return {
+            "mass": (self.mdeim_Mh, self.assemble_mass),
+            "stiffness": (self.mdeim_Ah, self.assemble_stiffness),
+            "rhs_vec": (self.deim_rhs, self.assemble_rhs),
+        }
+
+    def _system_matrices(self, get, mu, t, bdf, uh, uh_n1):
+        """K_N = bdf·M_N + dt·A_N from the per-step operator getter."""
+        MN = get("mass")
+        AN = get("stiffness")
+        return MN, bdf * MN + self.fom.dt * AN
+
     def _online_scan(self, mu, mode="full"):
         """Traceable full reduced time loop; returns stacked outputs.
 
@@ -383,19 +407,54 @@ class RomConstructor(Reductor):
         # Boundary rows of V for the reduced-mode probes (outflow, piston).
         V_ends = _asarray(np.asarray(self.basis)[[0, -1], :])
 
-        def step(carry, k):
+        # ------------------------------------------------------------
+        # Hoist the state-independent DEIM work out of the loop: θ(μ, t)
+        # for every attached linear reductor, over the full time grid in
+        # one vmapped launch. The scan consumes the tables as xs.
+        sources = self._theta_sources()
+        ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
+        theta_tables = {}
+        for name, (red, _fb) in sources.items():
+            if red is not None:
+                theta_tables[name] = jax.vmap(
+                    lambda t, red=red: red._thetas_traced(mu, t)
+                )(ts_grid)
+
+        def step(carry, inputs):
             uN_n, uN_n1 = carry
+            k, theta_row = inputs
             t = (k + 1).astype(dtype) * dt
             bdf = jnp.where(k > 0, one_five, one) if bdf2 else one
 
             uh = self._state_representation(V, uN_n)
             uh_n1 = self._state_representation(V, uN_n1) if bdf2 else None
 
-            MN, KN = self.assemble_system(mu, t, bdf, uh, uh_n1)
-            bN = self.assemble_system_rhs(mu, t, MN, uN_n,
-                                          uN_n1 if bdf2 else None)
+            def get(name):
+                red, fb = sources[name]
+                if red is not None:
+                    values = red._combine_traced(theta_row[name],
+                                                 which=self.ROM)
+                    return values.reshape((N, N))
+                return fb(mu=mu, t=t)
 
-            uN = gauss_solve(KN, bN)
+            def get_vector(name):
+                red, fb = sources[name]
+                if red is not None:
+                    return red._combine_traced(theta_row[name], which=self.ROM)
+                return fb(mu=mu, t=t)
+
+            MN, KN = self._system_matrices(get, mu, t, bdf, uh, uh_n1)
+
+            fN = get_vector("rhs_vec")
+            # BDF-2 history starts as zeros, matching the FOM convention
+            # (fom/base.py scan and reference fom/base.py:717-720).
+            if bdf2:
+                bdf_term = MN @ (2.0 * uN_n - 0.5 * uN_n1)
+            else:
+                bdf_term = MN @ uN_n
+            bN = bdf_term + dt * fN
+
+            uN = gauss_solve(KN, bN, pivot=False)
 
             scale = fom.scale_factor(mu, t) if fom.Lt else one
             L = fom.domain[fom.L0] * scale
@@ -423,19 +482,123 @@ class RomConstructor(Reductor):
 
         zeros_N = jnp.zeros((N,), dtype=V.dtype)
         carry0 = (zeros_N, zeros_N)
-        _, outs = jax.lax.scan(step, carry0, jnp.arange(nt))
+        _, outs = jax.lax.scan(step, carry0, (jnp.arange(nt), theta_tables))
         return outs
 
-    def _get_online_fn(self, batched, mode="full"):
-        key = ("batched" if batched else "single", mode, self.N,
+    def _online_scan_batch(self, mu, mode="reduced"):
+        """Lane-batched reduced time loop: every μ leaf is a (B,) array and
+        every traced tensor keeps the batch in the LAST (lane) axis.
+
+        This layout is what makes the sweep compile and run on TPU: the same
+        loop vmapped batch-first produces (B, N, N) tensors whose Mosaic
+        layout assignment explodes compile time (docs/tpu_notes.md), while
+        batch-last tensors make every elimination/recombination op a
+        (B,)-lane vector op. Requires every operator to be hyper-reduced
+        (checked by the caller)."""
+        fom = self.fom
+        nt = int(fom.domain[fom.NT])
+        bdf2 = fom.BDF_SCHEME == BDF.TWO
+        N = self.N
+
+        dtype = compute_dtype()
+        dt = _scalar(fom.dt)
+        one_five = _scalar(1.5)
+        one = _scalar(1.0)
+
+        V_np = np.asarray(self.basis)
+        V = _asarray(V_np)
+        V_ends = _asarray(V_np[[0, -1], :])
+        B = int(next(iter(mu.values())).shape[0])
+
+        sources = self._theta_sources()
+        ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
+        theta_tables = {
+            name: jax.vmap(lambda t, red=red: red._thetas_traced(mu, t))(ts_grid)
+            for name, (red, _fb) in sources.items()
+            if red is not None
+        }  # each (nt, k_i, B)
+
+        def step(carry, inputs):
+            uN_n, uN_n1 = carry  # (N, B)
+            k, theta_row = inputs
+            t = (k + 1).astype(dtype) * dt
+            bdf = jnp.where(k > 0, one_five, one) if bdf2 else one
+
+            uh = self._state_representation(V, uN_n)
+            uh_n1 = self._state_representation(V, uN_n1) if bdf2 else None
+
+            def get(name):
+                red, _fb = sources[name]
+                values = red._combine_traced(theta_row[name], which=self.ROM)
+                return values.reshape((N, N, -1))
+
+            MN, KN = self._system_matrices(get, mu, t, bdf, uh, uh_n1)
+
+            red_rhs, _fb = sources["rhs_vec"]
+            fN = red_rhs._combine_traced(theta_row["rhs_vec"], which=self.ROM)
+
+            if bdf2:
+                combo = 2.0 * uN_n - 0.5 * uN_n1
+            else:
+                combo = uN_n
+            bN = jnp.einsum("ijB,jB->iB", MN, combo) + dt * fN
+
+            uN = gauss_solve_lanes(KN, bN)
+
+            scale = fom.scale_factor(mu, t) if fom.Lt else one
+            L = fom.domain[fom.L0] * scale  # (B,) or scalar
+            L = L * jnp.ones((B,), dtype=dtype)
+            g = fom.create_lifting_operator(mu=mu, t=t, L=L, only_g=True)
+
+            outputs = dict(uN=uN, t=t)
+
+            if mode == "full":
+                x_phys = _asarray(fom.mesh.x_dofs)[:, None] * (
+                    scale * jnp.ones((B,), dtype=dtype)
+                )
+                uc = V @ uN + g(x_phys)
+                outputs["uc"] = uc
+                outputs["x"] = x_phys
+                if fom.exact_solution is not None:
+                    ue_h = fom._eval_field(fom.exact_solution, x_phys, mu, t)
+                    e = uc - ue_h
+                    outputs["error"] = jnp.linalg.norm(e, axis=0) / float(
+                        np.sqrt(e.shape[0])
+                    )
+            else:
+                x_ends = jnp.stack([jnp.zeros_like(L), L])  # (2, B)
+                outputs["probes"] = V_ends @ uN + g(x_ends)
+
+            return (uN, uN_n), outputs
+
+        zeros = jnp.zeros((N, B), dtype=V.dtype)
+        _, outs = jax.lax.scan(step, (zeros, zeros),
+                               (jnp.arange(nt), theta_tables),
+                               unroll=self.ONLINE_UNROLL)
+        return outs
+
+    def _lanes_supported(self):
+        """The lane-batched engine needs every operator hyper-reduced (the
+        projection fallback assembles full-space operators, which has no
+        batched banded form)."""
+        for _name, (red, _fb) in self._theta_sources().items():
+            if red is None:
+                return False
+        if isinstance(self, RomConstructorNonlinear) and self.mdeim_Nh is None:
+            return False
+        return True
+
+    def _get_online_fn(self, batched, mode="full", engine="vmap"):
+        key = ("batched" if batched else "single", mode, engine, self.N,
                compute_dtype())
         fn = self._online_fns.get(key)
         if fn is None:
-            scan = partial(self._online_scan, mode=mode)
-            if batched:
-                fn = jax.jit(jax.vmap(scan))
+            if batched and engine == "lanes":
+                fn = jax.jit(partial(self._online_scan_batch, mode=mode))
+            elif batched:
+                fn = jax.jit(jax.vmap(partial(self._online_scan, mode=mode)))
             else:
-                fn = jax.jit(scan)
+                fn = jax.jit(partial(self._online_scan, mode=mode))
             self._online_fns[key] = fn
         return fn
 
@@ -471,22 +634,39 @@ class RomConstructor(Reductor):
 
         return idx_mu
 
-    def solve_batch(self, mus, step=Stage.ONLINE, mode="reduced"):
-        """Batched online μ-sweep: one vmapped scan over a parameter batch —
+    def solve_batch(self, mus, step=Stage.ONLINE, mode="reduced", engine=None):
+        """Batched online μ-sweep: one compiled scan over a parameter batch —
         the TPU-native replacement for the reference's serial online loop
         (rom/hrom.py:521-526).
 
         mode="reduced" (default) returns reduced coefficients + end probes
         only, keeping the sweep Nh-free on device; mode="full" additionally
-        materializes reconstructed trajectories (memory: B·nt·Nh)."""
+        materializes reconstructed trajectories (memory: B·nt·Nh).
+
+        engine="lanes" (default when fully hyper-reduced) keeps the μ batch
+        in the lane axis — required for sane TPU compile/exec times
+        (docs/tpu_notes.md); engine="vmap" is the batch-first fallback used
+        when some operator lacks a trained reductor. Outputs are returned
+        batch-first regardless of engine."""
         names = sorted(mus[0].keys())
         batch = {
             k: _asarray(np.array([float(mu[k]) for mu in mus])) for k in names
         }
         for mu in mus:
             self.add_mu(mu=mu, step=step)
-        outs = self._get_online_fn(batched=True, mode=mode)(batch)
-        return jax.tree_util.tree_map(np.asarray, outs)
+
+        if engine is None:
+            engine = "lanes" if self._lanes_supported() else "vmap"
+
+        outs = self._get_online_fn(batched=True, mode=mode, engine=engine)(batch)
+        outs = jax.tree_util.tree_map(np.asarray, outs)
+        if engine == "lanes":
+            # (nt, ..., B) → (B, nt, ...) for API parity with the vmap path.
+            outs = {
+                k: (np.moveaxis(v, -1, 0) if v.ndim >= 2 else v)
+                for k, v in outs.items()
+            }
+        return outs
 
 
 class RomConstructorMoving(RomConstructor):
@@ -503,6 +683,17 @@ class RomConstructorMoving(RomConstructor):
         CN = self.assemble_convection(mu=mu, t=t)
         KN = bdf * MN + self.fom.dt * (AN + CN)
         return MN, KN
+
+    def _theta_sources(self):
+        sources = super()._theta_sources()
+        sources["convection"] = (self.mdeim_Ch, self.assemble_convection)
+        return sources
+
+    def _system_matrices(self, get, mu, t, bdf, uh, uh_n1):
+        MN = get("mass")
+        AN = get("stiffness")
+        CN = get("convection")
+        return MN, bdf * MN + self.fom.dt * (AN + CN)
 
 
 class RomConstructorNonlinear(RomConstructorMoving):
@@ -657,3 +848,33 @@ class RomConstructorNonlinear(RomConstructorMoving):
         if self.deim_rhs:
             return self.deim_rhs._interpolate_traced(mu, t, which=self.ROM)
         return self.to_rom(self.fom.assemble_lifting(mu, t))
+
+    def _theta_sources(self):
+        sources = super()._theta_sources()
+        sources["nonlinear_lifting"] = (
+            self.mdeim_Nh_hat, self.assemble_nonlinear_lifting
+        )
+        sources["rhs_vec"] = (self.deim_rhs, self.assemble_lifting)
+        return sources
+
+    def _system_matrices(self, get, mu, t, bdf, uh, uh_n1):
+        """bdf·M + dt(A + C + N(u*) + N̂); the state-dependent trilinear is
+        the one DEIM evaluation that must stay inside the loop."""
+        MN = get("mass")
+        AN = get("stiffness")
+        CN = get("convection")
+        NhatN = get("nonlinear_lifting")
+
+        if uh_n1 is None:
+            u_star = uh
+        elif isinstance(uh, tuple):
+            V, cN = uh
+            _, cN1 = uh_n1
+            u_star = (V, 2.0 * cN - cN1)
+        else:
+            u_star = 2.0 * uh - uh_n1
+
+        NN = self.assemble_trilinear(mu=mu, t=t, uh=u_star)
+
+        KN = bdf * MN + self.fom.dt * (AN + CN + NN + NhatN)
+        return MN, KN
