@@ -108,7 +108,7 @@ def main():
         RomParameters.SROM_TRUNCATE: truncate,
         RomParameters.TOL_TIME: None,
         RomParameters.TOL_MU: None,
-        RomParameters.NMDEIM_SIZE: None,
+        RomParameters.NMDEIM_SIZE: int(os.environ.get("BENCH_NMDEIM", 12)),
     }
     deim_params = {RomParameters.TS: ts_walk,
                    RomParameters.NUM_SNAPSHOTS: n_offline}

@@ -110,6 +110,7 @@ class DiscreteEmpiricalInterpolation(Reductor):
 
         self.N_V = None  # projection basis size
         self.PT_U = None  # interpolation matrix
+        self.PT_U_inv = None  # precomputed inverse (f32 serving path)
         self.sigmas = None
         self.dofs = None
 
@@ -163,6 +164,8 @@ class DiscreteEmpiricalInterpolation(Reductor):
             new.basis_rom = deepcopy(self.basis_rom)
         if self.PT_U is not None:
             new.PT_U = deepcopy(self.PT_U)
+        if getattr(self, "PT_U_inv", None) is not None:
+            new.PT_U_inv = deepcopy(self.PT_U_inv)
         if self.dofs is not None:
             new.dofs = deepcopy(self.dofs)
         if self.errors_rom is not None:
@@ -225,6 +228,14 @@ class DiscreteEmpiricalInterpolation(Reductor):
         dofs, P = self.build_interpolation_mesh()
         self.store_dofs(dofs)
         self.PT_U = np.matmul(P.T, self.basis_fom)
+        # Precomputed inverse for float32 serving: the in-scan theta-solve
+        # becomes ONE matmul instead of an unrolled elimination whose op
+        # count grows with the collateral basis size (TPU compile cost).
+        # float64 certification paths keep the exact solve.
+        try:
+            self.PT_U_inv = np.linalg.inv(self.PT_U)
+        except np.linalg.LinAlgError:
+            self.PT_U_inv = None
         self._batch_interpolate_fn = None
 
     def build_interpolation_mesh(self):
@@ -348,6 +359,13 @@ class DiscreteEmpiricalInterpolation(Reductor):
         state, so the online scan hoists these out of the loop (vmapped
         over the full time grid in one launch)."""
         fh_local = jnp.asarray(self.assemble(mu=mu, t=t, entries=self.dofs))
+        return self._solve_thetas(fh_local)
+
+    def _solve_thetas(self, fh_local):
+        from ..dtypes import compute_dtype as _cd
+
+        if _cd() == jnp.float32 and getattr(self, "PT_U_inv", None) is not None:
+            return _dtype_asarray(self.PT_U_inv) @ fh_local
         return solve_small(_dtype_asarray(self.PT_U), fh_local)
 
     def _combine_traced(self, thetas, which=None):

@@ -190,7 +190,7 @@ class MatrixDiscreteEmpiricalInterpolationNonlinear(
         fh_local = jnp.asarray(
             self.assemble(mu=mu, t=t, u_n=u_n, entries=self.dofs)
         )
-        thetas = solve_small(_dtype_asarray(self.PT_U), fh_local)
+        thetas = self._solve_thetas(fh_local)
         approximation = _dtype_asarray(Vf) @ thetas
         if which is None or which == self.FOM:
             approximation = self._fix_boundary(approximation)

@@ -577,6 +577,10 @@ class RomConstructor(Reductor):
                                unroll=self.ONLINE_UNROLL)
         return outs
 
+    def _prime_online_tables(self):
+        """Hook: eager host-side precomputations before the online trace."""
+        pass
+
     def _lanes_supported(self):
         """The lane-batched engine needs every operator hyper-reduced (the
         projection fallback assembles full-space operators, which has no
@@ -657,6 +661,11 @@ class RomConstructor(Reductor):
 
         if engine is None:
             engine = "lanes" if self._lanes_supported() else "vmap"
+
+        # Host-side precomputations (e.g. the trilinear state table) must
+        # happen before tracing: inside jit even concrete-input jnp ops are
+        # staged, so eager assembly there would leak tracers.
+        self._prime_online_tables()
 
         outs = self._get_online_fn(batched=True, mode=mode, engine=engine)(batch)
         outs = jax.tree_util.tree_map(np.asarray, outs)
@@ -857,9 +866,85 @@ class RomConstructorNonlinear(RomConstructorMoving):
         sources["rhs_vec"] = (self.deim_rhs, self.assemble_lifting)
         return sources
 
+    # ------------------------------------------------------------------
+    # Trilinear fast path: N_N(u*) = b0(μ) · T0 @ u*_N
+    #
+    # The (1,0) trilinear form is scale-invariant under the ALE pull-back
+    # (Jacobian exponent 1-1-0 = 0) and its DEIM entries are linear in the
+    # state with the only μ-dependence the scalar b0 = (γ+1)/2·a0 — so the
+    # whole reduced operator is one constant (N², N) tensor contraction per
+    # step. Detected numerically at build time; falls back to in-body DEIM
+    # assembly when the invariance does not hold (e.g. the cos-modulated
+    # ``nonlinear`` variant, reference: fom/nonlinear.py:420-442).
+    # ------------------------------------------------------------------
+    def _prime_online_tables(self):
+        if self.mdeim_Nh is not None:
+            self._trilinear_state_table(np.asarray(self.basis))
+
+    def _trilinear_state_table(self, V_np):
+        cached = getattr(self, "_trilinear_table_cache", None)
+        if cached is not None and cached[0] is self.mdeim_Nh:
+            return cached[1]
+
+        table = self._build_trilinear_state_table(V_np)
+        self._trilinear_table_cache = (self.mdeim_Nh, table)
+        return table
+
+    def _build_trilinear_state_table(self, V_np):
+        red = self.mdeim_Nh
+        if red is None or red.PT_U_inv is None or red.basis_rom is None:
+            return None
+
+        # Eager host-side construction: run on the CPU backend — op-by-op
+        # eager dispatch on the TPU pays a per-op compile each.
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                return self._build_trilinear_state_table_impl(V_np, red)
+        return self._build_trilinear_state_table_impl(V_np, red)
+
+    def _build_trilinear_state_table_impl(self, V_np, red):
+        fom = self.fom
+        N = V_np.shape[1]
+
+        def entries_over_basis(mu, t):
+            cols = []
+            for n in range(N):
+                coeff = np.zeros(N)
+                coeff[n] = 1.0
+                vals = fom.assemble_trilinear(
+                    mu=mu, t=t, u_n=(V_np, jnp.asarray(coeff)),
+                    entries=red.dofs,
+                )
+                cols.append(np.asarray(vals))
+            return np.array(cols).T  # (n_ent, N)
+
+        mu_a = dict(self.mu_space[Stage.OFFLINE][0]) if \
+            self.mu_space[Stage.OFFLINE] else dict(fom.mu)
+        mu_b = {k: v * 1.17 + 0.013 for k, v in mu_a.items()}
+
+        b0_a = fom.nonlinear_coefficient(mu_a)
+        b0_b = fom.nonlinear_coefficient(mu_b)
+
+        E_a = entries_over_basis(mu_a, t=0.37 * fom.domain[fom.T]) / b0_a
+        E_b = entries_over_basis(mu_b, t=0.81 * fom.domain[fom.T]) / b0_b
+
+        scale = max(np.abs(E_a).max(), 1e-30)
+        if not np.allclose(E_a, E_b, atol=1e-9 * scale, rtol=1e-9):
+            return None  # operator is not scale-invariant — use in-body DEIM
+
+        # T0 = basis_rom (N², k) · PT_U⁻¹ (k, n_ent) · E0 (n_ent, N)
+        T0 = red.basis_rom @ (red.PT_U_inv @ E_a)
+        return T0  # (N², N)
+
     def _system_matrices(self, get, mu, t, bdf, uh, uh_n1):
         """bdf·M + dt(A + C + N(u*) + N̂); the state-dependent trilinear is
-        the one DEIM evaluation that must stay inside the loop."""
+        the one DEIM evaluation that must stay inside the loop — and it
+        collapses to a constant tensor contraction when the operator is
+        scale-invariant (see _trilinear_state_table)."""
         MN = get("mass")
         AN = get("stiffness")
         CN = get("convection")
@@ -874,7 +959,16 @@ class RomConstructorNonlinear(RomConstructorMoving):
         else:
             u_star = 2.0 * uh - uh_n1
 
-        NN = self.assemble_trilinear(mu=mu, t=t, uh=u_star)
+        NN = None
+        if isinstance(u_star, tuple) and jnp.ndim(u_star[1]) == 2:
+            T0 = self._trilinear_state_table(u_star[0])
+            if T0 is not None:
+                b0 = self.fom.nonlinear_coefficient(mu)  # (B,)
+                NN = (_asarray(T0) @ u_star[1]).reshape(
+                    (self.N, self.N, -1)
+                ) * b0
+        if NN is None:
+            NN = self.assemble_trilinear(mu=mu, t=t, uh=u_star)
 
         KN = bdf * MN + self.fom.dt * (AN + CN + NN + NhatN)
         return MN, KN
