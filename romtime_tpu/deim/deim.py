@@ -308,6 +308,10 @@ class DiscreteEmpiricalInterpolation(Reductor):
         basis, sigmas, energy = orth(
             snapshots=snapshots, num=num, tol=tol, normalize=False
         )
+        # Hierarchical-POD weighting: carry the singular values into the
+        # μ-stage so the final POD is energy-ordered (see
+        # rom/rom.py build_reduced_basis).
+        basis = basis * sigmas[: basis.shape[1]]
         return basis, sigmas, energy
 
     def _mask_boundary_snapshots(self, snapshots):
@@ -445,3 +449,23 @@ class DiscreteEmpiricalInterpolation(Reductor):
     def _mask_evaluation_truth(self, truth):
         """Hook: MDEIM compares against the Dirichlet-consistent operator."""
         return truth
+
+    # ------------------------------------------------------------------
+    # Plots (reference: deim/deim.py:563-613)
+    # ------------------------------------------------------------------
+    def plot_errors(self, new=True, save=None, show=False):
+        from ..utils.plotting import plot_deim_errors
+
+        plot_deim_errors(self, save=save, show=show)
+
+    def plot_spectrum(self, which="sigmas", save=None):
+        from ..conventions import Stage
+        from ..utils.plotting import plot_spectrum
+
+        report = self.report[Stage.OFFLINE]
+        plot_spectrum(
+            report[self.SPECTRUM_MU],
+            energy=report[self.ENERGY_MU] if which == "energy" else None,
+            save=save,
+            title=f"(M)DEIM {str(self.name).title()} spectrum decay",
+        )

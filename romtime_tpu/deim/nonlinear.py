@@ -171,16 +171,18 @@ class MatrixDiscreteEmpiricalInterpolationNonlinear(
         basis_time = []
         for snap_t in all_snaps:
             snapshots = self._mask_boundary_snapshots(snap_t.T)  # (nnz, k)
-            phi_psi, _, _ = orth(
+            phi_psi, s_psi, _ = orth(
                 snapshots=snapshots, num=num, tol=tol, normalize=normalize
             )
-            basis_time.append(phi_psi)
+            # Hierarchical-POD weighting (see rom/rom.py build_reduced_basis)
+            basis_time.append(phi_psi * s_psi[: phi_psi.shape[1]])
 
         basis_time = np.hstack(basis_time)
         phi, sigmas, energy = orth(
             snapshots=basis_time, num=num, tol=tol, normalize=normalize
         )
-        return phi, sigmas, energy
+        basis = phi * sigmas[: phi.shape[1]]
+        return basis, sigmas, energy
 
     # ------------------------------------------------------------------
     # Online interpolation (state-dependent)

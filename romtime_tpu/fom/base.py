@@ -459,6 +459,17 @@ class OneDimensionalSolver(ABC):
             return fn(x, t=t, **(mu or {}))
         return jnp.full_like(x, float(fn))
 
+    def _project_field(self, fn, mu, scale):
+        """L2 projection of a callable onto the FE space."""
+        h = self.mesh.h0 * scale
+        coeff = lambda x: self._eval_field(fn, x, mu, 0.0)
+        rhs = assemble_linear_vector(
+            self.mesh, coeff(self._xq(scale)), 0, h
+        )
+        ones = jnp.ones_like(_asarray(self.mesh.xq_ref))
+        M = assemble_bilinear_band(self.mesh, ones, 0, 0, h)
+        return solve_banded(M, rhs, self.mesh.degree)
+
     def runtime_process(self, u):
         pass
 
@@ -469,6 +480,11 @@ class OneDimensionalSolver(ABC):
         scale0 = self.scale_factor(mu, 0.0) if self.MOVING_ASSEMBLY else 1.0
         x0 = _asarray(self.mesh.x_dofs) * scale0
         u_init = self._eval_field(self.u0, x0, mu, 0.0)
+        if self.project_u0:
+            # L2 projection instead of interpolation (reference:
+            # fom/base.py:710-713): solve M c = ∫ u0 v. For smooth data the
+            # two coincide at the interpolation points up to quadrature.
+            u_init = self._project_field(self.u0, mu, scale0)
         g0 = self.create_lifting_operator(mu=mu, t=0.0, L=self.domain[self.L0] * scale0,
                                           only_g=True)
         return u_init - g0(x0)
@@ -581,6 +597,54 @@ class OneDimensionalSolver(ABC):
         self.solutions.to_pickle(name)
 
     # ------------------------------------------------------------------
+    # Dof/cell maps and solver factory (API parity)
+    # ------------------------------------------------------------------
+    def build_cell_to_dofs(self):
+        """Cell → dof map (reference: fom/base.py:188-203). The structured
+        mesh makes it closed-form; exposed for parity/inspection."""
+        self.cell_to_dofs = {
+            e: self.mesh.cell_dofs(e) for e in range(self.mesh.ne)
+        }
+        return self.cell_to_dofs
+
+    def build_dofs_to_cells(self):
+        """Dof → cells map, "fundamental for the DEIM implementation"
+        (reference: fom/base.py:205-220)."""
+        self.dof_to_cells = {
+            d: self.mesh.dof_cells(d) for d in range(self.mesh.nh)
+        }
+        return self.dof_to_cells
+
+    def find_cells_to_cover(self, entry):
+        """Cells carrying the basis functions of an entry
+        (reference: fom/base.py:601-624)."""
+        cells = set()
+        for dof in entry:
+            cells.update(self.mesh.dof_cells(int(dof)))
+        return cells
+
+    def create_algebraic_solver(self):
+        """Linear-solver factory (reference: fom/base.py:360-375 creates
+        GMRES+ILU at 1e-10 tolerances). The banded systems here are solved
+        directly — exact, which is strictly tighter than the reference's
+        iterative tolerance."""
+        p = self.mesh.degree
+
+        def solver(band, rhs):
+            return solve_banded(band, rhs, p)
+
+        return solver
+
+    def assemble_local(self, form_terms, entries, mu=None, t=None,
+                       is_vector=False):
+        """Per-entry assembly API (reference: fom/base.py:523-599). The
+        framework's solvers use the higher-level ``assemble_*(entries=...)``
+        methods; this thin wrapper keeps the reference entry point."""
+        if is_vector:
+            return self._assemble_vector(form_terms, mu, t, entries=entries)
+        return self._assemble_matrix(form_terms, mu, t, entries=entries)
+
+    # ------------------------------------------------------------------
     # Errors
     # ------------------------------------------------------------------
     def _compute_error(self, u, ue, norm_type="L2"):
@@ -605,3 +669,27 @@ class OneDimensionalSolver(ABC):
     @staticmethod
     def dict_to_array(my_dict):
         return np.array([np.asarray(v) for v in my_dict.values()]).T
+
+    # ------------------------------------------------------------------
+    # Plotting (reference: fom/base.py:917-1012)
+    # ------------------------------------------------------------------
+    def plot_solution(self, pics=6, save=None):
+        from ..utils.plotting import plot_solution
+
+        plot_solution(self.solutions, pics=pics, save=save,
+                      scale=self.scale_solutions)
+
+    def plot_errors(self, save=None, log=False, new=True, label=None):
+        from ..utils.plotting import plot_errors
+
+        plot_errors(self.timesteps, list(self.errors.values()),
+                    save=save, log=log, new=new, label=label)
+
+    def plot_snapshots(self, pics=6, save=None):
+        from ..utils.plotting import plot_solution
+
+        class _SnapshotView:
+            domain = self.solutions.domain
+            fom = self.solutions.snapshots
+
+        plot_solution(_SnapshotView, pics=pics, save=save, title="Snapshots")

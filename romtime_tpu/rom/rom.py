@@ -300,10 +300,16 @@ class RomConstructor(Reductor):
 
             fom_solutions[mu_idx] = fom.solutions.fom.copy()
 
-            # POD in time of the homogeneous snapshots
+            # POD in time of the homogeneous snapshots. Stage-1 modes are
+            # scaled by their singular values (hierarchical-POD weighting):
+            # the μ-stage SVD of *orthonormal* stage-1 stacks would see all
+            # σ=1 and return an arbitrary rotation of the span instead of
+            # the leading energy modes — fatal for slowly-decaying spectra
+            # (the reference stacks unweighted, rom/rom.py:335-368, which
+            # its fast-decaying heat cases never expose).
             _basis, sigmas_time, energy_time = orth(fom.solutions.snapshots,
                                                     tol=tol_t)
-            basis_time.append(_basis)
+            basis_time.append(_basis * sigmas_time[: _basis.shape[1]])
 
             offline[Treewalk.SPECTRUM_TIME][mu_idx] = sigmas_time
             offline[Treewalk.ENERGY_TIME][mu_idx] = energy_time
@@ -316,7 +322,9 @@ class RomConstructor(Reductor):
                 if hasattr(self, "_zero_nonlinear_boundary"):
                     nl = self._zero_nonlinear_boundary(nl)
                 _basis_nl, _sigmas_nl, _energy_nl = orth(nl, tol=tol_t)
-                basis_nonlinear.append(_basis_nl)
+                basis_nonlinear.append(
+                    _basis_nl * _sigmas_nl[: _basis_nl.shape[1]]
+                )
 
                 offline[TreewalkNonlinear.SPECTRUM_TIME][mu_idx] = _sigmas_nl
                 offline[TreewalkNonlinear.ENERGY_TIME][mu_idx] = _energy_nl
