@@ -52,6 +52,11 @@ class RomConstructor(Reductor):
     # loop overhead on TPU (the body is ~100 tiny lane ops).
     ONLINE_UNROLL = 8
 
+    # "matrices" materializes the reduced-operator time tables outside the
+    # scan (fastest body, more HBM); "thetas" recombines per step.
+    ONLINE_PRECOMPUTE = "matrices"
+    ONLINE_PRECOMPUTE_BUDGET = 6 * 1024**3  # bytes
+
     def __init__(self, fom, grid: dict, name=None) -> None:
         super().__init__(grid=grid)
 
@@ -526,30 +531,75 @@ class RomConstructor(Reductor):
             if red is not None
         }  # each (nt, k_i, B)
 
+        # ------------------------------------------------------------
+        # Materialize the full reduced-operator tables (nt, N², B): MN(t),
+        # the dt-weighted sum of the linear stiffness-side operators, and
+        # the rhs vector. The scan body then only adds the state-dependent
+        # trilinear and solves — ~12 lane ops per step. Memory 2·nt·N²·B·4
+        # bytes; falls back to per-step θ-recombination over budget.
+        mat_bytes = 2 * nt * N * N * B * np.dtype(
+            np.float32 if dtype == jnp.float32 else np.float64
+        ).itemsize
+        precompute_mats = (
+            self.ONLINE_PRECOMPUTE == "matrices"
+            and mat_bytes < self.ONLINE_PRECOMPUTE_BUDGET
+        )
+
+        if precompute_mats:
+            def combined(name):
+                red, _fb = sources[name]
+                basis = _asarray(red.basis_rom)  # (N²|N, k)
+                return jnp.einsum("nk,tkB->tnB", basis, theta_tables[name])
+
+            MN_tab = combined("mass")  # (nt, N², B)
+            KLIN_tab = dt * sum(
+                combined(name)
+                for name in sources
+                if name not in ("mass", "rhs_vec")
+            )
+            fN_tab = dt * combined("rhs_vec")  # (nt, N, B)
+            xs_tables = (MN_tab, KLIN_tab, fN_tab)
+        else:
+            xs_tables = theta_tables
+
         def step(carry, inputs):
             uN_n, uN_n1 = carry  # (N, B)
-            k, theta_row = inputs
+            k, tables = inputs
             t = (k + 1).astype(dtype) * dt
             bdf = jnp.where(k > 0, one_five, one) if bdf2 else one
 
             uh = self._state_representation(V, uN_n)
             uh_n1 = self._state_representation(V, uN_n1) if bdf2 else None
 
-            def get(name):
-                red, _fb = sources[name]
-                values = red._combine_traced(theta_row[name], which=self.ROM)
-                return values.reshape((N, N, -1))
+            if precompute_mats:
+                MN_flat, KLIN_flat, fN_dt = tables
+                MN = MN_flat.reshape((N, N, -1))
+                NN = self._state_matrix_lanes(mu, t, uh, uh_n1)
+                KN = bdf * MN + KLIN_flat.reshape((N, N, -1))
+                if NN is not None:
+                    KN = KN + dt * NN
+                fN_term = fN_dt
+            else:
+                theta_row = tables
 
-            MN, KN = self._system_matrices(get, mu, t, bdf, uh, uh_n1)
+                def get(name):
+                    red, _fb = sources[name]
+                    values = red._combine_traced(theta_row[name],
+                                                 which=self.ROM)
+                    return values.reshape((N, N, -1))
 
-            red_rhs, _fb = sources["rhs_vec"]
-            fN = red_rhs._combine_traced(theta_row["rhs_vec"], which=self.ROM)
+                MN, KN = self._system_matrices(get, mu, t, bdf, uh, uh_n1)
+
+                red_rhs, _fb = sources["rhs_vec"]
+                fN_term = dt * red_rhs._combine_traced(
+                    theta_row["rhs_vec"], which=self.ROM
+                )
 
             if bdf2:
                 combo = 2.0 * uN_n - 0.5 * uN_n1
             else:
                 combo = uN_n
-            bN = jnp.einsum("ijB,jB->iB", MN, combo) + dt * fN
+            bN = jnp.einsum("ijB,jB->iB", MN, combo) + fN_term
 
             uN = gauss_solve_lanes(KN, bN)
 
@@ -581,13 +631,18 @@ class RomConstructor(Reductor):
 
         zeros = jnp.zeros((N, B), dtype=V.dtype)
         _, outs = jax.lax.scan(step, (zeros, zeros),
-                               (jnp.arange(nt), theta_tables),
+                               (jnp.arange(nt), xs_tables),
                                unroll=self.ONLINE_UNROLL)
         return outs
 
     def _prime_online_tables(self):
         """Hook: eager host-side precomputations before the online trace."""
         pass
+
+    def _state_matrix_lanes(self, mu, t, uh, uh_n1):
+        """State-dependent reduced operator for the lane-batched loop
+        (None for linear problems; the nonlinear subclass overrides)."""
+        return None
 
     def _lanes_supported(self):
         """The lane-batched engine needs every operator hyper-reduced (the
@@ -888,6 +943,27 @@ class RomConstructorNonlinear(RomConstructorMoving):
     def _prime_online_tables(self):
         if self.mdeim_Nh is not None:
             self._trilinear_state_table(np.asarray(self.basis))
+
+    def _state_matrix_lanes(self, mu, t, uh, uh_n1):
+        """N_N(u*) for the lane-batched loop (fast table or in-body DEIM)."""
+        if uh_n1 is None:
+            u_star = uh
+        elif isinstance(uh, tuple):
+            Vb, cN = uh
+            _, cN1 = uh_n1
+            u_star = (Vb, 2.0 * cN - cN1)
+        else:
+            u_star = 2.0 * uh - uh_n1
+
+        if isinstance(u_star, tuple) and jnp.ndim(u_star[1]) == 2:
+            T0 = self._trilinear_state_table(u_star[0])
+            if T0 is not None:
+                b0 = self.fom.nonlinear_coefficient(mu)
+                return (_asarray(T0) @ u_star[1]).reshape(
+                    (self.N, self.N, -1)
+                ) * b0
+        NN = self.assemble_trilinear(mu=mu, t=t, uh=u_star)
+        return NN
 
     def _trilinear_state_table(self, V_np):
         cached = getattr(self, "_trilinear_table_cache", None)
