@@ -48,6 +48,7 @@ from ..utils import (
     dump_pickle,
     read_json,
     read_pickle,
+    time_average,
 )
 from .rom import RomConstructor, RomConstructorMoving, RomConstructorNonlinear
 
@@ -427,6 +428,47 @@ class HyperReducedOrderModelFixed:
     def _postprocess_mu(self, which, idx_mu, mu, uh_fom):
         """Hook: probe/mass-conservation dumps for the piston driver."""
         pass
+
+    def estimate_batch(self, mus, step=Stage.ONLINE):
+        """Batched S-ROM error certification: one lane-batched online sweep
+        per ROM, estimator computed entirely in reduced space.
+
+        The reference certifies online solves one μ at a time
+        (rom/hrom.py:563-574) by reconstructing
+        ``V_srom @ (uN_srom - pad(uN))`` in R^Nh and taking its RMS norm
+        (utils.py:173-212). POD bases have orthonormal columns, so that
+        reconstruction norm equals the coefficient-difference norm — the
+        batched estimator therefore never materializes an Nh-sized array:
+        per (μ, t) it is ``‖uN_srom - pad(uN)‖₂ / √Nh``, an O(N_hat) lane
+        op over the whole batch.
+
+        Returns a dict with ``estimator`` (B, nt) per-step series,
+        ``average`` (B,) trapezoid time-averages, plus both sweeps' raw
+        outputs (reduced coefficients + end-point probes). Also records the
+        per-μ series under ``self.errors[f"{step}-estimator"]``.
+        """
+        rom, srom = self.rom, self.srom
+        out_rom = rom.solve_batch(mus, step=step, mode="reduced")
+        out_srom = srom.solve_batch(mus, step=step, mode="reduced")
+
+        uN = out_rom["uN"]  # (B, nt, N)
+        diff = out_srom["uN"].copy()  # (B, nt, N_hat)
+        diff[..., : uN.shape[-1]] -= uN
+        Nh = srom.basis.shape[0]
+        estimator = np.linalg.norm(diff, axis=-1) / np.sqrt(Nh)  # (B, nt)
+
+        ts = np.asarray(out_rom["t"])
+        average = np.array([time_average(ts, e) for e in estimator])
+
+        self.errors[f"{step}-estimator"] = {
+            idx: estimator[idx] for idx in range(len(mus))
+        }
+        return {
+            Errors.ESTIMATOR: estimator,
+            Errors.AVERAGE_ESTIMATOR: average,
+            "rom": out_rom,
+            "srom": out_srom,
+        }
 
     # ------------------------------------------------------------------
     # DEIM evaluation

@@ -152,6 +152,38 @@ def test_hrom_online_and_estimator(heat_hrom, tmp_path, monkeypatch):
         assert 1e-3 < ratio < 1e3
 
 
+def test_estimate_batch_matches_serial(heat_hrom):
+    """The lane-batched S-ROM estimator equals the reference's per-μ
+    reconstruction-based estimator (orthonormal-basis equivalence)."""
+    from romtime_tpu.utils import compute_rom_difference
+
+    hrom = heat_hrom
+    rom, srom = hrom.rom, hrom.srom
+    mus = list(rom.build_sampling_space(num=3, rnd=np.random.RandomState(7)))
+
+    out = hrom.estimate_batch(mus, step=Stage.ONLINE)
+    est = out[Errors.ESTIMATOR]
+    assert est.shape[0] == 3
+    assert out[Errors.AVERAGE_ESTIMATOR].shape == (3,)
+    assert np.all(out[Errors.AVERAGE_ESTIMATOR] >= 0)
+
+    V_srom = srom.basis
+    for b, mu in enumerate(mus):
+        rom.solve(mu=dict(mu), step=Stage.VALIDATION)
+        srom.solve(mu=dict(mu), step=Stage.VALIDATION)
+        uNs = rom.solutions.rom
+        uNs_srom = srom.solutions.rom
+        serial = np.array(
+            [
+                compute_rom_difference(
+                    uN=uNs[:, i], uN_srom=uNs_srom[:, i], V_srom=V_srom
+                )
+                for i in range(uNs.shape[1])
+            ]
+        )
+        np.testing.assert_allclose(est[b], serial, rtol=1e-8, atol=1e-13)
+
+
 def test_hrom_resume_from_existing_basis(heat_hrom, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     hrom = heat_hrom
