@@ -196,17 +196,20 @@ def main():
     serve_dtype = jnp.float32 if os.environ.get("BENCH_F32", "1") == "1" else None
 
     n_rep = int(os.environ.get("BENCH_REPEAT", 3))
+    # Serving mode: only probe QoIs + final state leave the device. The
+    # trajectory-materializing sweep is `BENCH_MODE=reduced`.
+    serve_mode = os.environ.get("BENCH_MODE", "probes")
     with jax.default_device(accel), compute_dtype_scope(serve_dtype):
         rom._online_fns = {}
-        log(f"online: compiling batched sweep (batch={n_online}) on "
-            f"{accel.platform}")
+        log(f"online: compiling batched sweep (batch={n_online}, "
+            f"mode={serve_mode}) on {accel.platform}")
         # Compile + warm-up
-        outs = rom.solve_batch(mus, step=Stage.ONLINE)
+        outs = rom.solve_batch(mus, step=Stage.ONLINE, mode=serve_mode)
         log("online: timing")
 
         t0 = time.time()
         for _ in range(n_rep):
-            outs = rom.solve_batch(mus, step=Stage.ONLINE)
+            outs = rom.solve_batch(mus, step=Stage.ONLINE, mode=serve_mode)
         online_wall = (time.time() - t0) / n_rep
     solves_per_sec = n_online / online_wall
 
@@ -230,6 +233,7 @@ def main():
             "nt": nt,
             "rom_modes": int(rom.N),
             "batch": n_online,
+            "mode": serve_mode,
             "online_sweep_wall_s": round(online_wall, 4),
             "offline_wall_s": round(offline_wall, 2),
             "rel_l2_vs_fom": rel_l2,

@@ -473,7 +473,10 @@ class RomConstructor(Reductor):
             L = fom.domain[fom.L0] * scale
             g = fom.create_lifting_operator(mu=mu, t=t, L=L, only_g=True)
 
-            outputs = dict(uN=uN, t=t)
+            # mode="probes" keeps only O(1) quantities per step — the
+            # serving configuration: QoIs stream out, trajectories never
+            # materialize (neither in HBM nor over the host link).
+            outputs = dict(t=t) if mode == "probes" else dict(uN=uN, t=t)
 
             if mode == "full":
                 x_phys = _asarray(fom.mesh.x_dofs) * scale
@@ -495,7 +498,10 @@ class RomConstructor(Reductor):
 
         zeros_N = jnp.zeros((N,), dtype=V.dtype)
         carry0 = (zeros_N, zeros_N)
-        _, outs = jax.lax.scan(step, carry0, (jnp.arange(nt), theta_tables))
+        carry, outs = jax.lax.scan(step, carry0,
+                                   (jnp.arange(nt), theta_tables))
+        if mode == "probes":
+            outs["uN_final"] = carry[0]
         return outs
 
     def _online_scan_batch(self, mu, mode="reduced"):
@@ -608,7 +614,7 @@ class RomConstructor(Reductor):
             L = L * jnp.ones((B,), dtype=dtype)
             g = fom.create_lifting_operator(mu=mu, t=t, L=L, only_g=True)
 
-            outputs = dict(uN=uN, t=t)
+            outputs = dict(t=t) if mode == "probes" else dict(uN=uN, t=t)
 
             if mode == "full":
                 x_phys = _asarray(fom.mesh.x_dofs)[:, None] * (
@@ -630,9 +636,11 @@ class RomConstructor(Reductor):
             return (uN, uN_n), outputs
 
         zeros = jnp.zeros((N, B), dtype=V.dtype)
-        _, outs = jax.lax.scan(step, (zeros, zeros),
-                               (jnp.arange(nt), xs_tables),
-                               unroll=self.ONLINE_UNROLL)
+        carry, outs = jax.lax.scan(step, (zeros, zeros),
+                                   (jnp.arange(nt), xs_tables),
+                                   unroll=self.ONLINE_UNROLL)
+        if mode == "probes":
+            outs["uN_final"] = carry[0]
         return outs
 
     def _prime_online_tables(self):
@@ -708,7 +716,10 @@ class RomConstructor(Reductor):
 
         mode="reduced" (default) returns reduced coefficients + end probes
         only, keeping the sweep Nh-free on device; mode="full" additionally
-        materializes reconstructed trajectories (memory: B·nt·Nh).
+        materializes reconstructed trajectories (memory: B·nt·Nh);
+        mode="probes" is the serving configuration — only the O(1)-per-step
+        probe QoIs and the final reduced state leave the scan, so neither
+        HBM nor the host link ever sees a trajectory-sized array.
 
         engine="lanes" (default when fully hyper-reduced) keeps the μ batch
         in the lane axis — required for sane TPU compile/exec times

@@ -139,6 +139,20 @@ def test_solve_batch_reduced_mode(trained_rom):
     assert_allclose(red["probes"][..., 1], full["uc"][..., -1], atol=1e-10)
 
 
+def test_solve_batch_probes_mode(trained_rom):
+    """The serving mode keeps only the probe QoIs + final reduced state;
+    both must match the reduced sweep exactly."""
+    rom = trained_rom
+    mus = list(rom.build_sampling_space(num=3, rnd=np.random.RandomState(9)))
+
+    red = rom.solve_batch(mus, step=Stage.ONLINE, mode="reduced")
+    served = rom.solve_batch(mus, step=Stage.ONLINE, mode="probes")
+
+    assert "uN" not in served and "uc" not in served
+    assert_allclose(served["probes"], red["probes"], atol=1e-14)
+    assert_allclose(served["uN_final"], red["uN"][:, -1, :], atol=1e-14)
+
+
 def test_truncate(trained_rom):
     rom = trained_rom
     N = rom.N
