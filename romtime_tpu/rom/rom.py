@@ -248,11 +248,19 @@ class RomConstructor(Reductor):
 
     def assemble_system(self, mu, t, bdf=1.0, uh=None, uh_n1=None):
         """K_N = bdf·M_N + dt·A_N (reference: rom/rom.py:565-573, with the
-        unified bdf factor)."""
-        MN = self.assemble_mass(mu=mu, t=t)
-        AN = self.assemble_stiffness(mu=mu, t=t)
-        KN = bdf * MN + self.fom.dt * AN
-        return MN, KN
+        unified bdf factor).
+
+        Single source of truth with the scan path: delegates to
+        ``_system_matrices`` with the eager reduced-assembly getter, so the
+        BDF combination formulas live in exactly one place per problem
+        family."""
+        sources = self._theta_sources()
+
+        def get(name):
+            _red, fallback = sources[name]
+            return fallback(mu=mu, t=t)
+
+        return self._system_matrices(get, mu, t, bdf, uh, uh_n1)
 
     def assemble_system_rhs(self, mu, t, MN_mat, uN_n, uN_n1=None):
         fN = self.assemble_rhs(mu=mu, t=t)
@@ -760,19 +768,14 @@ class RomConstructorMoving(RomConstructor):
         return self._reduced_matrix(self.mdeim_Ch, self.fom.assemble_convection,
                                     mu, t)
 
-    def assemble_system(self, mu, t, bdf=1.0, uh=None, uh_n1=None):
-        MN = self.assemble_mass(mu=mu, t=t)
-        AN = self.assemble_stiffness(mu=mu, t=t)
-        CN = self.assemble_convection(mu=mu, t=t)
-        KN = bdf * MN + self.fom.dt * (AN + CN)
-        return MN, KN
-
     def _theta_sources(self):
         sources = super()._theta_sources()
         sources["convection"] = (self.mdeim_Ch, self.assemble_convection)
         return sources
 
     def _system_matrices(self, get, mu, t, bdf, uh, uh_n1):
+        """K_N = bdf·M_N + dt·(A_N + C_N) — moving-domain system, shared by
+        the eager API and the online scans."""
         MN = get("mass")
         AN = get("stiffness")
         CN = get("convection")
@@ -891,30 +894,6 @@ class RomConstructorNonlinear(RomConstructorMoving):
         if self.mdeim_Nh is not None:
             return (np.asarray(self.basis), uN)
         return V @ uN
-
-    def assemble_system(self, mu, t, bdf=1.0, uh=None, uh_n1=None):
-        """K_N = bdf·M_N + dt·(A_N + C_N + N_N(u*) + N̂_N)
-        (reference: rom/rom.py:877-909)."""
-        MN = self.assemble_mass(mu=mu, t=t)
-        AN = self.assemble_stiffness(mu=mu, t=t)
-        CN = self.assemble_convection(mu=mu, t=t)
-
-        # BDF-2 extrapolation u* = 2uₙ − uₙ₋₁ in whichever representation
-        # the state arrived: factorized (V, coeff) or materialized vector.
-        if uh_n1 is None:
-            u_star = uh
-        elif isinstance(uh, tuple):
-            V, cN = uh
-            _, cN1 = uh_n1
-            u_star = (V, 2.0 * cN - cN1)
-        else:
-            u_star = 2.0 * uh - uh_n1
-
-        NN = self.assemble_trilinear(mu=mu, t=t, uh=u_star)
-        NhatN = self.assemble_nonlinear_lifting(mu=mu, t=t)
-
-        KN = bdf * MN + self.fom.dt * (AN + CN + NN + NhatN)
-        return MN, KN
 
     def assemble_system_rhs(self, mu, t, MN_mat, uN_n, uN_n1=None):
         """b_N = M_N·(2u_N − ½u_N₋₁) + dt·f_gN (reference:
@@ -1036,10 +1015,14 @@ class RomConstructorNonlinear(RomConstructorMoving):
         return T0  # (N², N)
 
     def _system_matrices(self, get, mu, t, bdf, uh, uh_n1):
-        """bdf·M + dt(A + C + N(u*) + N̂); the state-dependent trilinear is
-        the one DEIM evaluation that must stay inside the loop — and it
-        collapses to a constant tensor contraction when the operator is
-        scale-invariant (see _trilinear_state_table)."""
+        """K_N = bdf·M_N + dt·(A_N + C_N + N_N(u*) + N̂_N) (reference:
+        rom/rom.py:877-909) — the single source for the piston BDF system,
+        shared by the eager ``assemble_system`` API and the online scans.
+
+        The state-dependent trilinear is the one DEIM evaluation that must
+        stay inside the loop — and it collapses to a constant tensor
+        contraction when the operator is scale-invariant (see
+        _trilinear_state_table)."""
         MN = get("mass")
         AN = get("stiffness")
         CN = get("convection")

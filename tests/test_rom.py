@@ -139,6 +139,25 @@ def test_solve_batch_reduced_mode(trained_rom):
     assert_allclose(red["probes"][..., 1], full["uc"][..., -1], atol=1e-10)
 
 
+def test_assemble_system_delegates_to_system_matrices(trained_rom):
+    """The eager API and the scan path share one BDF formula: K_N must be
+    bdf·M_N + dt·A_N assembled from the same reduced operators."""
+    rom = trained_rom
+    mu = dict(rom.mu_space[Stage.OFFLINE][0])
+    t = 0.37 * rom.fom.domain[rom.fom.T]
+
+    MN, KN = rom.assemble_system(mu=mu, t=t, bdf=1.5)
+    MN_ref = rom.assemble_mass(mu=mu, t=t)
+    AN_ref = rom.assemble_stiffness(mu=mu, t=t)
+
+    assert_allclose(np.asarray(MN), np.asarray(MN_ref), atol=1e-14)
+    assert_allclose(
+        np.asarray(KN),
+        1.5 * np.asarray(MN_ref) + rom.fom.dt * np.asarray(AN_ref),
+        atol=1e-14,
+    )
+
+
 def test_solve_batch_probes_mode(trained_rom):
     """The serving mode keeps only the probe QoIs + final reduced state;
     both must match the reduced sweep exactly."""
