@@ -195,6 +195,10 @@ def main():
 
     serve_dtype = jnp.float32 if os.environ.get("BENCH_F32", "1") == "1" else None
 
+    budget_gb = os.environ.get("BENCH_PRECOMPUTE_BUDGET_GB")
+    if budget_gb:
+        type(rom).ONLINE_PRECOMPUTE_BUDGET = int(float(budget_gb) * 1024**3)
+
     n_rep = int(os.environ.get("BENCH_REPEAT", 3))
     # Serving mode: only probe QoIs + final state leave the device. The
     # trajectory-materializing sweep is `BENCH_MODE=reduced`.
