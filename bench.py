@@ -64,7 +64,7 @@ def main():
     nx = int(os.environ.get("BENCH_NX", 1000))
     nt = int(os.environ.get("BENCH_NT", 1500))
     n_offline = int(os.environ.get("BENCH_OFFLINE_MU", 3))
-    n_online = int(os.environ.get("BENCH_ONLINE_MU", 1024))
+    n_online = int(os.environ.get("BENCH_ONLINE_MU", 2048))
     n_modes = int(os.environ.get("BENCH_SROM_MODES", 20))
     truncate = int(os.environ.get("BENCH_SROM_TRUNCATE", 5))
 

@@ -202,7 +202,9 @@ class DiscreteEmpiricalInterpolation(Reductor):
         deim/deim.py:175-215)."""
         params = self.tree_walk_params
         ts = params[RomParameters.TS]
-        num_snapshots = params[RomParameters.NUM_SNAPSHOTS]
+        # Optional when an explicit mu_space is handed in (tree_walk only
+        # samples when no space is given) — mirrors build_reduced_basis.
+        num_snapshots = params.get(RomParameters.NUM_SNAPSHOTS)
 
         num_mu = params.get(RomParameters.NUM_MU, None)
         num_t = params.get(RomParameters.NUM_TIME, None)
@@ -267,9 +269,14 @@ class DiscreteEmpiricalInterpolation(Reductor):
         deim/deim.py:279-355)."""
         if mu_space:
             space = mu_space
-        else:
+        elif num_snapshots:
             space = self.build_sampling_space(num=num_snapshots,
                                               rnd=self.random_state)
+        else:
+            raise ValueError(
+                "DEIM tree walk needs either an explicit mu_space or "
+                "num_snapshots in tree_walk_params."
+            )
 
         basis_time = []
         for mu in space:
