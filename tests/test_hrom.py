@@ -337,3 +337,40 @@ def test_hrom_piston_pipeline(tmp_path, monkeypatch):
     assert all(
         hrom.rom.PISTON_MACH_MIN <= m <= hrom.rom.PISTON_MACH_MAX for m in machs
     )
+
+    # Fused pallas serving sweep (interpret mode on CPU): trilinear fast
+    # path + BDF-2 must reproduce the lanes probes to f32 accuracy. The
+    # fused kernel serves N <= 16, so check on a truncated, re-wired ROM.
+    import jax.numpy as jnp
+
+    from romtime_tpu.dtypes import compute_dtype_scope
+
+    mus = [dict(s) for s in samples]
+    for m in mus:
+        m.pop(PistonParameters.MACH_PISTON, None)
+    mus = (mus * 32)[:128]
+
+    rom = hrom.rom.truncate(n=max(hrom.rom.N - 10, 0))
+    for reductor, which in (
+        (hrom.mdeim_mass, OperatorType.MASS),
+        (hrom.mdeim_stiffness, OperatorType.STIFFNESS),
+        (hrom.mdeim_convection, OperatorType.CONVECTION),
+        (hrom.deim_rhs, OperatorType.RHS),
+        (hrom.mdeim_trilinear_lifting, OperatorType.NONLINEAR_LIFTING),
+        (hrom.mdeim_trilinear, OperatorType.TRILINEAR),
+    ):
+        rom.add_hyper_reductor(reductor=reductor, which=which)
+    rom.project_reductors()
+
+    with compute_dtype_scope(jnp.float32):
+        try:
+            assert rom._pallas_supported(128), "trilinear fast path expected"
+            lanes = rom.solve_batch(mus, step=Stage.ONLINE, mode="probes",
+                                    engine="lanes")
+            served = rom.solve_batch(mus, step=Stage.ONLINE, mode="probes",
+                                     engine="pallas")
+        finally:
+            rom._online_fns = {}
+    scale = max(np.abs(lanes["probes"]).max(), 1e-3)
+    np.testing.assert_allclose(served["probes"], lanes["probes"],
+                               atol=5e-5 * scale)

@@ -172,6 +172,47 @@ def test_solve_batch_probes_mode(trained_rom):
     assert_allclose(served["uN_final"], red["uN"][:, -1, :], atol=1e-14)
 
 
+def test_solve_batch_pallas_engine(trained_rom):
+    """The fused pallas sweep (interpret mode on CPU) reproduces the lanes
+    probes to f32 accuracy. The batch is deliberately not lane-aligned via
+    padding checks elsewhere — here B=128 exercises one block."""
+    from romtime_tpu.dtypes import compute_dtype_scope
+    import jax.numpy as jnp
+
+    rom = trained_rom
+    base = list(rom.build_sampling_space(num=4, rnd=np.random.RandomState(9)))
+    mus = (base * 32)[:128]
+
+    with compute_dtype_scope(jnp.float32):
+        rom._online_fns = {}
+        try:
+            lanes = rom.solve_batch(mus, step=Stage.ONLINE, mode="probes",
+                                    engine="lanes")
+            served = rom.solve_batch(mus, step=Stage.ONLINE, mode="probes",
+                                     engine="pallas")
+        finally:
+            rom._online_fns = {}
+
+    assert served["probes"].shape == lanes["probes"].shape
+    scale = np.abs(lanes["probes"]).max()
+    assert_allclose(served["probes"], lanes["probes"], atol=3e-5 * scale)
+    assert_allclose(served["uN_final"], lanes["uN_final"],
+                    atol=1e-4 * max(np.abs(lanes["uN_final"]).max(), 1.0))
+
+
+def test_pallas_supported_gating(trained_rom):
+    """Auto-selection only picks the fused kernel in its supported regime."""
+    rom = trained_rom
+    # f64 compute (test default) -> not supported
+    assert not rom._pallas_supported(128)
+    from romtime_tpu.dtypes import compute_dtype_scope
+    import jax.numpy as jnp
+
+    with compute_dtype_scope(jnp.float32):
+        assert rom._pallas_supported(128)
+        assert not rom._pallas_supported(100)  # lane misalignment
+
+
 def test_truncate(trained_rom):
     rom = trained_rom
     N = rom.N
