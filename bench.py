@@ -213,16 +213,63 @@ def main():
                                engine=engine, host=False)
         log("online: timing")
 
-        # Timed loop runs on-device (QoIs stay in HBM for downstream
-        # aggregation); the one-time device->host copy of the probe tables
-        # is measured separately — over this host link it would otherwise
-        # dominate (docs/tpu_notes.md).
-        t0 = time.time()
-        for _ in range(n_rep):
-            outs = rom.solve_batch(mus, step=Stage.ONLINE, mode=serve_mode,
-                                   engine=engine, host=False)
-        online_wall = (time.time() - t0) / n_rep
+        # Honest device timing on the axon backend (docs/tpu_notes.md):
+        #   - jax.block_until_ready is a NO-OP;
+        #   - the runtime is LAZY — launches whose outputs are never
+        #     fetched (even transitively) never execute, and K separately
+        #     queued sweeps hold K sets of operator tables alive (HBM
+        #     pressure distorts the timing);
+        # so K sweeps are chained INSIDE one jit — each sweep's input
+        # perturbed by a scalar from the previous sweep's output, forcing
+        # strict sequential execution — and a single scalar leaves the
+        # device. marginal(wall_K, wall_1) is then pure per-sweep device
+        # time, independent of tunnel latency/bandwidth.
+        from functools import partial
 
+        name0 = sorted(mus[0].keys())[0]
+        names = sorted(mus[0].keys())
+        batch = {
+            k: jnp.asarray(np.array([float(m[k]) for m in mus]),
+                           jnp.float32 if serve_dtype else None)
+            for k in names
+        }
+        resolved = engine
+        if resolved is None:
+            resolved = ("pallas"
+                        if serve_mode == "probes"
+                        and rom._pallas_supported(n_online)
+                        else ("lanes" if rom._lanes_supported() else "vmap"))
+        if resolved == "pallas":
+            online_fn = partial(rom._online_sweep_pallas,
+                                interpret=jax.default_backend() == "cpu")
+        else:
+            online_fn = partial(rom._online_scan_batch, mode=serve_mode)
+        rom._prime_online_tables()
+
+        def chained(batch, reps):
+            acc = jnp.asarray(0.0, batch[name0].dtype)
+            for k in range(reps):
+                b2 = dict(batch)
+                b2[name0] = b2[name0] + acc * 1e-30 + k * 1e-9
+                o = online_fn(b2)
+                acc = acc + jnp.sum(o["uN_final"])
+            return acc
+
+        chain_1 = jax.jit(partial(chained, reps=1))
+        chain_k = jax.jit(partial(chained, reps=n_rep))
+        float(np.asarray(chain_1(batch)))  # compile + execute
+        float(np.asarray(chain_k(batch)))
+
+        t0 = time.time()
+        float(np.asarray(chain_1(batch)))
+        wall_1 = time.time() - t0
+        t0 = time.time()
+        float(np.asarray(chain_k(batch)))
+        wall_k = time.time() - t0
+        online_wall = max((wall_k - wall_1) / max(n_rep - 1, 1), 1e-9)
+
+        outs = rom.solve_batch(mus, step=Stage.ONLINE, mode=serve_mode,
+                               engine=engine, host=False)
         t0 = time.time()
         outs = jax.tree_util.tree_map(np.asarray, outs)
         fetch_wall = time.time() - t0
@@ -249,8 +296,9 @@ def main():
             "rom_modes": int(rom.N),
             "batch": n_online,
             "mode": serve_mode,
-            "engine": engine or "auto",
+            "engine": resolved,
             "host_fetch_wall_s": round(fetch_wall, 4),
+            "single_sweep_plus_sync_wall_s": round(wall_1, 4),
             "online_sweep_wall_s": round(online_wall, 4),
             "offline_wall_s": round(offline_wall, 2),
             "rel_l2_vs_fom": rel_l2,

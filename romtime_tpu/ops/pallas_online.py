@@ -50,9 +50,19 @@ def _chunk_for(nt):
     """Largest DMA chunk (timesteps per transfer) that divides nt.
 
     Scratch cost is 2 slots × chunk × (2·NP² + NP + PROBE_P) × BLANE × 4
-    bytes ≈ chunk × 0.56 MB — chunk 10 stays within the 16 MB scoped-VMEM
-    default with room for the compiler."""
-    for c in (10, 12, 8, 6, 5, 4, 3, 2):
+    bytes ≈ chunk × 0.55 MB. The sweep is DMA-*latency* bound (measured:
+    chunk 10 → ~9600 waits → ~196 ms at nt=1500, B=2048), so prefer the
+    largest chunk that fits the raised vmem budget (~41 MB at chunk 75);
+    per-step compute is unrolled chunk times, so Mosaic compile time also
+    grows with chunk — 75 compiles in ~½ min."""
+    for c in (75, 60, 50, 40, 30, 25, 20, 15, 12, 10, 8, 6, 5, 4, 3, 2):
+        if nt % c == 0:
+            return c
+    return 1
+
+
+def _chunk_capped(nt, cap):
+    for c in range(min(cap, nt), 0, -1):
         if nt % c == 0:
             return c
     return 1
@@ -228,7 +238,9 @@ def online_sweep_pallas(MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0,
     nt, _, _, B = MN_p.shape
     if B % BLANE:
         raise ValueError(f"batch ({B}) must be a multiple of {BLANE}")
-    chunk = _chunk_for(nt)
+    # Interpret mode (CPU tests) pays python-level cost per unrolled step:
+    # keep chunks small there.
+    chunk = _chunk_capped(nt, 8) if interpret else _chunk_for(nt)
 
     kernel = partial(_sweep_kernel, nt=nt, chunk=chunk, dt=dt, bdf2=bdf2,
                      with_trilinear=with_trilinear, n_real=n_real)

@@ -687,12 +687,7 @@ class RomConstructor(Reductor):
         reduced state lives in VMEM, the operator time tables stream from
         HBM (see ops/pallas_online.py). Numerically identical to
         ``_online_scan_batch(mode="probes")`` up to f32 op ordering."""
-        from ..ops.pallas_online import (
-            NP,
-            PROBE_P,
-            online_sweep_pallas,
-            pad_reduced_tables,
-        )
+        from ..ops.pallas_online import NP, PROBE_P, online_sweep_pallas
 
         fom = self.fom
         nt = int(fom.domain[fom.NT])
@@ -705,28 +700,50 @@ class RomConstructor(Reductor):
         sources = self._theta_sources()
         ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
         theta_tables = {
-            name: jax.vmap(lambda t, red=red: red._thetas_traced(mu, t))(ts_grid)
+            name: jax.vmap(lambda t, red=red: red._thetas_traced(mu, t))(
+                ts_grid
+            ).astype(dtype)
             for name, (red, _fb) in sources.items()
             if red is not None
         }
 
-        def combined(name):
-            red, _fb = sources[name]
-            basis = _asarray(red.basis_rom)
-            return jnp.einsum("nk,tkB->tnB", basis, theta_tables[name])
+        # Build the padded (nt, NP, NP, B) tables in ONE einsum each,
+        # writing the padded layout directly: a separate einsum per
+        # operator + a pad pass costs several extra full-table HBM sweeps
+        # (measured ~130 ms of the ~208 ms end-to-end sweep). The matrix
+        # θ-sources other than the mass are concatenated along k (dt folded
+        # into the basis), and the padded-diagonal identity rides along as
+        # one constant-θ column.
+        def basis_pad_mat(basis_rom, scale=1.0):
+            k = basis_rom.shape[1]
+            out = np.zeros((NP, NP, k), np.float32)
+            out[:N, :N, :] = np.asarray(basis_rom).reshape(N, N, k) * scale
+            return out
 
-        MN_tab = combined("mass")
-        KLIN_tab = dt * sum(
-            combined(name)
-            for name in sources
-            if name not in ("mass", "rhs_vec")
+        mass_bp = jnp.asarray(basis_pad_mat(sources["mass"][0].basis_rom))
+        MN_p = jnp.einsum("ijk,tkB->tijB", mass_bp, theta_tables["mass"])
+
+        klin_names = [n for n in sources
+                      if n not in ("mass", "rhs_vec") and sources[n][0]]
+        pad_eye = np.zeros((NP, NP, 1), np.float32)
+        pad_eye[np.arange(N, NP), np.arange(N, NP), 0] = 1.0
+        klin_bp = jnp.asarray(np.concatenate(
+            [basis_pad_mat(sources[n][0].basis_rom, scale=float(fom.dt))
+             for n in klin_names] + [pad_eye], axis=2,
+        ))
+        klin_th = jnp.concatenate(
+            [theta_tables[n] for n in klin_names]
+            + [jnp.ones((nt, 1, B), dtype)], axis=1,
         )
-        fN_tab = dt * combined("rhs_vec")
-        # The kernel serves in f32 regardless of the (offline) ambient dtype.
-        MN_p, KL_p, fN_p = pad_reduced_tables(
-            MN_tab.astype(dtype), KLIN_tab.astype(dtype),
-            fN_tab.astype(dtype), N,
+        KL_p = jnp.einsum("ijk,tkB->tijB", klin_bp, klin_th)
+
+        rhs_bp = np.zeros((NP, sources["rhs_vec"][0].basis_rom.shape[1]),
+                          np.float32)
+        rhs_bp[:N, :] = np.asarray(sources["rhs_vec"][0].basis_rom) * float(
+            fom.dt
         )
+        fN_p = jnp.einsum("nk,tkB->tnB", jnp.asarray(rhs_bp),
+                          theta_tables["rhs_vec"])
 
         def g_at(t):
             scale = fom.scale_factor(mu, t) if fom.Lt else _scalar(1.0)
