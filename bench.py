@@ -244,6 +244,7 @@ def main():
                                 interpret=jax.default_backend() == "cpu")
         else:
             online_fn = partial(rom._online_scan_batch, mode=serve_mode)
+        online_fn = rom._full_precision(online_fn)
         rom._prime_online_tables()
 
         def chained(batch, reps):

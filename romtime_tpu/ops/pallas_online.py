@@ -41,24 +41,30 @@ from jax.experimental.pallas import tpu as pltpu
 if sys.getrecursionlimit() < 20000:
     sys.setrecursionlimit(20000)
 
-NP = 16       # padded reduced dimension (sublane-aligned)
+NP = 16       # default padded reduced dimension (one sublane tile)
 PROBE_P = 8   # padded probe rows
 BLANE = 128   # lane block
 
 
-def _chunk_for(nt):
-    """Largest DMA chunk (timesteps per transfer) that divides nt.
+def pad_dim(n):
+    """Smallest sublane-tile multiple (16) that holds n; the kernel serves
+    n up to 32 (two tiles) before VMEM scratch pressure bites."""
+    return max(16, -(-n // 16) * 16)
 
-    Scratch cost is 2 slots × chunk × (2·NP² + NP + PROBE_P) × BLANE × 4
-    bytes ≈ chunk × 0.55 MB. The sweep is DMA-*latency* bound (measured:
-    chunk 10 → ~9600 waits → ~196 ms at nt=1500, B=2048), so prefer the
-    largest chunk that fits the raised vmem budget (~41 MB at chunk 75);
-    per-step compute is unrolled chunk times, so Mosaic compile time also
-    grows with chunk — 75 compiles in ~½ min."""
-    for c in (75, 60, 50, 40, 30, 25, 20, 15, 12, 10, 8, 6, 5, 4, 3, 2):
-        if nt % c == 0:
-            return c
-    return 1
+
+def _chunk_for(nt, n_pad=NP):
+    """Largest DMA chunk (timesteps per transfer) that divides nt and fits
+    the scratch budget.
+
+    Scratch cost is 2 slots × chunk × (2·n_pad² + n_pad + PROBE_P) × BLANE
+    × 4 bytes (≈ chunk × 0.55 MB at n_pad=16). The sweep is DMA-*latency*
+    bound (measured: chunk 10 → ~9600 waits → ~196 ms at nt=1500, B=2048),
+    so prefer the largest chunk within ~44 MB of scratch; per-step compute
+    is unrolled chunk times, so Mosaic compile time also grows with chunk
+    — 75 compiles in ~½ min at n_pad=16."""
+    per_step = 2 * (2 * n_pad * n_pad + n_pad + PROBE_P) * BLANE * 4
+    cap = min(75, max(1, (44 * 1024 * 1024) // per_step))
+    return _chunk_capped(nt, cap)
 
 
 def _chunk_capped(nt, cap):
@@ -68,12 +74,13 @@ def _chunk_capped(nt, cap):
     return 1
 
 
-def pad_reduced_tables(MN_tab, KLIN_tab, fN_tab, N):
+def pad_reduced_tables(MN_tab, KLIN_tab, fN_tab, N, n_pad=None):
     """(nt, N², B)/(nt, N, B) tables → padded (nt, NP, NP, B)/(nt, NP, B).
 
     The padded diagonal of KLIN is set to 1 so the padded block of the
     per-step system matrix is the identity (see module docstring).
     """
+    NP = n_pad or pad_dim(N)
     nt, _, B = MN_tab.shape
     dtype = MN_tab.dtype
 
@@ -96,7 +103,8 @@ def pad_reduced_tables(MN_tab, KLIN_tab, fN_tab, N):
 
 def _sweep_kernel(MN_ref, KL_ref, fN_ref, g_ref, T0_ref, VE_ref, b0_ref,
                   probes_ref, uN_ref, *, nt, chunk, dt, bdf2,
-                  with_trilinear, n_real):
+                  with_trilinear, n_real, n_pad):
+    NP = n_pad
     i = pl.program_id(0)
     n_chunks = nt // chunk
 
@@ -235,15 +243,16 @@ def online_sweep_pallas(MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0,
 
     Returns (probes (nt, PROBE_P, B), uN_final (NP, B)).
     """
-    nt, _, _, B = MN_p.shape
+    nt, n_pad, _, B = MN_p.shape
     if B % BLANE:
         raise ValueError(f"batch ({B}) must be a multiple of {BLANE}")
     # Interpret mode (CPU tests) pays python-level cost per unrolled step:
     # keep chunks small there.
-    chunk = _chunk_capped(nt, 8) if interpret else _chunk_for(nt)
+    chunk = _chunk_capped(nt, 8) if interpret else _chunk_for(nt, n_pad)
 
     kernel = partial(_sweep_kernel, nt=nt, chunk=chunk, dt=dt, bdf2=bdf2,
-                     with_trilinear=with_trilinear, n_real=n_real)
+                     with_trilinear=with_trilinear, n_real=n_real,
+                     n_pad=n_pad)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     call = pl.pallas_call(
@@ -255,12 +264,12 @@ def online_sweep_pallas(MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0,
         out_specs=[
             pl.BlockSpec((nt, PROBE_P, BLANE), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NP, BLANE), lambda i: (0, i),
+            pl.BlockSpec((n_pad, BLANE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nt, PROBE_P, B), jnp.float32),
-            jax.ShapeDtypeStruct((NP, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, B), jnp.float32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

@@ -669,9 +669,9 @@ class RomConstructor(Reductor):
         all operators hyper-reduced, N ≤ 16 (one sublane tile), lane-aligned
         batch, f32 serving dtype, and — for the nonlinear family — the
         trilinear fast-path table (in-body DEIM stays on the scan path)."""
-        from ..ops.pallas_online import BLANE, NP
+        from ..ops.pallas_online import BLANE
 
-        if self.N > NP or B % BLANE:
+        if self.N > 32 or B % BLANE:
             return False
         if compute_dtype() != jnp.float32:
             return False
@@ -687,7 +687,13 @@ class RomConstructor(Reductor):
         reduced state lives in VMEM, the operator time tables stream from
         HBM (see ops/pallas_online.py). Numerically identical to
         ``_online_scan_batch(mode="probes")`` up to f32 op ordering."""
-        from ..ops.pallas_online import NP, PROBE_P, online_sweep_pallas
+        from ..ops.pallas_online import (
+            PROBE_P,
+            online_sweep_pallas,
+            pad_dim,
+        )
+
+        NP = pad_dim(self.N)
 
         fom = self.fom
         nt = int(fom.domain[fom.NT])
@@ -808,6 +814,19 @@ class RomConstructor(Reductor):
             return False
         return True
 
+    @staticmethod
+    def _full_precision(impl):
+        """Pin every matmul/einsum in an online function to full f32
+        precision: the TPU default lowers f32 contractions to bf16 MXU
+        passes (~1e-4 relative per op), which compounds over nt recursion
+        steps — measured 2e-3 rel after 300 BDF-2 steps. The online
+        contractions are tiny/bandwidth-bound, so HIGHEST costs ~nothing."""
+        def wrapped(*args, **kwargs):
+            with jax.default_matmul_precision("highest"):
+                return impl(*args, **kwargs)
+
+        return wrapped
+
     def _get_online_fn(self, batched, mode="full", engine="vmap"):
         key = ("batched" if batched else "single", mode, engine, self.N,
                compute_dtype())
@@ -815,14 +834,15 @@ class RomConstructor(Reductor):
         if fn is None:
             if batched and engine == "pallas":
                 interpret = jax.default_backend() == "cpu"
-                fn = jax.jit(partial(self._online_sweep_pallas,
-                                     interpret=interpret))
+                impl = partial(self._online_sweep_pallas,
+                               interpret=interpret)
             elif batched and engine == "lanes":
-                fn = jax.jit(partial(self._online_scan_batch, mode=mode))
+                impl = partial(self._online_scan_batch, mode=mode)
             elif batched:
-                fn = jax.jit(jax.vmap(partial(self._online_scan, mode=mode)))
+                impl = jax.vmap(partial(self._online_scan, mode=mode))
             else:
-                fn = jax.jit(partial(self._online_scan, mode=mode))
+                impl = partial(self._online_scan, mode=mode)
+            fn = jax.jit(self._full_precision(impl))
             self._online_fns[key] = fn
         return fn
 

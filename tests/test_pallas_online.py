@@ -1,0 +1,136 @@
+"""Ops-level equivalence for the fused pallas serving sweep (interpret
+mode): the kernel must reproduce an XLA-scan reference of the identical
+recursion on synthetic well-conditioned tables, for both one-tile (N<=16)
+and two-tile (16<N<=32) padded sizes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from romtime_tpu.ops.pallas_online import (
+    PROBE_P,
+    online_sweep_pallas,
+    pad_dim,
+    pad_reduced_tables,
+)
+
+
+def _synthetic(N, NT, B, seed=0):
+    rng = np.random.default_rng(seed)
+    dt = 1.0 / NT
+    eye = np.eye(N, dtype=np.float32)
+    MN = 0.05 * rng.normal(size=(NT, N, N, B)) + eye[None, :, :, None]
+    KL = (0.02 * rng.normal(size=(NT, N, N, B)) + 2.0 * eye[None, :, :, None]) * dt
+    fN = 0.1 * dt * rng.normal(size=(NT, N, B))
+    g = 0.01 * rng.normal(size=(NT, 2, B))
+    T0 = 0.05 * rng.normal(size=(N * N, N))
+    b0 = 1.0 + 0.1 * rng.normal(size=(B,))
+    VE = rng.normal(size=(2, N))
+    to32 = lambda a: np.asarray(a, np.float32)
+    return (to32(MN).reshape(NT, N * N, B), to32(KL).reshape(NT, N * N, B),
+            to32(fN), to32(g), to32(T0), to32(b0), to32(VE), dt)
+
+
+def _ref_scan(MN_t, KL_t, fN_t, g_t, T0, b0, VE, dt, N, B):
+    def step(carry, xs):
+        uN, uN1, k = carry
+        MN, KL, fN, g = xs
+        MN = MN.reshape(N, N, B)
+        KL = KL.reshape(N, N, B)
+        bdf = jnp.where(k == 0, 1.0, 1.5).astype(jnp.float32)
+        u_star = 2.0 * uN - uN1
+        NN = (T0 @ u_star).reshape(N, N, B) * (dt * b0)[None, None, :]
+        KN = bdf * MN + KL + NN
+        combo = 2.0 * uN - 0.5 * uN1
+        bN = jnp.einsum("ijB,jB->iB", MN, combo) + fN
+        for kk in range(N):
+            inv = 1.0 / KN[kk, kk, :]
+            row = KN[kk] * inv[None, :]
+            bk = bN[kk] * inv
+            colk = KN[:, kk, :]
+            KN = (KN - colk[:, None, :] * row[None, :, :]).at[kk].set(row)
+            bN = (bN - colk * bk[None, :]).at[kk].set(bk)
+        return (bN, uN, k + 1), VE @ bN + g
+
+    zeros = jnp.zeros((N, B), jnp.float32)
+    (uN, _, _), probes = jax.lax.scan(
+        step, (zeros, zeros, 0),
+        tuple(jnp.asarray(x) for x in (MN_t, KL_t, fN_t, g_t)),
+    )
+    return probes, uN
+
+
+@pytest.mark.parametrize("N", [15, 20])
+def test_fused_sweep_matches_scan(N):
+    NT, B = 24, 128
+    MN_t, KL_t, fN_t, g_t, T0, b0, VE, dt = _synthetic(N, NT, B, seed=N)
+    NP = pad_dim(N)
+
+    MN_p, KL_p, fN_p = pad_reduced_tables(
+        jnp.asarray(MN_t), jnp.asarray(KL_t), jnp.asarray(fN_t), N
+    )
+    g_p = jnp.zeros((NT, PROBE_P, B), jnp.float32).at[:, :2, :].set(g_t)
+    T0_np = np.zeros((NP, NP, NP), np.float32)
+    T0_np[:N, :N, :N] = T0.reshape(N, N, N)
+    VE_p = jnp.zeros((PROBE_P, NP), jnp.float32).at[:2, :N].set(VE)
+
+    probes_pl, uN_pl = online_sweep_pallas(
+        MN_p, KL_p, fN_p, g_p,
+        jnp.asarray(T0_np.reshape(NP * NP, NP)), VE_p,
+        jnp.asarray(b0)[None, :],
+        dt=dt, bdf2=True, with_trilinear=True, n_real=N, interpret=True,
+    )
+    probes_ref, uN_ref = _ref_scan(MN_t, KL_t, fN_t, g_t,
+                                   jnp.asarray(T0), jnp.asarray(b0),
+                                   jnp.asarray(VE), dt, N, B)
+
+    scale = float(np.abs(np.asarray(probes_ref)).max())
+    np.testing.assert_allclose(np.asarray(probes_pl)[:, :2, :],
+                               np.asarray(probes_ref),
+                               atol=2e-6 * max(scale, 1.0))
+    # padded probe rows and state entries stay exactly zero
+    assert float(np.abs(np.asarray(probes_pl)[:, 2:, :]).max()) == 0.0
+    assert float(np.abs(np.asarray(uN_pl)[N:, :]).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(uN_pl)[:N], np.asarray(uN_ref),
+                               atol=1e-5)
+
+
+def test_fused_sweep_bdf1_no_trilinear():
+    """Heat-family configuration: BDF-1, no state-dependent operator."""
+    N, NT, B = 9, 16, 128
+    MN_t, KL_t, fN_t, g_t, _T0, _b0, VE, dt = _synthetic(N, NT, B, seed=3)
+    NP = pad_dim(N)
+
+    MN_p, KL_p, fN_p = pad_reduced_tables(
+        jnp.asarray(MN_t), jnp.asarray(KL_t), jnp.asarray(fN_t), N
+    )
+    g_p = jnp.zeros((NT, PROBE_P, B), jnp.float32).at[:, :2, :].set(g_t)
+    VE_p = jnp.zeros((PROBE_P, NP), jnp.float32).at[:2, :N].set(VE)
+
+    probes_pl, _ = online_sweep_pallas(
+        MN_p, KL_p, fN_p, g_p,
+        jnp.zeros((NP * NP, NP), jnp.float32), VE_p,
+        jnp.ones((1, B), jnp.float32),
+        dt=dt, bdf2=False, with_trilinear=False, n_real=N, interpret=True,
+    )
+
+    def step(carry, xs):
+        uN = carry
+        MN, KL, fN, g = xs
+        MN = MN.reshape(N, N, B)
+        KN = MN + KL.reshape(N, N, B)
+        bN = jnp.einsum("ijB,jB->iB", MN, uN) + fN
+        uN = jnp.linalg.solve(
+            jnp.moveaxis(KN, -1, 0), jnp.moveaxis(bN, -1, 0)[..., None]
+        )[..., 0].T
+        return uN, VE @ uN + g
+
+    _, probes_ref = jax.lax.scan(
+        step, jnp.zeros((N, B), jnp.float32),
+        tuple(jnp.asarray(x) for x in (MN_t, KL_t, fN_t, g_t)),
+    )
+    scale = float(np.abs(np.asarray(probes_ref)).max())
+    np.testing.assert_allclose(np.asarray(probes_pl)[:, :2, :],
+                               np.asarray(probes_ref),
+                               atol=5e-5 * max(scale, 1.0))
