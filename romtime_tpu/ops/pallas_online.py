@@ -101,6 +101,59 @@ def pad_reduced_tables(MN_tab, KLIN_tab, fN_tab, N, n_pad=None):
     return MN_p, KL_p, fN_p
 
 
+def _bdf_step(MN, KL, fN, g, uN, uN1, step, T0, VE, b0, dt_c, bdf2,
+              with_trilinear, n_real, NP):
+    """One BDF step on a (NP, NP, BLANE) lane block: assemble K_N/b_N,
+    pivot-free Gauss-Jordan over the N real rows (the padded block of K_N
+    is the identity so it never mixes in; pivot rows are restored with
+    static one-hot selects — a .at[k] update would lower to an unsupported
+    in-kernel scatter), probes via the MXU. Shared by the matrices- and
+    θ-streaming kernels. All constants must be strong-typed f32/i32 (see
+    the x64 notes above)."""
+    i32 = jnp.int32
+    one = jnp.float32(1.0)
+    two = jnp.float32(2.0)
+    half = jnp.float32(0.5)
+    three_half = jnp.float32(1.5)
+
+    if bdf2:
+        bdf = jnp.where(step == i32(0), one, three_half)
+        combo = two * uN - half * uN1
+        u_star = two * uN - uN1
+    else:
+        bdf = one
+        combo = uN
+        u_star = uN
+
+    KN = bdf * MN + KL
+    if with_trilinear:
+        NN = jax.lax.dot(
+            T0, u_star, precision=jax.lax.Precision.HIGHEST
+        ).reshape(NP, NP, BLANE)
+        KN = KN + NN * (dt_c * b0)[None, None, :]
+
+    bN = jnp.sum(MN * combo[None, :, :], axis=1) + fN
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (NP, 1), 0)
+    for k in range(n_real):
+        is_k = row_ids == i32(k)            # (NP, 1)
+        inv = one / KN[k, k, :]
+        row = KN[k] * inv[None, :]          # (NP, BLANE)
+        bk = bN[k] * inv                    # (BLANE,)
+        colk = KN[:, k, :]                  # (NP, BLANE)
+        KN = jnp.where(is_k[:, :, None],
+                       row[None, :, :],
+                       KN - colk[:, None, :] * row[None, :, :])
+        bN = jnp.where(is_k,
+                       bk[None, :],
+                       bN - colk * bk[None, :])
+
+    probes = jax.lax.dot(
+        VE, bN, precision=jax.lax.Precision.HIGHEST
+    ) + g
+    return bN, probes
+
+
 def _sweep_kernel(MN_ref, KL_ref, fN_ref, g_ref, T0_ref, VE_ref, b0_ref,
                   probes_ref, uN_ref, *, nt, chunk, dt, bdf2,
                   with_trilinear, n_real, n_pad):
@@ -131,14 +184,6 @@ def _sweep_kernel(MN_ref, KL_ref, fN_ref, g_ref, T0_ref, VE_ref, b0_ref,
         VE = VE_ref[:]                                       # (PROBE_P, NP)
         b0 = b0_ref[0, :] if with_trilinear else None        # (BLANE,)
 
-        # Strong-typed f32 constants: weak python-float literals would each
-        # canonicalize to a convert_element_type under jax_enable_x64, and
-        # Mosaic lowers every convert with one extra level of Python
-        # recursion — hundreds of them overflow the interpreter stack.
-        one = jnp.float32(1.0)
-        two = jnp.float32(2.0)
-        half = jnp.float32(0.5)
-        three_half = jnp.float32(1.5)
         dt_c = jnp.float32(dt)
 
         def chunk_body(c, carry):
@@ -158,53 +203,14 @@ def _sweep_kernel(MN_ref, KL_ref, fN_ref, g_ref, T0_ref, VE_ref, b0_ref,
 
             for s in range(chunk):
                 step = c * i32(chunk) + i32(s)
-                MN = mn_s[slot, s]   # (NP, NP, BLANE)
-                KL = kl_s[slot, s]
-                fN = fn_s[slot, s]   # (NP, BLANE)
-                g = g_s[slot, s]     # (PROBE_P, BLANE)
-
-                if bdf2:
-                    bdf = jnp.where(step == i32(0), one, three_half)
-                    combo = two * uN - half * uN1
-                    u_star = two * uN - uN1
-                else:
-                    bdf = one
-                    combo = uN
-                    u_star = uN
-
-                KN = bdf * MN + KL
-                if with_trilinear:
-                    NN = jax.lax.dot(
-                        T0, u_star, precision=jax.lax.Precision.HIGHEST
-                    ).reshape(NP, NP, BLANE)
-                    KN = KN + NN * (dt_c * b0)[None, None, :]
-
-                bN = jnp.sum(MN * combo[None, :, :], axis=1) + fN
-
-                # Pivot-free Gauss-Jordan over the N real rows; the padded
-                # block of KN is the identity so it never mixes in. Pivot
-                # rows are restored with static one-hot selects (a .at[k]
-                # update would lower to an unsupported in-kernel scatter).
-                row_ids = jax.lax.broadcasted_iota(jnp.int32, (NP, 1), 0)
-                for k in range(n_real):
-                    is_k = row_ids == i32(k)            # (NP, 1)
-                    inv = one / KN[k, k, :]
-                    row = KN[k] * inv[None, :]          # (NP, BLANE)
-                    bk = bN[k] * inv                    # (BLANE,)
-                    colk = KN[:, k, :]                  # (NP, BLANE)
-                    KN = jnp.where(is_k[:, :, None],
-                                   row[None, :, :],
-                                   KN - colk[:, None, :] * row[None, :, :])
-                    bN = jnp.where(is_k,
-                                   bk[None, :],
-                                   bN - colk * bk[None, :])
-
+                uN_new, probes = _bdf_step(
+                    mn_s[slot, s], kl_s[slot, s], fn_s[slot, s],
+                    g_s[slot, s], uN, uN1, step, T0, VE, b0, dt_c,
+                    bdf2, with_trilinear, n_real, NP,
+                )
                 uN1 = uN
-                uN = bN
-
-                probes_ref[step] = jax.lax.dot(
-                    VE, uN, precision=jax.lax.Precision.HIGHEST
-                ) + g
+                uN = uN_new
+                probes_ref[step] = probes
 
             return (uN, uN1)
 
@@ -282,3 +288,160 @@ def online_sweep_pallas(MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0,
     # kernel inputs are already f32/i32, so semantics are unchanged.
     with jax.enable_x64(False):
         return call(MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0)
+
+
+def _theta_sweep_kernel(THm_ref, THk_ref, THf_ref, g_ref, Bm_ref, Bk_ref,
+                        Bf_ref, T0_ref, VE_ref, b0_ref, probes_ref, uN_ref,
+                        *, nt, chunk, dt, bdf2, with_trilinear, n_real,
+                        n_pad):
+    """θ-streaming variant: only the DEIM coefficient tables θ(μ, t) —
+    (nt, k, B) with k ≈ 10–60 — stream from HBM; the reduced operators are
+    reconstructed per step in VMEM as one MXU matmul against the constant
+    padded basis tensors. HBM traffic per sweep drops from 2·nt·NP²·B·4
+    bytes (matrices kernel) to nt·Σk·B·4 — ~15× at the headline config —
+    and the design scales to NP=64 where materialized tables no longer fit
+    in HBM."""
+    NP = n_pad
+    i = pl.program_id(0)
+    n_chunks = nt // chunk
+
+    def body(thm_s, thk_s, thf_s, g_s, sems):
+        lanes = pl.ds(i * BLANE, BLANE)
+
+        def dmas(slot, c):
+            sl = pl.ds(c * chunk, chunk)
+            return (
+                pltpu.make_async_copy(THm_ref.at[sl, :, lanes],
+                                      thm_s.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(THk_ref.at[sl, :, lanes],
+                                      thk_s.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(THf_ref.at[sl, :, lanes],
+                                      thf_s.at[slot], sems.at[slot, 2]),
+                pltpu.make_async_copy(g_ref.at[sl, :, lanes],
+                                      g_s.at[slot], sems.at[slot, 3]),
+            )
+
+        for d in dmas(0, 0):
+            d.start()
+
+        Bm = Bm_ref[:]                                       # (NP·NP, km)
+        Bk = Bk_ref[:]                                       # (NP·NP, kk)
+        Bf = Bf_ref[:]                                       # (NP, kf)
+        T0 = T0_ref[:] if with_trilinear else None           # (NP·NP, NP)
+        VE = VE_ref[:]                                       # (PROBE_P, NP)
+        b0 = b0_ref[0, :] if with_trilinear else None        # (BLANE,)
+        dt_c = jnp.float32(dt)
+        hi = jax.lax.Precision.HIGHEST
+
+        def chunk_body(c, carry):
+            i32 = jnp.int32
+            uN, uN1 = carry
+            slot = jax.lax.rem(c, i32(2))
+
+            @pl.when(c + i32(1) < i32(n_chunks))
+            def _():
+                for d in dmas(jax.lax.rem(c + i32(1), i32(2)), c + i32(1)):
+                    d.start()
+
+            for d in dmas(slot, c):
+                d.wait()
+
+            for s in range(chunk):
+                step = c * i32(chunk) + i32(s)
+                MN = jax.lax.dot(Bm, thm_s[slot, s],
+                                 precision=hi).reshape(NP, NP, BLANE)
+                KL = jax.lax.dot(Bk, thk_s[slot, s],
+                                 precision=hi).reshape(NP, NP, BLANE)
+                fN = jax.lax.dot(Bf, thf_s[slot, s], precision=hi)
+                uN_new, probes = _bdf_step(
+                    MN, KL, fN, g_s[slot, s], uN, uN1, step, T0, VE, b0,
+                    dt_c, bdf2, with_trilinear, n_real, NP,
+                )
+                uN1 = uN
+                uN = uN_new
+                probes_ref[step] = probes
+
+            return (uN, uN1)
+
+        zeros = jnp.zeros((NP, BLANE), jnp.float32)
+        uN, _ = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks),
+                                  chunk_body, (zeros, zeros))
+        uN_ref[:] = uN
+
+    km = THm_ref.shape[1]
+    kk = THk_ref.shape[1]
+    kf = THf_ref.shape[1]
+    pl.run_scoped(
+        body,
+        thm_s=pltpu.VMEM((2, chunk, km, BLANE), jnp.float32),
+        thk_s=pltpu.VMEM((2, chunk, kk, BLANE), jnp.float32),
+        thf_s=pltpu.VMEM((2, chunk, kf, BLANE), jnp.float32),
+        g_s=pltpu.VMEM((2, chunk, PROBE_P, BLANE), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2, 4)),
+    )
+
+
+@partial(jax.jit, static_argnames=("dt", "bdf2", "with_trilinear",
+                                   "n_real", "interpret"))
+def online_sweep_theta_pallas(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p, VE_p,
+                              b0, *, dt, bdf2=True, with_trilinear=True,
+                              n_real=15, interpret=False):
+    """θ-streaming fused sweep.
+
+    THm/THk/THf : (nt, k, B) θ coefficient tables, k 8-aligned; THk carries
+                  the concatenated stiffness-side operators plus one
+                  constant-1 row for the padded-diagonal identity
+    g_p         : (nt, PROBE_P, B) lifting at the probe points
+    Bm/Bk       : (NP·NP, k) padded basis tensors (dt folded into Bk)
+    Bf          : (NP, kf) padded rhs basis (dt folded)
+    T0_p        : (NP·NP, NP) trilinear fast-path tensor
+    VE_p        : (PROBE_P, NP) probe rows
+    b0          : (1, B) trilinear μ-coefficient
+
+    Returns (probes (nt, PROBE_P, B), uN_final (NP, B)).
+    """
+    nt, _, B = THm.shape
+    n_pad = VE_p.shape[1]
+    if B % BLANE:
+        raise ValueError(f"batch ({B}) must be a multiple of {BLANE}")
+    for tab in (THm, THk, THf):
+        if tab.shape[1] % 8:
+            raise ValueError("θ table k dims must be 8-aligned (pad with "
+                             "zero rows + zero basis columns)")
+    if interpret:
+        chunk = _chunk_capped(nt, 8)
+    else:
+        per_step = 2 * (THm.shape[1] + THk.shape[1] + THf.shape[1]
+                        + PROBE_P) * BLANE * 4
+        chunk = _chunk_capped(
+            nt, min(75, max(1, (44 * 1024 * 1024) // per_step))
+        )
+
+    kernel = partial(_theta_sweep_kernel, nt=nt, chunk=chunk, dt=dt,
+                     bdf2=bdf2, with_trilinear=with_trilinear,
+                     n_real=n_real, n_pad=n_pad)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(B // BLANE,),
+        in_specs=[hbm, hbm, hbm, hbm, vmem, vmem, vmem, vmem, vmem,
+                  pl.BlockSpec((1, BLANE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((nt, PROBE_P, BLANE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, BLANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, PROBE_P, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, B), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+    with jax.enable_x64(False):
+        return call(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p, VE_p, b0)

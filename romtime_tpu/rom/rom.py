@@ -690,6 +690,7 @@ class RomConstructor(Reductor):
         from ..ops.pallas_online import (
             PROBE_P,
             online_sweep_pallas,
+            online_sweep_theta_pallas,
             pad_dim,
         )
 
@@ -713,43 +714,66 @@ class RomConstructor(Reductor):
             if red is not None
         }
 
-        # Build the padded (nt, NP, NP, B) tables in ONE einsum each,
-        # writing the padded layout directly: a separate einsum per
-        # operator + a pad pass costs several extra full-table HBM sweeps
-        # (measured ~130 ms of the ~208 ms end-to-end sweep). The matrix
-        # θ-sources other than the mass are concatenated along k (dt folded
-        # into the basis), and the padded-diagonal identity rides along as
-        # one constant-θ column.
-        def basis_pad_mat(basis_rom, scale=1.0):
-            k = basis_rom.shape[1]
-            out = np.zeros((NP, NP, k), np.float32)
-            out[:N, :N, :] = np.asarray(basis_rom).reshape(N, N, k) * scale
-            return out
+        # θ-streaming layout: only the small θ(μ, t) coefficient tables go
+        # to HBM (k 8-aligned for tile-aligned DMA); the kernel
+        # reconstructs the reduced operators per step as MXU matmuls
+        # against constant padded basis tensors. The matrix θ-sources other
+        # than the mass are concatenated along k (dt folded into the
+        # basis), and the padded-diagonal identity rides along as one
+        # constant-θ row.
+        def pad8(k):
+            return -(-k // 8) * 8
 
-        mass_bp = jnp.asarray(basis_pad_mat(sources["mass"][0].basis_rom))
-        MN_p = jnp.einsum("ijk,tkB->tijB", mass_bp, theta_tables["mass"])
+        def theta_pad(th, k8):
+            k = th.shape[1]
+            if k == k8:
+                return th
+            return jnp.concatenate(
+                [th, jnp.zeros((nt, k8 - k, B), dtype)], axis=1
+            )
+
+        def basis_pad_mat(basis_rom, k8, scale=1.0):
+            k = basis_rom.shape[1]
+            out = np.zeros((NP, NP, k8), np.float32)
+            out[:N, :N, :k] = np.asarray(basis_rom).reshape(N, N, k) * scale
+            return out.reshape(NP * NP, k8)
+
+        km = sources["mass"][0].basis_rom.shape[1]
+        km8 = pad8(km)
+        Bm = jnp.asarray(basis_pad_mat(sources["mass"][0].basis_rom, km8))
+        THm = theta_pad(theta_tables["mass"], km8)
 
         klin_names = [n for n in sources
                       if n not in ("mass", "rhs_vec") and sources[n][0]]
-        pad_eye = np.zeros((NP, NP, 1), np.float32)
-        pad_eye[np.arange(N, NP), np.arange(N, NP), 0] = 1.0
-        klin_bp = jnp.asarray(np.concatenate(
-            [basis_pad_mat(sources[n][0].basis_rom, scale=float(fom.dt))
-             for n in klin_names] + [pad_eye], axis=2,
-        ))
-        klin_th = jnp.concatenate(
-            [theta_tables[n] for n in klin_names]
-            + [jnp.ones((nt, 1, B), dtype)], axis=1,
+        kk = sum(sources[n][0].basis_rom.shape[1] for n in klin_names) + 1
+        kk8 = pad8(kk)
+        Bk_np = np.zeros((NP, NP, kk8), np.float32)
+        col = 0
+        for n in klin_names:
+            br = sources[n][0].basis_rom
+            k = br.shape[1]
+            Bk_np[:N, :N, col:col + k] = (
+                np.asarray(br).reshape(N, N, k) * float(fom.dt)
+            )
+            col += k
+        Bk_np[np.arange(N, NP), np.arange(N, NP), col] = 1.0
+        Bk = jnp.asarray(Bk_np.reshape(NP * NP, kk8))
+        THk = theta_pad(
+            jnp.concatenate(
+                [theta_tables[n] for n in klin_names]
+                + [jnp.ones((nt, 1, B), dtype)], axis=1,
+            ),
+            kk8,
         )
-        KL_p = jnp.einsum("ijk,tkB->tijB", klin_bp, klin_th)
 
-        rhs_bp = np.zeros((NP, sources["rhs_vec"][0].basis_rom.shape[1]),
-                          np.float32)
-        rhs_bp[:N, :] = np.asarray(sources["rhs_vec"][0].basis_rom) * float(
+        kf = sources["rhs_vec"][0].basis_rom.shape[1]
+        kf8 = pad8(kf)
+        Bf_np = np.zeros((NP, kf8), np.float32)
+        Bf_np[:N, :kf] = np.asarray(sources["rhs_vec"][0].basis_rom) * float(
             fom.dt
         )
-        fN_p = jnp.einsum("nk,tkB->tnB", jnp.asarray(rhs_bp),
-                          theta_tables["rhs_vec"])
+        Bf = jnp.asarray(Bf_np)
+        THf = theta_pad(theta_tables["rhs_vec"], kf8)
 
         def g_at(t):
             scale = fom.scale_factor(mu, t) if fom.Lt else _scalar(1.0)
@@ -783,11 +807,30 @@ class RomConstructor(Reductor):
             b0 = jnp.asarray(b0_vec, dtype)[None, :]
             with_trilinear = True
 
-        probes_p, uN_fin = online_sweep_pallas(
-            MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0,
-            dt=float(fom.dt), bdf2=bdf2, with_trilinear=with_trilinear,
-            n_real=N, interpret=interpret,
-        )
+        # Two streaming strategies, same step math (ops/pallas_online):
+        # materialized padded operator tables saturate HBM bandwidth and
+        # are ~15% faster when they fit (measured 31.4 vs 37.1 ms at the
+        # headline config); the θ-streaming kernel reconstructs operators
+        # per step on the MXU with ~15× less HBM traffic and is the only
+        # option at large N·B.
+        mat_bytes = 2 * nt * NP * NP * B * 4
+        if mat_bytes <= self.ONLINE_PRECOMPUTE_BUDGET:
+            MN_p = jnp.einsum("nk,tkB->tnB", Bm, THm).reshape(nt, NP, NP, B)
+            KL_p = jnp.einsum("nk,tkB->tnB", Bk, THk).reshape(nt, NP, NP, B)
+            fN_p = jnp.einsum("nk,tkB->tnB", Bf, THf)
+            probes_p, uN_fin = online_sweep_pallas(
+                MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0,
+                dt=float(fom.dt), bdf2=bdf2,
+                with_trilinear=with_trilinear, n_real=N,
+                interpret=interpret,
+            )
+        else:
+            probes_p, uN_fin = online_sweep_theta_pallas(
+                THm, THk, THf, g_p, Bm, Bk, Bf, T0_p, VE_p, b0,
+                dt=float(fom.dt), bdf2=bdf2,
+                with_trilinear=with_trilinear, n_real=N,
+                interpret=interpret,
+            )
         return {
             "t": ts_grid,
             "probes": probes_p[:, :2, :],

@@ -96,6 +96,76 @@ def test_fused_sweep_matches_scan(N):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("N", [15, 20])
+def test_theta_streaming_matches_scan(N):
+    """The θ-streaming kernel (operators reconstructed per step on the
+    MXU) must agree with the same reference recursion."""
+    from romtime_tpu.ops.pallas_online import online_sweep_theta_pallas
+
+    NT, B = 24, 128
+    MN_t, KL_t, fN_t, g_t, T0, b0, VE, dt = _synthetic(N, NT, B, seed=N + 7)
+    NP = pad_dim(N)
+
+    # Exact low-rank θ-representation: columns of identity-like bases so
+    # B @ θ reproduces the tables bit-for-bit. Use an SVD-truncated exact
+    # factorization instead: tables are full-rank in k, so factor exactly
+    # with k = N² (pad to 8).
+    def factor(tab, rows):
+        nt = tab.shape[0]
+        mat = np.asarray(tab).transpose(1, 0, 2).reshape(rows, NT * B)
+        k8 = -(-rows // 8) * 8
+        basis = np.zeros((rows, k8), np.float32)
+        basis[:, :rows] = np.eye(rows, dtype=np.float32)
+        th = np.zeros((NT, k8, B), np.float32)
+        th[:, :rows, :] = mat.reshape(rows, NT, B).transpose(1, 0, 2)
+        return basis, th
+
+    def pad_rows(basis, th, pad_positions):
+        # scatter N² rows into NP² padded positions
+        out = np.zeros((NP * NP, basis.shape[1]), np.float32)
+        out[pad_positions] = basis
+        return out, th
+
+    pos = (np.arange(N)[:, None] * NP + np.arange(N)[None, :]).ravel()
+    Bm_r, THm = factor(MN_t, N * N)
+    Bm, _ = pad_rows(Bm_r, THm, pos)
+    # KL with pad-diagonal identity riding as a constant-θ row
+    Bk_r, THk = factor(KL_t, N * N)
+    kk8 = -(-(N * N + 1) // 8) * 8
+    Bk = np.zeros((NP * NP, kk8), np.float32)
+    Bk[pos, : N * N] = Bk_r[:, : N * N]
+    diag_pad = np.arange(N, NP) * NP + np.arange(N, NP)
+    Bk[diag_pad, N * N] = 1.0
+    THk_full = np.zeros((NT, kk8, B), np.float32)
+    THk_full[:, : N * N, :] = THk[:, : N * N, :]
+    THk_full[:, N * N, :] = 1.0
+    Bf_r, THf = factor(fN_t, N)
+    Bf = np.zeros((NP, Bf_r.shape[1]), np.float32)
+    Bf[:N] = Bf_r
+
+    g_p = jnp.zeros((NT, PROBE_P, B), jnp.float32).at[:, :2, :].set(g_t)
+    T0_np = np.zeros((NP, NP, NP), np.float32)
+    T0_np[:N, :N, :N] = T0.reshape(N, N, N)
+    VE_p = jnp.zeros((PROBE_P, NP), jnp.float32).at[:2, :N].set(VE)
+
+    probes_pl, uN_pl = online_sweep_theta_pallas(
+        jnp.asarray(THm), jnp.asarray(THk_full), jnp.asarray(THf), g_p,
+        jnp.asarray(Bm), jnp.asarray(Bk), jnp.asarray(Bf),
+        jnp.asarray(T0_np.reshape(NP * NP, NP)), VE_p,
+        jnp.asarray(b0)[None, :],
+        dt=dt, bdf2=True, with_trilinear=True, n_real=N, interpret=True,
+    )
+    probes_ref, uN_ref = _ref_scan(MN_t, KL_t, fN_t, g_t,
+                                   jnp.asarray(T0), jnp.asarray(b0),
+                                   jnp.asarray(VE), dt, N, B)
+    scale = float(np.abs(np.asarray(probes_ref)).max())
+    np.testing.assert_allclose(np.asarray(probes_pl)[:, :2, :],
+                               np.asarray(probes_ref),
+                               atol=2e-6 * max(scale, 1.0))
+    np.testing.assert_allclose(np.asarray(uN_pl)[:N], np.asarray(uN_ref),
+                               atol=1e-5)
+
+
 def test_fused_sweep_bdf1_no_trilinear():
     """Heat-family configuration: BDF-1, no state-dependent operator."""
     N, NT, B = 9, 16, 128

@@ -200,6 +200,33 @@ def test_solve_batch_pallas_engine(trained_rom):
                     atol=1e-4 * max(np.abs(lanes["uN_final"]).max(), 1.0))
 
 
+def test_pallas_theta_branch_matches(trained_rom, monkeypatch):
+    """With the table budget forced to zero the fused path takes the
+    θ-streaming kernel; results must match the materialized-tables path."""
+    from romtime_tpu.dtypes import compute_dtype_scope
+    import jax.numpy as jnp
+    from romtime_tpu.rom.rom import RomConstructor
+
+    rom = trained_rom
+    base = list(rom.build_sampling_space(num=4, rnd=np.random.RandomState(3)))
+    mus = (base * 32)[:128]
+
+    with compute_dtype_scope(jnp.float32):
+        rom._online_fns = {}
+        try:
+            tables = rom.solve_batch(mus, step=Stage.ONLINE, mode="probes",
+                                     engine="pallas")
+            monkeypatch.setattr(RomConstructor, "ONLINE_PRECOMPUTE_BUDGET", 0)
+            rom._online_fns = {}
+            theta = rom.solve_batch(mus, step=Stage.ONLINE, mode="probes",
+                                    engine="pallas")
+        finally:
+            rom._online_fns = {}
+
+    scale = max(np.abs(tables["probes"]).max(), 1e-6)
+    assert_allclose(theta["probes"], tables["probes"], atol=3e-6 * scale)
+
+
 def test_pallas_supported_gating(trained_rom):
     """Auto-selection only picks the fused kernel in its supported regime."""
     rom = trained_rom
