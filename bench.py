@@ -267,7 +267,11 @@ def main():
         t0 = time.time()
         float(np.asarray(chain_k(batch)))
         wall_k = time.time() - t0
-        online_wall = max((wall_k - wall_1) / max(n_rep - 1, 1), 1e-9)
+        online_wall = (wall_k - wall_1) / max(n_rep - 1, 1)
+        # Guard: if the marginal collapses below clock/launch resolution
+        # (tiny CPU runs), fall back to the conservative per-rep average.
+        if online_wall < 0.05 * wall_k / n_rep:
+            online_wall = wall_k / n_rep
 
         outs = rom.solve_batch(mus, step=Stage.ONLINE, mode=serve_mode,
                                engine=engine, host=False)
