@@ -47,8 +47,10 @@ BLANE = 128   # lane block
 
 
 def pad_dim(n):
-    """Smallest sublane-tile multiple (16) that holds n; the kernel serves
-    n up to 32 (two tiles) before VMEM scratch pressure bites."""
+    """Smallest sublane-tile multiple (16) that holds n. The fused kernels
+    serve n ≤ 64 (validated on hardware at NP=64 via the θ-streaming
+    variant; the matrices variant is preferred while its tables fit
+    HBM)."""
     return max(16, -(-n // 16) * 16)
 
 
@@ -64,7 +66,14 @@ def _chunk_for(nt, n_pad=NP):
     — 75 compiles in ~½ min at n_pad=16."""
     per_step = 2 * (2 * n_pad * n_pad + n_pad + PROBE_P) * BLANE * 4
     cap = min(75, max(1, (44 * 1024 * 1024) // per_step))
-    return _chunk_capped(nt, cap)
+    return _chunk_capped(nt, min(cap, _compile_cap(n_pad)))
+
+
+def _compile_cap(n_real):
+    """Mosaic compile time grows with the unrolled body: chunk × n_real
+    Gauss-Jordan iterations. 75×15 ≈ 1150 compiles in ~30 s; NP=64 at
+    chunk 75 (4500 iterations) did not finish in 18 min."""
+    return max(1, 1152 // max(n_real, 1))
 
 
 def _chunk_capped(nt, cap):
@@ -414,7 +423,8 @@ def online_sweep_theta_pallas(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p, VE_p,
         per_step = 2 * (THm.shape[1] + THk.shape[1] + THf.shape[1]
                         + PROBE_P) * BLANE * 4
         chunk = _chunk_capped(
-            nt, min(75, max(1, (44 * 1024 * 1024) // per_step))
+            nt, min(75, max(1, (44 * 1024 * 1024) // per_step),
+                    _compile_cap(n_real)),
         )
 
     kernel = partial(_theta_sweep_kernel, nt=nt, chunk=chunk, dt=dt,

@@ -671,7 +671,7 @@ class RomConstructor(Reductor):
         trilinear fast-path table (in-body DEIM stays on the scan path)."""
         from ..ops.pallas_online import BLANE
 
-        if self.N > 32 or B % BLANE:
+        if self.N > 64 or B % BLANE:
             return False
         if compute_dtype() != jnp.float32:
             return False
