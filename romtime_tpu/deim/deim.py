@@ -239,6 +239,7 @@ class DiscreteEmpiricalInterpolation(Reductor):
         except np.linalg.LinAlgError:
             self.PT_U_inv = None
         self._batch_interpolate_fn = None
+        self._combine_cache = {}
 
     def build_interpolation_mesh(self):
         return greedy_interpolation_points(
@@ -364,36 +365,70 @@ class DiscreteEmpiricalInterpolation(Reductor):
         """Solve PᵀU θ = f|dofs (reference: deim/deim.py:477-493)."""
         return np.linalg.solve(self.PT_U, rhs)
 
+    def _folded_serving(self):
+        """f32 serving folds V·(PᵀU)⁻¹ into one float64-precomputed combine
+        matrix: the explicit θ-solve (or inverse apply) in f32 loses
+        eps·κ(PᵀU) digits, while the folded product applied to the gathered
+        entries only pays the (much smaller) conditioning of the end-to-end
+        interpolation map. Under this mode ``_thetas_traced`` returns the
+        raw gathered entries and ``_combine_traced`` applies the folded
+        matrix — both keyed off this single predicate so every engine pairs
+        them consistently."""
+        from ..dtypes import compute_dtype as _cd
+
+        return (_cd() == jnp.float32
+                and getattr(self, "PT_U_inv", None) is not None)
+
+    def _combine_matrix(self, which=None):
+        """Vf · (PᵀU)⁻¹ in float64, cached per basis ('fom'/'rom')."""
+        key = self.FOM if (which is None or which == self.FOM) else self.ROM
+        cache = getattr(self, "_combine_cache", None)
+        if cache is None:
+            cache = self._combine_cache = {}
+        M = cache.get(key)
+        if M is None:
+            Vf = self.basis_fom if key == self.FOM else self.basis_rom
+            M = np.asarray(Vf, np.float64) @ np.asarray(
+                self.PT_U_inv, np.float64
+            )
+            cache[key] = M
+        return M
+
+    def _serving_combine(self, which=None):
+        """The matrix that pairs with ``_thetas_traced``'s output: the
+        folded combine under f32 serving, else the plain collateral basis
+        (consumed by the table-building online engines)."""
+        if self._folded_serving():
+            return self._combine_matrix(which)
+        return (self.basis_fom
+                if (which is None or which == self.FOM)
+                else self.basis_rom)
+
     def _thetas_traced(self, mu, t):
         """Interpolation coefficients θ(μ, t): gathered local assembly at
-        the interpolation dofs + the small PᵀU solve. Time-independent of
-        state, so the online scan hoists these out of the loop (vmapped
-        over the full time grid in one launch)."""
+        the interpolation dofs + the small PᵀU solve (raw entries when the
+        folded f32 serving path is active — see _folded_serving).
+        Time-independent of state, so the online scan hoists these out of
+        the loop (vmapped over the full time grid in one launch)."""
         fh_local = jnp.asarray(self.assemble(mu=mu, t=t, entries=self.dofs))
+        if self._folded_serving():
+            return fh_local
         return self._solve_thetas(fh_local)
 
     def _solve_thetas(self, fh_local):
-        from ..dtypes import compute_dtype as _cd
-
-        if _cd() == jnp.float32 and getattr(self, "PT_U_inv", None) is not None:
-            return _dtype_asarray(self.PT_U_inv) @ fh_local
+        if self._folded_serving():
+            return fh_local
         return solve_small(_dtype_asarray(self.PT_U), fh_local)
 
     def _combine_traced(self, thetas, which=None):
         """Σθᵢ·Vf[:, i] in the requested basis."""
-        Vf = self.basis_fom if (which is None or which == self.FOM) else self.basis_rom
-        approximation = _dtype_asarray(Vf) @ thetas
+        approximation = _dtype_asarray(self._serving_combine(which)) @ thetas
         if which is None or which == self.FOM:
             approximation = self._fix_boundary(approximation)
         return approximation
 
     def _interpolate_traced(self, mu, t, which=None):
-        Vf = self.basis_fom if (which is None or which == self.FOM) else self.basis_rom
-        thetas = self._thetas_traced(mu, t)
-        approximation = _dtype_asarray(Vf) @ thetas
-        if which is None or which == self.FOM:
-            approximation = self._fix_boundary(approximation)
-        return approximation
+        return self._combine_traced(self._thetas_traced(mu, t), which)
 
     def _fix_boundary(self, approximation):
         """Hook: MDEIM restores Dirichlet diagonals after interpolation
@@ -428,6 +463,7 @@ class DiscreteEmpiricalInterpolation(Reductor):
         """VfN = Vᵀ Vfh (reference: deim/deim.py:495-515)."""
         self.basis_rom = np.matmul(np.asarray(V).T, self.basis_fom)
         self.N_V = np.asarray(V).shape[1]
+        self._combine_cache = {}
 
     # ------------------------------------------------------------------
     # Online evaluation sweep

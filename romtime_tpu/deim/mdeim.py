@@ -139,6 +139,7 @@ class MatrixDiscreteEmpiricalInterpolation(DiscreteEmpiricalInterpolation):
         modes = jnp.asarray(self.basis_fom.T)  # (N, nnz)
         VfN = jax.jit(jax.vmap(project_mode))(modes)  # (N, N_V^2)
         self.basis_rom = np.asarray(VfN).T
+        self._combine_cache = {}
 
     # ------------------------------------------------------------------
     # Online interpolation

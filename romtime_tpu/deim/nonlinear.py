@@ -188,15 +188,11 @@ class MatrixDiscreteEmpiricalInterpolationNonlinear(
     # Online interpolation (state-dependent)
     # ------------------------------------------------------------------
     def _interpolate_traced(self, mu, t, u_n=None, which=None):
-        Vf = self.basis_fom if (which is None or which == self.FOM) else self.basis_rom
         fh_local = jnp.asarray(
             self.assemble(mu=mu, t=t, u_n=u_n, entries=self.dofs)
         )
         thetas = self._solve_thetas(fh_local)
-        approximation = _dtype_asarray(Vf) @ thetas
-        if which is None or which == self.FOM:
-            approximation = self._fix_boundary(approximation)
-        return approximation
+        return self._combine_traced(thetas, which)
 
     def _interpolate(self, mu, t, u_n=None, which=None):
         return np.asarray(

@@ -40,6 +40,11 @@ from ..dtypes import (
 )
 from ..fom.base import BandedOperator
 from ..ops.assembly import band_matmat
+from ..ops.compensated import (
+    dd_add_small,
+    dd_bdf2_predict,
+    dd_history_diff,
+)
 from ..ops.linalg import gauss_solve, gauss_solve_lanes
 from ..rom.pod import orth
 from .base import Reductor
@@ -61,6 +66,13 @@ class RomConstructor(Reductor):
     # scan (fastest body, more HBM); "thetas" recombines per step.
     ONLINE_PRECOMPUTE = "matrices"
     ONLINE_PRECOMPUTE_BUDGET = 6 * 1024**3  # bytes
+
+    # Residual-form compensated stepping (ops/compensated.py): solve for
+    # the step increment δ against a double-f32 carried state, which keeps
+    # the f32 recursion within ~1e-8 of the f64 trajectory. "auto" enables
+    # it exactly when serving in float32; f64 offline runs stay on the
+    # plain path (bit-compatible with the goldens).
+    COMPENSATED = "auto"
 
     def __init__(self, fom, grid: dict, name=None) -> None:
         super().__init__(grid=grid)
@@ -392,6 +404,13 @@ class RomConstructor(Reductor):
         ignore it; the nonlinear subclass overrides."""
         return None
 
+    def _compensated_active(self):
+        """Residual-form double-f32 stepping is a precision tool for f32
+        serving; f64 runs keep the plain path (see COMPENSATED)."""
+        if self.COMPENSATED == "auto":
+            return compute_dtype() == jnp.float32
+        return bool(self.COMPENSATED)
+
     def _theta_sources(self):
         """name -> (reductor, reduced-assembly fallback). Every entry whose
         reductor is attached has its θ(μ, t) precomputed for the whole time
@@ -403,11 +422,19 @@ class RomConstructor(Reductor):
             "rhs_vec": (self.deim_rhs, self.assemble_rhs),
         }
 
-    def _system_matrices(self, get, mu, t, bdf, uh, uh_n1):
-        """K_N = bdf·M_N + dt·A_N from the per-step operator getter."""
+    def _system_parts(self, get, mu, t, uh, uh_n1):
+        """(M_N, dt·S_N): the mass operator and the dt-scaled stiffness-side
+        sum, kept separate so the residual-form stepping (see
+        ops/compensated.py) never reconstitutes S from K − bdf·M — which
+        would reintroduce the cancellation it exists to avoid."""
         MN = get("mass")
         AN = get("stiffness")
-        return MN, bdf * MN + self.fom.dt * AN
+        return MN, self.fom.dt * AN
+
+    def _system_matrices(self, get, mu, t, bdf, uh, uh_n1):
+        """K_N = bdf·M_N + dt·S_N from the per-step operator getter."""
+        MN, dtS = self._system_parts(get, mu, t, uh, uh_n1)
+        return MN, bdf * MN + dtS
 
     def _online_scan(self, mu, mode="full"):
         """Traceable full reduced time loop; returns stacked outputs.
@@ -446,8 +473,10 @@ class RomConstructor(Reductor):
                     lambda t, red=red: red._thetas_traced(mu, t)
                 )(ts_grid)
 
+        compensated = self._compensated_active()
+
         def step(carry, inputs):
-            uN_n, uN_n1 = carry
+            uN_n, lo_n, uN_n1, lo_n1 = carry
             k, theta_row = inputs
             t = (k + 1).astype(dtype) * dt
             bdf = jnp.where(k > 0, one_five, one) if bdf2 else one
@@ -469,18 +498,39 @@ class RomConstructor(Reductor):
                     return red._combine_traced(theta_row[name], which=self.ROM)
                 return fb(mu=mu, t=t)
 
-            MN, KN = self._system_matrices(get, mu, t, bdf, uh, uh_n1)
+            MN, dtS = self._system_parts(get, mu, t, uh, uh_n1)
+            KN = bdf * MN + dtS
 
             fN = get_vector("rhs_vec")
-            # BDF-2 history starts as zeros, matching the FOM convention
-            # (fom/base.py scan and reference fom/base.py:717-720).
-            if bdf2:
-                bdf_term = MN @ (2.0 * uN_n - 0.5 * uN_n1)
+            if compensated:
+                # Residual form (ops/compensated.py): solve K·δ = r0 for
+                # the increment against the double-f32 predictor; every
+                # rounded quantity is O(dt·‖u‖).
+                if bdf2:
+                    ph, plo = dd_bdf2_predict(uN_n, lo_n, uN_n1, lo_n1)
+                    dh = dd_history_diff(uN_n, lo_n, uN_n1, lo_n1)
+                    first = k == 0
+                    pred_hi = jnp.where(first, uN_n, ph)
+                    pred_lo = jnp.where(first, lo_n, plo)
+                    d = jnp.where(first, jnp.zeros_like(dh), dh)
+                else:
+                    pred_hi, pred_lo = uN_n, lo_n
+                    d = jnp.zeros_like(uN_n)
+                r0 = MN @ d + dt * fN - dtS @ pred_hi
+                delta = gauss_solve(KN, r0, pivot=False)
+                uN, lo = dd_add_small(pred_hi, pred_lo, delta)
             else:
-                bdf_term = MN @ uN_n
-            bN = bdf_term + dt * fN
+                # BDF-2 history starts as zeros, matching the FOM
+                # convention (fom/base.py scan and reference
+                # fom/base.py:717-720).
+                if bdf2:
+                    bdf_term = MN @ (2.0 * uN_n - 0.5 * uN_n1)
+                else:
+                    bdf_term = MN @ uN_n
+                bN = bdf_term + dt * fN
 
-            uN = gauss_solve(KN, bN, pivot=False)
+                uN = gauss_solve(KN, bN, pivot=False)
+                lo = jnp.zeros_like(uN)
 
             scale = fom.scale_factor(mu, t) if fom.Lt else one
             L = fom.domain[fom.L0] * scale
@@ -507,10 +557,10 @@ class RomConstructor(Reductor):
                 ends = V_ends @ uN + g(jnp.stack([_scalar(0.0) * L, L]))
                 outputs["probes"] = ends
 
-            return (uN, uN_n), outputs
+            return (uN, lo, uN_n, lo_n), outputs
 
         zeros_N = jnp.zeros((N,), dtype=V.dtype)
-        carry0 = (zeros_N, zeros_N)
+        carry0 = (zeros_N, zeros_N, zeros_N, zeros_N)
         carry, outs = jax.lax.scan(step, carry0,
                                    (jnp.arange(nt), theta_tables))
         if mode == "probes":
@@ -567,7 +617,9 @@ class RomConstructor(Reductor):
         if precompute_mats:
             def combined(name):
                 red, _fb = sources[name]
-                basis = _asarray(red.basis_rom)  # (N²|N, k)
+                # Pairs with _thetas_traced: the folded f64 combine under
+                # f32 serving, else the plain collateral basis.  (N²|N, k)
+                basis = _asarray(red._serving_combine(self.ROM))
                 return jnp.einsum("nk,tkB->tnB", basis, theta_tables[name])
 
             MN_tab = combined("mass")  # (nt, N², B)
@@ -581,8 +633,10 @@ class RomConstructor(Reductor):
         else:
             xs_tables = theta_tables
 
+        compensated = self._compensated_active()
+
         def step(carry, inputs):
-            uN_n, uN_n1 = carry  # (N, B)
+            uN_n, lo_n, uN_n1, lo_n1 = carry  # each (N, B)
             k, tables = inputs
             t = (k + 1).astype(dtype) * dt
             bdf = jnp.where(k > 0, one_five, one) if bdf2 else one
@@ -594,9 +648,9 @@ class RomConstructor(Reductor):
                 MN_flat, KLIN_flat, fN_dt = tables
                 MN = MN_flat.reshape((N, N, -1))
                 NN = self._state_matrix_lanes(mu, t, uh, uh_n1)
-                KN = bdf * MN + KLIN_flat.reshape((N, N, -1))
+                dtS = KLIN_flat.reshape((N, N, -1))
                 if NN is not None:
-                    KN = KN + dt * NN
+                    dtS = dtS + dt * NN
                 fN_term = fN_dt
             else:
                 theta_row = tables
@@ -607,20 +661,41 @@ class RomConstructor(Reductor):
                                                  which=self.ROM)
                     return values.reshape((N, N, -1))
 
-                MN, KN = self._system_matrices(get, mu, t, bdf, uh, uh_n1)
+                MN, dtS = self._system_parts(get, mu, t, uh, uh_n1)
 
                 red_rhs, _fb = sources["rhs_vec"]
                 fN_term = dt * red_rhs._combine_traced(
                     theta_row["rhs_vec"], which=self.ROM
                 )
 
-            if bdf2:
-                combo = 2.0 * uN_n - 0.5 * uN_n1
-            else:
-                combo = uN_n
-            bN = jnp.einsum("ijB,jB->iB", MN, combo) + fN_term
+            KN = bdf * MN + dtS
 
-            uN = gauss_solve_lanes(KN, bN)
+            matvec = partial(jnp.einsum, "ijB,jB->iB")
+            if compensated:
+                # Residual form (ops/compensated.py): K·δ = r0 against the
+                # double-f32 predictor; every rounded RHS term is O(dt·‖u‖).
+                if bdf2:
+                    ph, plo = dd_bdf2_predict(uN_n, lo_n, uN_n1, lo_n1)
+                    dh = dd_history_diff(uN_n, lo_n, uN_n1, lo_n1)
+                    first = k == 0
+                    pred_hi = jnp.where(first, uN_n, ph)
+                    pred_lo = jnp.where(first, lo_n, plo)
+                    d = jnp.where(first, jnp.zeros_like(dh), dh)
+                else:
+                    pred_hi, pred_lo = uN_n, lo_n
+                    d = jnp.zeros_like(uN_n)
+                r0 = matvec(MN, d) + fN_term - matvec(dtS, pred_hi)
+                delta = gauss_solve_lanes(KN, r0)
+                uN, lo = dd_add_small(pred_hi, pred_lo, delta)
+            else:
+                if bdf2:
+                    combo = 2.0 * uN_n - 0.5 * uN_n1
+                else:
+                    combo = uN_n
+                bN = matvec(MN, combo) + fN_term
+
+                uN = gauss_solve_lanes(KN, bN)
+                lo = jnp.zeros_like(uN)
 
             scale = fom.scale_factor(mu, t) if fom.Lt else one
             L = fom.domain[fom.L0] * scale  # (B,) or scalar
@@ -646,10 +721,10 @@ class RomConstructor(Reductor):
                 x_ends = jnp.stack([jnp.zeros_like(L), L])  # (2, B)
                 outputs["probes"] = V_ends @ uN + g(x_ends)
 
-            return (uN, uN_n), outputs
+            return (uN, lo, uN_n, lo_n), outputs
 
         zeros = jnp.zeros((N, B), dtype=V.dtype)
-        carry, outs = jax.lax.scan(step, (zeros, zeros),
+        carry, outs = jax.lax.scan(step, (zeros, zeros, zeros, zeros),
                                    (jnp.arange(nt), xs_tables),
                                    unroll=self.ONLINE_UNROLL)
         if mode == "probes":
@@ -738,19 +813,24 @@ class RomConstructor(Reductor):
             out[:N, :N, :k] = np.asarray(basis_rom).reshape(N, N, k) * scale
             return out.reshape(NP * NP, k8)
 
-        km = sources["mass"][0].basis_rom.shape[1]
+        # Every constant tensor pairs with _thetas_traced via
+        # _serving_combine (folded f64 V·(PᵀU)⁻¹ under f32 serving).
+        def combine(name):
+            return sources[name][0]._serving_combine(self.ROM)
+
+        km = combine("mass").shape[1]
         km8 = pad8(km)
-        Bm = jnp.asarray(basis_pad_mat(sources["mass"][0].basis_rom, km8))
+        Bm = jnp.asarray(basis_pad_mat(combine("mass"), km8))
         THm = theta_pad(theta_tables["mass"], km8)
 
         klin_names = [n for n in sources
                       if n not in ("mass", "rhs_vec") and sources[n][0]]
-        kk = sum(sources[n][0].basis_rom.shape[1] for n in klin_names) + 1
+        kk = sum(combine(n).shape[1] for n in klin_names) + 1
         kk8 = pad8(kk)
         Bk_np = np.zeros((NP, NP, kk8), np.float32)
         col = 0
         for n in klin_names:
-            br = sources[n][0].basis_rom
+            br = combine(n)
             k = br.shape[1]
             Bk_np[:N, :N, col:col + k] = (
                 np.asarray(br).reshape(N, N, k) * float(fom.dt)
@@ -766,10 +846,10 @@ class RomConstructor(Reductor):
             kk8,
         )
 
-        kf = sources["rhs_vec"][0].basis_rom.shape[1]
+        kf = combine("rhs_vec").shape[1]
         kf8 = pad8(kf)
         Bf_np = np.zeros((NP, kf8), np.float32)
-        Bf_np[:N, :kf] = np.asarray(sources["rhs_vec"][0].basis_rom) * float(
+        Bf_np[:N, :kf] = np.asarray(combine("rhs_vec")) * float(
             fom.dt
         )
         Bf = jnp.asarray(Bf_np)
@@ -991,13 +1071,13 @@ class RomConstructorMoving(RomConstructor):
         sources["convection"] = (self.mdeim_Ch, self.assemble_convection)
         return sources
 
-    def _system_matrices(self, get, mu, t, bdf, uh, uh_n1):
-        """K_N = bdf·M_N + dt·(A_N + C_N) — moving-domain system, shared by
+    def _system_parts(self, get, mu, t, uh, uh_n1):
+        """(M_N, dt·(A_N + C_N)) — moving-domain system parts, shared by
         the eager API and the online scans."""
         MN = get("mass")
         AN = get("stiffness")
         CN = get("convection")
-        return MN, bdf * MN + self.fom.dt * (AN + CN)
+        return MN, self.fom.dt * (AN + CN)
 
 
 class RomConstructorNonlinear(RomConstructorMoving):
@@ -1245,8 +1325,8 @@ class RomConstructorNonlinear(RomConstructorMoving):
         T0 = red.basis_rom @ (red.PT_U_inv @ E_a)
         return T0  # (N², N)
 
-    def _system_matrices(self, get, mu, t, bdf, uh, uh_n1):
-        """K_N = bdf·M_N + dt·(A_N + C_N + N_N(u*) + N̂_N) (reference:
+    def _system_parts(self, get, mu, t, uh, uh_n1):
+        """(M_N, dt·(A_N + C_N + N_N(u*) + N̂_N)) (reference:
         rom/rom.py:877-909) — the single source for the piston BDF system,
         shared by the eager ``assemble_system`` API and the online scans.
 
@@ -1279,5 +1359,4 @@ class RomConstructorNonlinear(RomConstructorMoving):
         if NN is None:
             NN = self.assemble_trilinear(mu=mu, t=t, uh=u_star)
 
-        KN = bdf * MN + self.fom.dt * (AN + CN + NN + NhatN)
-        return MN, KN
+        return MN, self.fom.dt * (AN + CN + NN + NhatN)
