@@ -404,13 +404,19 @@ class DiscreteEmpiricalInterpolation(Reductor):
                 if (which is None or which == self.FOM)
                 else self.basis_rom)
 
+    def _entries_traced(self, mu, t):
+        """Gathered local assembly at the interpolation dofs only — the
+        quantity the folded combine matrices act on (windowed serving
+        consumes these directly)."""
+        return jnp.asarray(self.assemble(mu=mu, t=t, entries=self.dofs))
+
     def _thetas_traced(self, mu, t):
         """Interpolation coefficients θ(μ, t): gathered local assembly at
         the interpolation dofs + the small PᵀU solve (raw entries when the
         folded f32 serving path is active — see _folded_serving).
         Time-independent of state, so the online scan hoists these out of
         the loop (vmapped over the full time grid in one launch)."""
-        fh_local = jnp.asarray(self.assemble(mu=mu, t=t, entries=self.dofs))
+        fh_local = self._entries_traced(mu, t)
         if self._folded_serving():
             return fh_local
         return self._solve_thetas(fh_local)

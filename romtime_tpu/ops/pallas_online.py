@@ -34,6 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .compensated import dd_add_small, two_sum
+
 # Mosaic lowers convert_element_type by recursing into jaxpr_subcomp once
 # per convert; under jax_enable_x64 the unrolled kernel body carries a few
 # hundred f64→f32 canonicalization converts and the default 1000-frame
@@ -455,3 +457,358 @@ def online_sweep_theta_pallas(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p, VE_p,
     )
     with jax.enable_x64(False):
         return call(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p, VE_p, b0)
+
+
+# ======================================================================
+# v2: residual-form compensated kernels (window-chainable)
+#
+# Differences from the v1 kernels above:
+#   * the carry is a double-f32 state (hi, lo) for both BDF registers —
+#     streamed in/out of the kernel so W window launches chain exactly;
+#   * each step solves K·δ = r0 for the increment against the dd
+#     predictor (residual form, see ops/compensated.py) — the f32 drift
+#     of the 1500-step recursion collapses to the operator-quantization
+#     floor;
+#   * a static `step0` offset keeps the BDF-2 startup convention correct
+#     across window boundaries (only the global step 0 uses bdf=1).
+# Table formats are IDENTICAL to v1 (KL carries the identity on the
+# padded diagonal, dt folded into KL/fN), so the same table builders
+# feed both generations.
+# ======================================================================
+
+
+def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
+                    dt_c, bdf2, with_trilinear, n_real, NP):
+    """One residual-form BDF step on a (NP, NP, BLANE) lane block.
+
+    KL is the dt-scaled stiffness-side sum with identity padding — it IS
+    dt·S, so K = bdf·MN + KL(+trilinear) and
+    r0 = MN·(u_{n-1} − u_n) + fN − (KL+tri)·u_pred. The padded block of K
+    is the identity and every padded state entry stays exactly 0."""
+    i32 = jnp.int32
+    one = jnp.float32(1.0)
+    two = jnp.float32(2.0)
+    three_half = jnp.float32(1.5)
+
+    if bdf2:
+        ph, pe = two_sum(two * uN, -uN1)
+        pl = pe + (two * lo - lo1)
+        ph, pl = two_sum(ph, pl)
+        dh, de = two_sum(uN1, -uN)
+        d = dh + (de + (lo1 - lo))
+        first = step == i32(0)
+        pred_hi = jnp.where(first, uN, ph)
+        pred_lo = jnp.where(first, lo, pl)
+        d = jnp.where(first, jnp.zeros_like(d), d)
+        bdf = jnp.where(first, one, three_half)
+    else:
+        pred_hi, pred_lo = uN, lo
+        d = jnp.zeros_like(uN)
+        bdf = one
+
+    dtS = KL
+    if with_trilinear:
+        NN = jax.lax.dot(
+            T0, pred_hi, precision=jax.lax.Precision.HIGHEST
+        ).reshape(NP, NP, BLANE)
+        dtS = dtS + NN * (dt_c * b0)[None, None, :]
+
+    KN = bdf * MN + dtS
+    r0 = (jnp.sum(MN * d[None, :, :], axis=1) + fN
+          - jnp.sum(dtS * pred_hi[None, :, :], axis=1))
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (NP, 1), 0)
+    for k in range(n_real):
+        is_k = row_ids == i32(k)
+        inv = one / KN[k, k, :]
+        row = KN[k] * inv[None, :]
+        bk = r0[k] * inv
+        colk = KN[:, k, :]
+        KN = jnp.where(is_k[:, :, None],
+                       row[None, :, :],
+                       KN - colk[:, None, :] * row[None, :, :])
+        r0 = jnp.where(is_k,
+                       bk[None, :],
+                       r0 - colk * bk[None, :])
+    delta = r0
+
+    uN_new, lo_new = dd_add_small(pred_hi, pred_lo, delta)
+    probes = jax.lax.dot(
+        VE, uN_new, precision=jax.lax.Precision.HIGHEST
+    ) + g
+    return uN_new, lo_new, probes
+
+
+def _sweep_kernel_v2(MN_ref, KL_ref, fN_ref, g_ref, T0_ref, VE_ref, b0_ref,
+                     state0_ref, probes_ref, state_ref, *, nt, chunk, dt,
+                     step0, bdf2, with_trilinear, n_real, n_pad):
+    """Materialized-tables residual-form sweep with chainable dd state."""
+    NP = n_pad
+    i = pl.program_id(0)
+    n_chunks = nt // chunk
+
+    def body(mn_s, kl_s, fn_s, g_s, sems):
+        lanes = pl.ds(i * BLANE, BLANE)
+
+        def dmas(slot, c):
+            sl = pl.ds(c * chunk, chunk)
+            return (
+                pltpu.make_async_copy(MN_ref.at[sl, :, :, lanes],
+                                      mn_s.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(KL_ref.at[sl, :, :, lanes],
+                                      kl_s.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(fN_ref.at[sl, :, lanes],
+                                      fn_s.at[slot], sems.at[slot, 2]),
+                pltpu.make_async_copy(g_ref.at[sl, :, lanes],
+                                      g_s.at[slot], sems.at[slot, 3]),
+            )
+
+        for d in dmas(0, 0):
+            d.start()
+
+        T0 = T0_ref[:] if with_trilinear else None
+        VE = VE_ref[:]
+        b0 = b0_ref[0, :] if with_trilinear else None
+        dt_c = jnp.float32(dt)
+
+        def chunk_body(c, carry):
+            i32 = jnp.int32
+            uN, lo, uN1, lo1 = carry
+            slot = jax.lax.rem(c, i32(2))
+
+            @pl.when(c + i32(1) < i32(n_chunks))
+            def _():
+                for d in dmas(jax.lax.rem(c + i32(1), i32(2)), c + i32(1)):
+                    d.start()
+
+            for d in dmas(slot, c):
+                d.wait()
+
+            for s in range(chunk):
+                step = i32(step0) + c * i32(chunk) + i32(s)
+                uN_new, lo_new, probes = _bdf_step_resid(
+                    mn_s[slot, s], kl_s[slot, s], fn_s[slot, s],
+                    g_s[slot, s], uN, lo, uN1, lo1, step, T0, VE, b0,
+                    dt_c, bdf2, with_trilinear, n_real, NP,
+                )
+                uN1, lo1 = uN, lo
+                uN, lo = uN_new, lo_new
+                probes_ref[c * i32(chunk) + i32(s)] = probes
+
+            return (uN, lo, uN1, lo1)
+
+        carry0 = (state0_ref[0], state0_ref[1], state0_ref[2],
+                  state0_ref[3])
+        uN, lo, uN1, lo1 = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(n_chunks), chunk_body, carry0
+        )
+        state_ref[0] = uN
+        state_ref[1] = lo
+        state_ref[2] = uN1
+        state_ref[3] = lo1
+
+    pl.run_scoped(
+        body,
+        mn_s=pltpu.VMEM((2, chunk, NP, NP, BLANE), jnp.float32),
+        kl_s=pltpu.VMEM((2, chunk, NP, NP, BLANE), jnp.float32),
+        fn_s=pltpu.VMEM((2, chunk, NP, BLANE), jnp.float32),
+        g_s=pltpu.VMEM((2, chunk, PROBE_P, BLANE), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2, 4)),
+    )
+
+
+@partial(jax.jit, static_argnames=("dt", "step0", "bdf2", "with_trilinear",
+                                   "n_real", "interpret"))
+def online_sweep_pallas_v2(MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0, state0,
+                           *, dt, step0=0, bdf2=True, with_trilinear=True,
+                           n_real=15, interpret=False):
+    """Residual-form materialized-tables sweep.
+
+    state0 : (4, NP, B) dd carry (uN_hi, uN_lo, uN1_hi, uN1_lo); zeros for
+             a fresh trajectory, the previous window's output when chained.
+    step0  : global index of this launch's first timestep.
+
+    Returns (probes (nt, PROBE_P, B), state (4, NP, B)).
+    """
+    nt, n_pad, _, B = MN_p.shape
+    if B % BLANE:
+        raise ValueError(f"batch ({B}) must be a multiple of {BLANE}")
+    chunk = _chunk_capped(nt, 8) if interpret else _chunk_for(nt, n_pad)
+
+    kernel = partial(_sweep_kernel_v2, nt=nt, chunk=chunk, dt=dt,
+                     step0=step0, bdf2=bdf2, with_trilinear=with_trilinear,
+                     n_real=n_real, n_pad=n_pad)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(B // BLANE,),
+        in_specs=[hbm, hbm, hbm, hbm, vmem, vmem,
+                  pl.BlockSpec((1, BLANE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((4, n_pad, BLANE), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((nt, PROBE_P, BLANE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_pad, BLANE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, PROBE_P, B), jnp.float32),
+            jax.ShapeDtypeStruct((4, n_pad, B), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+    with jax.enable_x64(False):
+        return call(MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0, state0)
+
+
+def _theta_sweep_kernel_v2(THm_ref, THk_ref, THf_ref, g_ref, Bm_ref,
+                           Bk_ref, Bf_ref, T0_ref, VE_ref, b0_ref,
+                           state0_ref, probes_ref, state_ref, *, nt, chunk,
+                           dt, step0, bdf2, with_trilinear, n_real, n_pad):
+    """θ-streaming residual-form sweep with chainable dd state."""
+    NP = n_pad
+    i = pl.program_id(0)
+    n_chunks = nt // chunk
+
+    def body(thm_s, thk_s, thf_s, g_s, sems):
+        lanes = pl.ds(i * BLANE, BLANE)
+
+        def dmas(slot, c):
+            sl = pl.ds(c * chunk, chunk)
+            return (
+                pltpu.make_async_copy(THm_ref.at[sl, :, lanes],
+                                      thm_s.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(THk_ref.at[sl, :, lanes],
+                                      thk_s.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(THf_ref.at[sl, :, lanes],
+                                      thf_s.at[slot], sems.at[slot, 2]),
+                pltpu.make_async_copy(g_ref.at[sl, :, lanes],
+                                      g_s.at[slot], sems.at[slot, 3]),
+            )
+
+        for d in dmas(0, 0):
+            d.start()
+
+        Bm = Bm_ref[:]
+        Bk = Bk_ref[:]
+        Bf = Bf_ref[:]
+        T0 = T0_ref[:] if with_trilinear else None
+        VE = VE_ref[:]
+        b0 = b0_ref[0, :] if with_trilinear else None
+        dt_c = jnp.float32(dt)
+        hi = jax.lax.Precision.HIGHEST
+
+        def chunk_body(c, carry):
+            i32 = jnp.int32
+            uN, lo, uN1, lo1 = carry
+            slot = jax.lax.rem(c, i32(2))
+
+            @pl.when(c + i32(1) < i32(n_chunks))
+            def _():
+                for d in dmas(jax.lax.rem(c + i32(1), i32(2)), c + i32(1)):
+                    d.start()
+
+            for d in dmas(slot, c):
+                d.wait()
+
+            for s in range(chunk):
+                step = i32(step0) + c * i32(chunk) + i32(s)
+                MN = jax.lax.dot(Bm, thm_s[slot, s],
+                                 precision=hi).reshape(NP, NP, BLANE)
+                KL = jax.lax.dot(Bk, thk_s[slot, s],
+                                 precision=hi).reshape(NP, NP, BLANE)
+                fN = jax.lax.dot(Bf, thf_s[slot, s], precision=hi)
+                uN_new, lo_new, probes = _bdf_step_resid(
+                    MN, KL, fN, g_s[slot, s], uN, lo, uN1, lo1, step,
+                    T0, VE, b0, dt_c, bdf2, with_trilinear, n_real, NP,
+                )
+                uN1, lo1 = uN, lo
+                uN, lo = uN_new, lo_new
+                probes_ref[c * i32(chunk) + i32(s)] = probes
+
+            return (uN, lo, uN1, lo1)
+
+        carry0 = (state0_ref[0], state0_ref[1], state0_ref[2],
+                  state0_ref[3])
+        uN, lo, uN1, lo1 = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(n_chunks), chunk_body, carry0
+        )
+        state_ref[0] = uN
+        state_ref[1] = lo
+        state_ref[2] = uN1
+        state_ref[3] = lo1
+
+    km = THm_ref.shape[1]
+    kk = THk_ref.shape[1]
+    kf = THf_ref.shape[1]
+    pl.run_scoped(
+        body,
+        thm_s=pltpu.VMEM((2, chunk, km, BLANE), jnp.float32),
+        thk_s=pltpu.VMEM((2, chunk, kk, BLANE), jnp.float32),
+        thf_s=pltpu.VMEM((2, chunk, kf, BLANE), jnp.float32),
+        g_s=pltpu.VMEM((2, chunk, PROBE_P, BLANE), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2, 4)),
+    )
+
+
+@partial(jax.jit, static_argnames=("dt", "step0", "bdf2", "with_trilinear",
+                                   "n_real", "interpret"))
+def online_sweep_theta_pallas_v2(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p,
+                                 VE_p, b0, state0, *, dt, step0=0,
+                                 bdf2=True, with_trilinear=True, n_real=15,
+                                 interpret=False):
+    """θ-streaming residual-form sweep (see online_sweep_pallas_v2)."""
+    nt, _, B = THm.shape
+    n_pad = VE_p.shape[1]
+    if B % BLANE:
+        raise ValueError(f"batch ({B}) must be a multiple of {BLANE}")
+    for tab in (THm, THk, THf):
+        if tab.shape[1] % 8:
+            raise ValueError("θ table k dims must be 8-aligned (pad with "
+                             "zero rows + zero basis columns)")
+    if interpret:
+        chunk = _chunk_capped(nt, 8)
+    else:
+        per_step = 2 * (THm.shape[1] + THk.shape[1] + THf.shape[1]
+                        + PROBE_P) * BLANE * 4
+        chunk = _chunk_capped(
+            nt, min(75, max(1, (44 * 1024 * 1024) // per_step),
+                    _compile_cap(n_real)),
+        )
+
+    kernel = partial(_theta_sweep_kernel_v2, nt=nt, chunk=chunk, dt=dt,
+                     step0=step0, bdf2=bdf2, with_trilinear=with_trilinear,
+                     n_real=n_real, n_pad=n_pad)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(B // BLANE,),
+        in_specs=[hbm, hbm, hbm, hbm, vmem, vmem, vmem, vmem, vmem,
+                  pl.BlockSpec((1, BLANE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((4, n_pad, BLANE), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((nt, PROBE_P, BLANE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_pad, BLANE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, PROBE_P, B), jnp.float32),
+            jax.ShapeDtypeStruct((4, n_pad, B), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+    with jax.enable_x64(False):
+        return call(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p, VE_p, b0, state0)

@@ -87,6 +87,11 @@ class RomConstructor(Reductor):
         self.errors = dict()
         self.exact = dict()
 
+        # Time-windowed local serving bases (rom/windowed.py); built on
+        # demand by build_windowed_serving from the offline snapshots.
+        self.windows = None
+        self.offline_snapshots = []
+
         self.deim_fh = None
         self.deim_fgh = None
         self.deim_rhs = None
@@ -329,6 +334,11 @@ class RomConstructor(Reductor):
             fom.solve()
 
             fom_solutions[mu_idx] = fom.solutions.fom.copy()
+            # Retained for time-windowed local serving bases
+            # (build_windowed_serving): nh×nt f64 per μ, a few MB each.
+            self.offline_snapshots.append(
+                np.asarray(fom.solutions.snapshots).copy()
+            )
 
             # POD in time of the homogeneous snapshots. Stage-1 modes are
             # scaled by their singular values (hierarchical-POD weighting):
@@ -921,6 +931,428 @@ class RomConstructor(Reductor):
         """Hook: eager host-side precomputations before the online trace."""
         pass
 
+    # ------------------------------------------------------------------
+    # Time-windowed local-basis serving (rom/windowed.py)
+    # ------------------------------------------------------------------
+    def _windowed_trilinear_table(self, V_w):
+        """Hook: per-window trilinear fast-path tensor (nonlinear family)."""
+        return None
+
+    def build_windowed_serving(self, n_windows, num_basis, snapshots=None,
+                               overlap=2, tol_t=None):
+        """Build per-window local bases + serving tensors (rom/windowed.py).
+
+        Requires every operator hyper-reduced and the offline snapshots
+        (retained by ``build_reduced_basis`` or passed explicitly). The
+        global ``self.basis`` and reductor projections are untouched —
+        windowed artifacts live on ``self.windows``."""
+        from .windowed import WindowedServing, build_windowed_basis
+
+        if snapshots is None:
+            snapshots = self.offline_snapshots
+        if not snapshots:
+            raise ValueError(
+                "no offline snapshots retained — run build_reduced_basis "
+                "first or pass snapshots="
+            )
+        sources = self._theta_sources()
+        for name, (red, _fb) in sources.items():
+            if red is None:
+                raise ValueError(
+                    "windowed serving requires every operator "
+                    f"hyper-reduced; missing: {name}"
+                )
+
+        bounds, Vs, transfers = build_windowed_basis(
+            snapshots, n_windows=n_windows, num_basis=num_basis,
+            overlap=overlap, tol_t=tol_t,
+        )
+
+        has_tri = getattr(self, "mdeim_Nh", None) is not None
+        combines = {name: [] for name in sources}
+        tri = []
+        try:
+            for w in range(n_windows):
+                V_w = Vs[w]
+                for name, (red, _fb) in sources.items():
+                    red.project_basis(V=V_w)
+                    combines[name].append(
+                        np.asarray(red._combine_matrix(self.ROM))
+                    )
+                if has_tri:
+                    self.mdeim_Nh.project_basis(V=V_w)
+                    T0w = self._windowed_trilinear_table(V_w)
+                    if T0w is None:
+                        raise ValueError(
+                            "trilinear operator has no fast-path table — "
+                            "windowed serving unsupported for this model"
+                        )
+                    tri.append(np.asarray(T0w))
+        finally:
+            # Restore the global projections.
+            if self.basis is not None:
+                for name, (red, _fb) in sources.items():
+                    red.project_basis(V=self.basis)
+                if has_tri:
+                    self.mdeim_Nh.project_basis(V=self.basis)
+            if hasattr(self, "_trilinear_table_cache"):
+                self._trilinear_table_cache = None
+
+        self.windows = WindowedServing(
+            bounds=bounds,
+            Vs=Vs,
+            transfers=transfers,
+            combines={k: np.stack(v) for k, v in combines.items()},
+            trilinear=np.stack(tri) if has_tri else None,
+        )
+        self._online_fns = {}
+        return self.windows
+
+    def _online_sweep_windowed_pallas(self, mu, interpret=False):
+        """Fused windowed serving: one residual-form v2 kernel launch per
+        window (ops/pallas_online.py), chained through the double-f32
+        carry with float64 transfers at the boundaries. θ-streaming
+        tables (raw gathered entries × per-window folded combine
+        tensors); falls back to materialized per-window operator tables
+        when they fit the precompute budget."""
+        from ..ops.pallas_online import (
+            PROBE_P,
+            online_sweep_pallas_v2,
+            online_sweep_theta_pallas_v2,
+            pad_dim,
+        )
+
+        win = self.windows
+        assert win is not None, "call build_windowed_serving first"
+        fom = self.fom
+        nt = int(fom.domain[fom.NT])
+        bdf2 = fom.BDF_SCHEME == BDF.TWO
+        N = win.N
+        NP = pad_dim(N)
+        dtype = jnp.float32
+        dt = _scalar(fom.dt)
+        B = int(next(iter(mu.values())).shape[0])
+        W = win.n_windows
+        widths = np.diff(win.bounds)
+        assert len(set(widths.tolist())) == 1, (
+            "windowed pallas serving needs equal window widths "
+            "(one Mosaic compilation shared by all launches)"
+        )
+
+        sources = self._theta_sources()
+        ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
+        ent = {
+            name: jax.vmap(
+                lambda t, red=red: red._entries_traced(mu, t)
+            )(ts_grid).astype(dtype)
+            for name, (red, _fb) in sources.items()
+        }  # (nt, k, B)
+        stiff_names = [n for n in sources if n not in ("mass", "rhs_vec")]
+
+        def pad8(k):
+            return -(-k // 8) * 8
+
+        def ent_pad(th, k8):
+            k = th.shape[1]
+            if k == k8:
+                return th
+            return jnp.concatenate(
+                [th, jnp.zeros((th.shape[0], k8 - k, B), dtype)], axis=1
+            )
+
+        km = win.combines["mass"].shape[2]
+        km8 = pad8(km)
+        kk = sum(win.combines[n].shape[2] for n in stiff_names) + 1
+        kk8 = pad8(kk)
+        kf = win.combines["rhs_vec"].shape[2]
+        kf8 = pad8(kf)
+
+        THm_full = ent_pad(ent["mass"], km8)
+        THk_full = ent_pad(
+            jnp.concatenate(
+                [ent[n] for n in stiff_names]
+                + [jnp.ones((nt, 1, B), dtype)], axis=1,
+            ),
+            kk8,
+        )
+        THf_full = ent_pad(ent["rhs_vec"], kf8)
+
+        # Per-window constant tensors (padded, f32; built host-side once).
+        def window_consts(w):
+            Bm_np = np.zeros((NP, NP, km8), np.float32)
+            Bm_np[:N, :N, :km] = win.combines["mass"][w].reshape(N, N, km)
+            Bk_np = np.zeros((NP, NP, kk8), np.float32)
+            col = 0
+            for n in stiff_names:
+                Cw = win.combines[n][w]
+                k = Cw.shape[1]
+                Bk_np[:N, :N, col:col + k] = (
+                    Cw.reshape(N, N, k) * float(fom.dt)
+                )
+                col += k
+            Bk_np[np.arange(N, NP), np.arange(N, NP), col] = 1.0
+            Bf_np = np.zeros((NP, kf8), np.float32)
+            Bf_np[:N, :kf] = win.combines["rhs_vec"][w] * float(fom.dt)
+            VE_np = np.zeros((PROBE_P, NP), np.float32)
+            VE_np[:2, :N] = win.Vs[w][[0, -1], :]
+            if win.trilinear is not None:
+                T0_np = np.zeros((NP, NP, NP), np.float32)
+                T0_np[:N, :N, :N] = win.trilinear[w].reshape(N, N, N)
+                T0_np = T0_np.reshape(NP * NP, NP)
+            else:
+                T0_np = np.zeros((NP * NP, NP), np.float32)
+            return (jnp.asarray(Bm_np.reshape(NP * NP, km8)),
+                    jnp.asarray(Bk_np.reshape(NP * NP, kk8)),
+                    jnp.asarray(Bf_np), jnp.asarray(VE_np),
+                    jnp.asarray(T0_np))
+
+        with_trilinear = win.trilinear is not None
+        if with_trilinear:
+            b0 = jnp.asarray(
+                self.fom.nonlinear_coefficient(mu), dtype
+            ) * jnp.ones((B,), dtype)
+            b0 = b0[None, :]
+        else:
+            b0 = jnp.ones((1, B), dtype)
+
+        def g_at(t):
+            scale = fom.scale_factor(mu, t) if fom.Lt else _scalar(1.0)
+            L = fom.domain[fom.L0] * scale * jnp.ones((B,), dtype=dtype)
+            g = fom.create_lifting_operator(mu=mu, t=t, L=L, only_g=True)
+            return g(jnp.stack([jnp.zeros_like(L), L]))
+
+        g_tab = jax.vmap(g_at)(ts_grid)
+        g_full = jnp.zeros((nt, PROBE_P, B), dtype).at[:, :2, :].set(
+            g_tab.astype(dtype)
+        )
+
+        # Materialized tables only when every window's fit the budget.
+        mat_bytes = 2 * nt * NP * NP * B * 4
+        use_matrices = mat_bytes <= self.ONLINE_PRECOMPUTE_BUDGET
+
+        use64 = bool(jax.config.jax_enable_x64)
+
+        def transfer_state(state, T_np):
+            hi = state[0, :N]
+            lo = state[1, :N]
+            hi1 = state[2, :N]
+            lo1 = state[3, :N]
+            if use64:
+                T = jnp.asarray(T_np, jnp.float64)
+
+                def tx(h, l):
+                    x = h.astype(jnp.float64) + l.astype(jnp.float64)
+                    y = T @ x
+                    yh = y.astype(jnp.float32)
+                    yl = (y - yh.astype(jnp.float64)).astype(jnp.float32)
+                    return yh, yl
+            else:
+                T = jnp.asarray(T_np, dtype)
+
+                def tx(h, l):
+                    return T @ h + T @ l, jnp.zeros_like(h)
+
+            a = tx(hi, lo)
+            c = tx(hi1, lo1)
+            out = jnp.zeros((4, NP, B), dtype)
+            out = out.at[0, :N].set(a[0]).at[1, :N].set(a[1])
+            out = out.at[2, :N].set(c[0]).at[3, :N].set(c[1])
+            return out
+
+        state = jnp.zeros((4, NP, B), dtype)
+        probes_parts = []
+        for w in range(W):
+            a_step, b_step = int(win.bounds[w]), int(win.bounds[w + 1])
+            Bm, Bk, Bf, VE_p, T0_p = window_consts(w)
+            if w > 0:
+                state = transfer_state(state, win.transfers[w - 1])
+            g_w = g_full[a_step:b_step]
+            if use_matrices:
+                MN_p = jnp.einsum(
+                    "nk,tkB->tnB", Bm, THm_full[a_step:b_step]
+                ).reshape(b_step - a_step, NP, NP, B)
+                KL_p = jnp.einsum(
+                    "nk,tkB->tnB", Bk, THk_full[a_step:b_step]
+                ).reshape(b_step - a_step, NP, NP, B)
+                fN_p = jnp.einsum(
+                    "nk,tkB->tnB", Bf, THf_full[a_step:b_step]
+                )
+                probes_w, state = online_sweep_pallas_v2(
+                    MN_p, KL_p, fN_p, g_w, T0_p, VE_p, b0, state,
+                    dt=float(fom.dt), step0=a_step, bdf2=bdf2,
+                    with_trilinear=with_trilinear, n_real=N,
+                    interpret=interpret,
+                )
+            else:
+                probes_w, state = online_sweep_theta_pallas_v2(
+                    THm_full[a_step:b_step], THk_full[a_step:b_step],
+                    THf_full[a_step:b_step], g_w, Bm, Bk, Bf, T0_p, VE_p,
+                    b0, state, dt=float(fom.dt), step0=a_step, bdf2=bdf2,
+                    with_trilinear=with_trilinear, n_real=N,
+                    interpret=interpret,
+                )
+            probes_parts.append(probes_w)
+
+        probes = jnp.concatenate(probes_parts, axis=0)
+        return {
+            "t": ts_grid,
+            "probes": probes[:, :2, :],
+            "uN_final": state[0, :N, :],
+        }
+
+    @staticmethod
+    def _transfer_carry(carry, T_np, dtype):
+        """Re-express the BDF carry in the next window's basis. For f32
+        serving the matvec runs in float64 (when available) and splits
+        back into (hi, lo) — a plain f32 transfer would inject eps·‖u‖
+        once per boundary, re-creating the drift the residual-form
+        stepping removed."""
+        use64 = jax.config.jax_enable_x64 and dtype == jnp.float32
+
+        if use64:
+            T = jnp.asarray(T_np, jnp.float64)
+
+            def tx(h, l):
+                x = h.astype(jnp.float64) + l.astype(jnp.float64)
+                y = T @ x
+                yh = y.astype(jnp.float32)
+                yl = (y - yh.astype(jnp.float64)).astype(jnp.float32)
+                return yh, yl
+        else:
+            T = jnp.asarray(T_np, dtype)
+
+            def tx(h, l):
+                return T @ h + T @ l, jnp.zeros_like(h)
+
+        hi, lo, hi1, lo1 = carry
+        a = tx(hi, lo)
+        b = tx(hi1, lo1)
+        return (a[0], a[1], b[0], b[1])
+
+    def _online_sweep_windowed(self, mu, mode="probes"):
+        """Lane-batched windowed μ-sweep: one scan per window chained
+        inside a single traced function, with float64 carry transfer at
+        the boundaries. Residual-form compensated stepping throughout
+        (exact in f64, drift-free in f32)."""
+        win = self.windows
+        assert win is not None, "call build_windowed_serving first"
+        fom = self.fom
+        nt = int(fom.domain[fom.NT])
+        bdf2 = fom.BDF_SCHEME == BDF.TWO
+        N = win.N
+        dtype = compute_dtype()
+        dt = _scalar(fom.dt)
+        one = _scalar(1.0)
+        one_five = _scalar(1.5)
+        B = int(next(iter(mu.values())).shape[0])
+
+        sources = self._theta_sources()
+        ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
+        ent = {
+            name: jax.vmap(lambda t, red=red: red._entries_traced(mu, t))(
+                ts_grid
+            )
+            for name, (red, _fb) in sources.items()
+        }  # each (nt, k, B)
+        stiff_names = [n for n in sources if n not in ("mass", "rhs_vec")]
+
+        b0 = None
+        if win.trilinear is not None:
+            b0 = self.fom.nonlinear_coefficient(mu)  # (B,) or scalar
+
+        matvec = partial(jnp.einsum, "ijB,jB->iB")
+
+        zeros = jnp.zeros((N, B), dtype=dtype)
+        carry = (zeros, zeros, zeros, zeros)
+        outs_all = []
+
+        for w in range(win.n_windows):
+            a_step, b_step = int(win.bounds[w]), int(win.bounds[w + 1])
+            C = {name: _asarray(win.combines[name][w]) for name in sources}
+            MN_tab = jnp.einsum(
+                "nk,tkB->tnB", C["mass"], ent["mass"][a_step:b_step]
+            )
+            dtS_tab = dt * sum(
+                jnp.einsum("nk,tkB->tnB", C[n], ent[n][a_step:b_step])
+                for n in stiff_names
+            )
+            fN_tab = dt * jnp.einsum(
+                "nk,tkB->tnB", C["rhs_vec"], ent["rhs_vec"][a_step:b_step]
+            )
+            T0w = (
+                _asarray(win.trilinear[w])
+                if win.trilinear is not None
+                else None
+            )
+            V_ends = _asarray(win.Vs[w][[0, -1], :])
+            V_w = _asarray(win.Vs[w]) if mode == "full" else None
+
+            if w > 0:
+                carry = self._transfer_carry(carry, win.transfers[w - 1],
+                                             dtype)
+
+            def step(carry, inputs, T0w=T0w, V_ends=V_ends, V_w=V_w):
+                uN_n, lo_n, uN_n1, lo_n1 = carry
+                k, (MN_flat, dtS_flat, fN_dt) = inputs
+                t = (k + 1).astype(dtype) * dt
+                MN = MN_flat.reshape((N, N, -1))
+                dtS = dtS_flat.reshape((N, N, -1))
+
+                if bdf2:
+                    ph, plo = dd_bdf2_predict(uN_n, lo_n, uN_n1, lo_n1)
+                    dh = dd_history_diff(uN_n, lo_n, uN_n1, lo_n1)
+                    first = k == 0
+                    pred_hi = jnp.where(first, uN_n, ph)
+                    pred_lo = jnp.where(first, lo_n, plo)
+                    d = jnp.where(first, jnp.zeros_like(dh), dh)
+                    bdf = jnp.where(k > 0, one_five, one)
+                else:
+                    pred_hi, pred_lo = uN_n, lo_n
+                    d = jnp.zeros_like(uN_n)
+                    bdf = one
+
+                if T0w is not None:
+                    NN = (T0w @ pred_hi).reshape((N, N, -1)) * b0
+                    dtS = dtS + dt * NN
+
+                KN = bdf * MN + dtS
+                r0 = matvec(MN, d) + fN_dt - matvec(dtS, pred_hi)
+                delta = gauss_solve_lanes(KN, r0)
+                uN, lo = dd_add_small(pred_hi, pred_lo, delta)
+
+                scale = fom.scale_factor(mu, t) if fom.Lt else one
+                L = fom.domain[fom.L0] * scale
+                L = L * jnp.ones((B,), dtype=dtype)
+                g = fom.create_lifting_operator(mu=mu, t=t, L=L, only_g=True)
+
+                outputs = dict(t=t) if mode == "probes" else dict(uN=uN, t=t)
+                if mode == "full":
+                    x_phys = _asarray(fom.mesh.x_dofs)[:, None] * (
+                        scale * jnp.ones((B,), dtype=dtype)
+                    )
+                    outputs["uc"] = V_w @ uN + g(x_phys)
+                    outputs["x"] = x_phys
+                else:
+                    x_ends = jnp.stack([jnp.zeros_like(L), L])
+                    outputs["probes"] = V_ends @ uN + g(x_ends)
+
+                return (uN, lo, uN_n, lo_n), outputs
+
+            carry, outs_w = jax.lax.scan(
+                step, carry,
+                (jnp.arange(a_step, b_step), (MN_tab, dtS_tab, fN_tab)),
+                unroll=self.ONLINE_UNROLL,
+            )
+            outs_all.append(outs_w)
+
+        outs = {
+            key: jnp.concatenate([o[key] for o in outs_all], axis=0)
+            for key in outs_all[0]
+        }
+        if mode == "probes":
+            outs["uN_final"] = carry[0]
+        return outs
+
     def _state_matrix_lanes(self, mu, t, uh, uh_n1):
         """State-dependent reduced operator for the lane-batched loop
         (None for linear problems; the nonlinear subclass overrides)."""
@@ -958,6 +1390,12 @@ class RomConstructor(Reductor):
             if batched and engine == "pallas":
                 interpret = jax.default_backend() == "cpu"
                 impl = partial(self._online_sweep_pallas,
+                               interpret=interpret)
+            elif batched and engine == "windowed":
+                impl = partial(self._online_sweep_windowed, mode=mode)
+            elif batched and engine == "windowed-pallas":
+                interpret = jax.default_backend() == "cpu"
+                impl = partial(self._online_sweep_windowed_pallas,
                                interpret=interpret)
             elif batched and engine == "lanes":
                 impl = partial(self._online_scan_batch, mode=mode)
@@ -1049,7 +1487,7 @@ class RomConstructor(Reductor):
         if not host:
             return jax.block_until_ready(outs)
         outs = jax.tree_util.tree_map(np.asarray, outs)
-        if engine in ("lanes", "pallas"):
+        if engine in ("lanes", "pallas", "windowed", "windowed-pallas"):
             # (nt, ..., B) → (B, nt, ...) for API parity with the vmap path.
             outs = {
                 k: (np.moveaxis(v, -1, 0) if v.ndim >= 2 else v)
@@ -1231,6 +1669,11 @@ class RomConstructorNonlinear(RomConstructorMoving):
     def _prime_online_tables(self):
         if self.mdeim_Nh is not None:
             self._trilinear_state_table(np.asarray(self.basis))
+
+    def _windowed_trilinear_table(self, V_w):
+        """Per-window trilinear fast-path tensor: built against the
+        window's basis (the N-MDEIM must already be projected to V_w)."""
+        return self._build_trilinear_state_table(np.asarray(V_w))
 
     def _state_matrix_lanes(self, mu, t, uh, uh_n1):
         """N_N(u*) for the lane-batched loop (fast table or in-body DEIM)."""

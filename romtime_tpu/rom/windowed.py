@@ -1,0 +1,100 @@
+"""Time-windowed local reduced bases for the online sweep.
+
+A single global basis spends most of its modes covering the whole
+trajectory: at the piston headline configuration (nx=1000, nt=1500) the
+held-out-μ projection floor is 1.7e-7 at N=88, while 15–16 time windows
+reach 1.2e-8 with N=48 *per window* (scripts/window_study.py) — and the
+online solve cost scales with the *per-window* N. This module implements
+the offline side:
+
+- partition [0, nt) into W equal windows;
+- per window: POD-in-time per training μ (hierarchically weighted, same
+  convention as ``build_reduced_basis``) over the window's snapshot columns
+  (± a small overlap so the boundary states are representable in both
+  neighbouring bases), then POD across μ, truncated to a common N;
+- boundary transfer matrices T_w = V_{w+1}ᵀ V_w (float64) that re-express
+  the BDF carry when serving crosses a window boundary;
+- per-window *serving combine* tensors for every hyper-reduced operator:
+  C_w = (VᵀB V)-projected collateral basis folded with (PᵀU)⁻¹ in float64
+  (see deim.DiscreteEmpiricalInterpolation._combine_matrix), so the online
+  engines apply gathered entries → reduced operator in one matmul.
+
+Serving (rom.py ``_online_sweep_windowed`` and the fused kernel) chains W
+scans/kernel launches — one per window, each closed over its own constant
+tensors — transferring the double-f32 carry in float64 at the boundaries.
+This keeps every traced shape static and needs no in-scan basis gathers.
+
+The reference (KikeM/romtime) has no analogous machinery; this is a
+TPU-era extension of its single-basis online loop (reference:
+rom/rom.py:430-555).
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .pod import orth
+
+
+@dataclass
+class WindowedServing:
+    """Per-window serving artifacts (all host-side numpy, float64)."""
+
+    bounds: np.ndarray          # (W+1,) step indices; bounds[0]=0, [-1]=nt
+    Vs: np.ndarray              # (W, nh, N) per-window bases
+    transfers: np.ndarray       # (W-1, N, N) T_w = Vs[w+1]ᵀ Vs[w]
+    combines: dict = field(default_factory=dict)  # name → (W, n_out, k)
+    trilinear: np.ndarray = None   # (W, N², N) fast-path tensors or None
+
+    @property
+    def n_windows(self):
+        return len(self.Vs)
+
+    @property
+    def N(self):
+        return self.Vs.shape[2]
+
+
+def build_windowed_basis(
+    snapshots, n_windows, num_basis, overlap=2, tol_t=None
+):
+    """Per-window POD bases from per-μ homogeneous snapshot matrices.
+
+    Parameters
+    ----------
+    snapshots : list of (nh, nt) arrays — one per training μ
+    n_windows : int
+    num_basis : int — common N per window (windows are rank-checked)
+    overlap : int — snapshot columns borrowed from each neighbour so the
+        boundary states are representable in both bases
+    tol_t : optional energy tolerance for the per-μ time-stage POD
+
+    Returns (bounds, Vs, transfers); Vs float64, transfers float64.
+    """
+    snapshots = [np.asarray(s, np.float64) for s in snapshots]
+    nt = snapshots[0].shape[1]
+    bounds = np.linspace(0, nt, n_windows + 1).astype(int)
+
+    Vs = []
+    for w in range(n_windows):
+        a = max(0, int(bounds[w]) - overlap)
+        b = min(nt, int(bounds[w + 1]) + overlap)
+        # Direct SVD of the raw stacked window snapshots — NOT the two-stage
+        # tree walk: a per-μ time-POD at the usual drop tolerance discards
+        # the σ/σ₁ ≈ 1e-7…1e-9 directions of the local solution manifold,
+        # and those are exactly what pushes the windowed projection floor
+        # from ~1e-5 to ~1e-8 (scripts/window_study.py).
+        stacked = np.hstack([s[:, a:b] for s in snapshots])
+        if min(stacked.shape) < num_basis:
+            raise ValueError(
+                f"window {w}: snapshot matrix {stacked.shape} has rank "
+                f"< num_basis={num_basis} — add training μ or snapshots"
+            )
+        V, _sig, _en = orth(stacked, num=num_basis, normalize=False)
+        Vs.append(V)
+
+    Vs = np.stack(Vs)  # (W, nh, N)
+    transfers = np.stack(
+        [Vs[w + 1].T @ Vs[w] for w in range(n_windows - 1)]
+    ) if n_windows > 1 else np.zeros((0, num_basis, num_basis))
+    return bounds, Vs, transfers

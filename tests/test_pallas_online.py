@@ -204,3 +204,76 @@ def test_fused_sweep_bdf1_no_trilinear():
     np.testing.assert_allclose(np.asarray(probes_pl)[:, :2, :],
                                np.asarray(probes_ref),
                                atol=5e-5 * max(scale, 1.0))
+
+
+def test_v2_residual_sweep_and_chaining():
+    """v2 residual-form kernel: must land within ~1e-8-scale of the f64
+    plain recursion (the point of the compensated stepping), and two
+    chained launches (state in/out, step0 offset) must reproduce the
+    single launch bitwise."""
+    from romtime_tpu.ops.pallas_online import online_sweep_pallas_v2
+
+    rng = np.random.default_rng(0)
+    N, NT, B = 12, 64, 128
+    dt = 1.0 / NT
+    eye = np.eye(N)
+    MN = 0.05 * rng.normal(size=(NT, N, N, B)) + eye[None, :, :, None]
+    KL = (0.02 * rng.normal(size=(NT, N, N, B))
+          + 2.0 * eye[None, :, :, None]) * dt
+    fN = 0.1 * dt * rng.normal(size=(NT, N, B))
+    g = 0.01 * rng.normal(size=(NT, 2, B))
+    T0 = 0.05 * rng.normal(size=(N * N, N))
+    b0 = 1.0 + 0.1 * rng.normal(size=(B,))
+    VE = rng.normal(size=(2, N))
+
+    # float64 plain recursion reference
+    uN = np.zeros((N, B))
+    uN1 = np.zeros((N, B))
+    probes_ref = []
+    for k in range(NT):
+        bdf = 1.0 if k == 0 else 1.5
+        u_star = 2 * uN - uN1
+        NN = (T0 @ u_star).reshape(N, N, B) * (dt * b0)[None, None, :]
+        K = bdf * MN[k] + KL[k] + NN
+        combo = 2 * uN - 0.5 * uN1
+        bN = np.einsum("ijB,jB->iB", MN[k], combo) + fN[k]
+        u = np.stack(
+            [np.linalg.solve(K[:, :, b_], bN[:, b_]) for b_ in range(B)], 1
+        )
+        uN1, uN = uN, u
+        probes_ref.append(VE @ uN + g[k])
+    probes_ref = np.array(probes_ref)
+
+    to32 = lambda a: jnp.asarray(a, jnp.float32)
+    MN_p, KL_p, fN_p = pad_reduced_tables(
+        to32(MN.reshape(NT, N * N, B)), to32(KL.reshape(NT, N * N, B)),
+        to32(fN), N,
+    )
+    NP = MN_p.shape[1]
+    g_p = jnp.zeros((NT, PROBE_P, B), jnp.float32).at[:, :2, :].set(to32(g))
+    T0_np = np.zeros((NP, NP, NP), np.float32)
+    T0_np[:N, :N, :N] = T0.reshape(N, N, N)
+    T0_p = jnp.asarray(T0_np.reshape(NP * NP, NP))
+    VE_p = jnp.zeros((PROBE_P, NP), jnp.float32).at[:2, :N].set(to32(VE))
+    b0j = to32(b0)[None, :]
+    state0 = jnp.zeros((4, NP, B), jnp.float32)
+
+    kw = dict(dt=dt, bdf2=True, with_trilinear=True, n_real=N,
+              interpret=True)
+    p1, _s1 = online_sweep_pallas_v2(
+        MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0j, state0, step0=0, **kw
+    )
+    err = np.abs(np.asarray(p1[:, :2, :]) - probes_ref).max()
+    assert err < 5e-6, err  # v1-style plain f32 lands ~1e-5-1e-4 here
+
+    h = NT // 2
+    pa, sa = online_sweep_pallas_v2(
+        MN_p[:h], KL_p[:h], fN_p[:h], g_p[:h], T0_p, VE_p, b0j, state0,
+        step0=0, **kw
+    )
+    pb, _sb = online_sweep_pallas_v2(
+        MN_p[h:], KL_p[h:], fN_p[h:], g_p[h:], T0_p, VE_p, b0j, sa,
+        step0=h, **kw
+    )
+    p_chain = np.concatenate([np.asarray(pa), np.asarray(pb)], 0)
+    np.testing.assert_array_equal(p_chain, np.asarray(p1))

@@ -1,0 +1,154 @@
+"""Time-windowed local-basis serving (rom/windowed.py + the v2 pallas
+kernels): builder invariants, engine consistency, and f32 drift."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from romtime_tpu.conventions import (
+    OperatorType,
+    PistonParameters,
+    RomParameters,
+    Stage,
+)
+from romtime_tpu.dtypes import compute_dtype_scope
+from romtime_tpu.parameters import get_uniform_dist
+from romtime_tpu.problems import define_piston_problem
+from romtime_tpu.rom.hrom import HyperReducedPiston
+from romtime_tpu.rom.windowed import build_windowed_basis
+
+
+def test_build_windowed_basis_invariants():
+    rng = np.random.default_rng(0)
+    nh, nt = 60, 64
+    snaps = [
+        np.linalg.qr(rng.normal(size=(nh, 16)))[0]
+        @ rng.normal(size=(16, nt))
+        for _ in range(2)
+    ]
+    bounds, Vs, transfers = build_windowed_basis(
+        snaps, n_windows=4, num_basis=8
+    )
+    assert bounds[0] == 0 and bounds[-1] == nt
+    assert Vs.shape == (4, nh, 8)
+    for V in Vs:
+        np.testing.assert_allclose(V.T @ V, np.eye(8), atol=1e-12)
+    assert transfers.shape == (3, 8, 8)
+    np.testing.assert_allclose(transfers[0], Vs[1].T @ Vs[0], atol=1e-14)
+
+
+@pytest.fixture(scope="module")
+def piston_windowed():
+    """Small piston pipeline + windowed serving artifacts."""
+    L, nx, nt, tf = 1.0, 150, 96, 0.6
+    domain, bcs, forcing, u0, Lt, dLt_dt = define_piston_problem(
+        L=L, nx=nx, tf=tf, nt=nt
+    )
+    grid = {
+        PistonParameters.A0: get_uniform_dist(min=8.0, max=10.0),
+        PistonParameters.OMEGA: get_uniform_dist(min=15.0, max=20.0),
+        PistonParameters.DELTA: get_uniform_dist(min=0.1, max=0.15),
+        PistonParameters.ALPHA: get_uniform_dist(min=1e-6, max=1e-6),
+        PistonParameters.GAMMA: get_uniform_dist(min=1.4, max=1.4),
+    }
+    fom_params = dict(
+        domain=domain, dirichlet=bcs, forcing_term=forcing, u0=u0,
+        Lt=Lt, dLt_dt=dLt_dt, grid_params={k: "uniform" for k in grid},
+    )
+    ts = np.linspace(tf / nt, tf, nt)
+    rom_params = {
+        RomParameters.NUM_SNAPSHOTS: 3,
+        RomParameters.SROM_TRUNCATE: 2,
+        RomParameters.TOL_TIME: None,
+        RomParameters.TOL_MU: None,
+        RomParameters.NMDEIM_SIZE: 10,
+    }
+    deim_params = {RomParameters.TS: ts, RomParameters.NUM_SNAPSHOTS: 3}
+    models = {
+        OperatorType.MASS: True,
+        OperatorType.STIFFNESS: True,
+        OperatorType.RHS: True,
+        OperatorType.CONVECTION: True,
+        OperatorType.NONLINEAR_LIFTING: True,
+        OperatorType.TRILINEAR: True,
+    }
+    hrom = HyperReducedPiston(
+        grid=grid,
+        fom_params=fom_params,
+        rom_params=rom_params,
+        deim_params=deim_params,
+        mdeim_params=dict(deim_params),
+        mdeim_nonlinear_params={
+            RomParameters.TS: ts[:: max(1, nt // 24)],
+            RomParameters.NUM_SNAPSHOTS: 2,
+        },
+        models=models,
+        rnd=np.random.RandomState(0),
+    )
+    hrom.setup()
+    hrom.setup_hyperreduction()
+    hrom.run_offline_rom()
+    hrom.run_offline_hyperreduction(
+        mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
+    )
+    hrom.project_reductors()
+    hrom.rom.build_windowed_serving(
+        n_windows=4, num_basis=12, snapshots=hrom.srom.offline_snapshots
+    )
+
+    fom = hrom.fom
+    mu_val = dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4)
+    fom.setup()
+    fom.update_parametrization(mu_val)
+    fom.solve()
+    uh_fom = np.asarray(fom.solutions.fom)
+    return hrom, mu_val, uh_fom
+
+
+def test_windowed_tracks_fom(piston_windowed):
+    hrom, mu_val, uh_fom = piston_windowed
+    rom = hrom.rom
+    outs = rom.solve_batch([dict(mu_val)], step=Stage.VALIDATION,
+                           mode="full", engine="windowed")
+    u = outs["uc"][0].T
+    rel = np.linalg.norm(u - uh_fom) / np.linalg.norm(uh_fom)
+    # N=12-per-window at W=4: the chained windowed solve must track the
+    # FOM through all boundary transfers (measured ≈1.6e-4).
+    assert rel < 1e-3, rel
+
+
+def test_windowed_f32_drift(piston_windowed):
+    hrom, mu_val, uh_fom = piston_windowed
+    rom = hrom.rom
+    outs = rom.solve_batch([dict(mu_val)], step=Stage.VALIDATION,
+                           mode="full", engine="windowed")
+    u64 = outs["uc"][0]
+    with compute_dtype_scope(jnp.float32):
+        rom._online_fns = {}
+        outs32 = rom.solve_batch([dict(mu_val)], step=Stage.VALIDATION,
+                                 mode="full", engine="windowed")
+        rom._online_fns = {}
+    u32 = outs32["uc"][0]
+    drift = np.linalg.norm(u32 - u64) / np.linalg.norm(u64)
+    assert drift < 5e-7, drift
+
+
+def test_windowed_pallas_matches_windowed_lanes(piston_windowed):
+    hrom, mu_val, _ = piston_windowed
+    rom = hrom.rom
+    mus = [dict(mu_val)] * 128
+
+    with compute_dtype_scope(jnp.float32):
+        try:
+            lanes = rom.solve_batch(mus, step=Stage.ONLINE, mode="probes",
+                                    engine="windowed")
+            served = rom.solve_batch(mus, step=Stage.ONLINE, mode="probes",
+                                     engine="windowed-pallas")
+        finally:
+            rom._online_fns = {}
+    scale = max(np.abs(lanes["probes"]).max(), 1e-3)
+    np.testing.assert_allclose(served["probes"], lanes["probes"],
+                               atol=5e-6 * scale)
+    np.testing.assert_allclose(served["uN_final"], lanes["uN_final"],
+                               atol=5e-5)
