@@ -122,6 +122,7 @@ class DiscreteEmpiricalInterpolation(Reductor):
 
         self._batch_snapshots_fn = None
         self._batch_interpolate_fn = None
+        self._evaluate_batch_fn = None
 
     def __define_basis_name__(self):
         name = "_".join(self.name.lower().split())
@@ -239,6 +240,7 @@ class DiscreteEmpiricalInterpolation(Reductor):
         except np.linalg.LinAlgError:
             self.PT_U_inv = None
         self._batch_interpolate_fn = None
+        self._evaluate_batch_fn = None
         self._combine_cache = {}
 
     def build_interpolation_mesh(self):
@@ -475,25 +477,49 @@ class DiscreteEmpiricalInterpolation(Reductor):
     # Online evaluation sweep
     # ------------------------------------------------------------------
     def evaluate(self, ts, num=None, mu_space=None):
-        """Measure online interpolation errors over a μ-sample
-        (reference: deim/deim.py:226-261); time axis is batched."""
+        """Measure online interpolation errors over a μ-sample in ONE
+        jitted (μ × t) launch per operator — the reference loops μ
+        serially around per-t ``fenics.assemble`` calls
+        (reference: deim/deim.py:226-261)."""
         if mu_space:
             space = mu_space
         else:
             assert num, "Provide number of samples to test"
             space = self.build_sampling_space(num=num)
 
-        ts = np.asarray(ts)
-        for mu in space:
-            mu_idx, mu = self.add_mu(step=Stage.ONLINE, mu=mu)
+        registered = [self.add_mu(step=Stage.ONLINE, mu=mu) for mu in space]
+        if not registered:
+            return
+        names = sorted(registered[0][1].keys())
+        batch = {
+            k: _dtype_asarray(np.array([float(m[k]) for _i, m in registered]))
+            for k in names
+        }
+        errors = self._evaluate_errors_batch(batch, _dtype_asarray(ts))
+        for (mu_idx, _mu), err in zip(registered, np.asarray(errors)):
+            self.errors_rom[mu_idx] = np.array(err)
 
-            truth = self.assemble_snapshots_batch(mu, ts)  # (dim, nt)
-            truth = self._mask_evaluation_truth(truth)
-            approx = self.interpolate_batch(mu, ts, which=self.FOM)
+    def _evaluate_errors_batch(self, mu_batch, ts):
+        """(n_mu, nt) RMS interpolation errors, fully on device. Overrides
+        of `_mask_evaluation_truth` / `_fix_boundary` must stay traceable."""
+        if not isinstance(self._evaluate_batch_fn, dict):
+            self._evaluate_batch_fn = {}
+        key = compute_dtype()
+        if key not in self._evaluate_batch_fn:
 
-            diff = truth - approx
-            errors = np.linalg.norm(diff, axis=0) / np.sqrt(diff.shape[0])
-            self.errors_rom[mu_idx] = np.array(errors)
+            def err_one(mu, t):
+                truth = self._mask_evaluation_truth(
+                    self._assemble_snapshot_traced(mu, t)
+                )
+                approx = self._interpolate_traced(mu, t, which=self.FOM)
+                d = truth - approx
+                return jnp.linalg.norm(d) / jnp.sqrt(float(d.shape[0]))
+
+            over_t = jax.vmap(err_one, in_axes=(None, 0))
+            self._evaluate_batch_fn[key] = jax.jit(
+                jax.vmap(over_t, in_axes=(0, None))
+            )
+        return self._evaluate_batch_fn[key](mu_batch, ts)
 
     def _mask_evaluation_truth(self, truth):
         """Hook: MDEIM compares against the Dirichlet-consistent operator."""

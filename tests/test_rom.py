@@ -271,3 +271,18 @@ def test_projection_roundtrip(trained_rom):
     uh = np.asarray(rom.to_fom_vector(uN))
     back = np.asarray(rom.to_rom_vector(uh))
     assert_allclose(back, uN, atol=1e-12)
+
+
+def test_add_mu_duplicate_gets_fresh_slot():
+    """Duplicate μ must get its own index — the reference's
+    ``list.index(mu)`` aliases the first match, so repeated parameters
+    overwrite each other's error series (drift-class fix, rom/base.py)."""
+    from romtime_tpu.rom.base import Reductor
+
+    red = Reductor(grid=None)
+    mu = dict(delta=1.0, beta=5.0)
+    i0, _ = red.add_mu(step=Stage.ONLINE, mu=mu)
+    i1, _ = red.add_mu(step=Stage.ONLINE, mu=dict(mu))
+    assert i0 == 0
+    assert i1 == 1
+    assert len(red.mu_space[Stage.ONLINE]) == 2
