@@ -61,12 +61,28 @@ def main():
     except Exception:
         pass
 
+    # Profiles: "joint" (default) = the north-star operating point —
+    # time-windowed local bases serving ≥10k solves/s AT ≤1e-6 rel-L2;
+    # "throughput" = round-1 small-N global-basis point (fastest).
+    profile = os.environ.get("BENCH_PROFILE", "joint")
+    if profile == "joint":
+        # W=25/N=48 windowed point: measured 6.0e-7 (f64) / 6.4e-7 (f32)
+        # rel-L2 vs the FOM on the held-out μ (scripts/window_study.py).
+        defaults = dict(modes=96, truncate=8, nmdeim=48, windows=25,
+                        window_n=48, batch=2048)
+    else:
+        defaults = dict(modes=20, truncate=5, nmdeim=12, windows=0,
+                        window_n=0, batch=2048)
+
     nx = int(os.environ.get("BENCH_NX", 1000))
     nt = int(os.environ.get("BENCH_NT", 1500))
     n_offline = int(os.environ.get("BENCH_OFFLINE_MU", 3))
-    n_online = int(os.environ.get("BENCH_ONLINE_MU", 2048))
-    n_modes = int(os.environ.get("BENCH_SROM_MODES", 20))
-    truncate = int(os.environ.get("BENCH_SROM_TRUNCATE", 5))
+    n_online = int(os.environ.get("BENCH_ONLINE_MU", defaults["batch"]))
+    n_modes = int(os.environ.get("BENCH_SROM_MODES", defaults["modes"]))
+    truncate = int(os.environ.get("BENCH_SROM_TRUNCATE",
+                                  defaults["truncate"]))
+    n_windows = int(os.environ.get("BENCH_WINDOWS", defaults["windows"]))
+    window_n = int(os.environ.get("BENCH_WINDOW_N", defaults["window_n"]))
 
     import jax.numpy as jnp
 
@@ -108,7 +124,9 @@ def main():
         RomParameters.SROM_TRUNCATE: truncate,
         RomParameters.TOL_TIME: None,
         RomParameters.TOL_MU: None,
-        RomParameters.NMDEIM_SIZE: int(os.environ.get("BENCH_NMDEIM", 12)),
+        RomParameters.NMDEIM_SIZE: int(
+            os.environ.get("BENCH_NMDEIM", defaults["nmdeim"])
+        ),
     }
     deim_params = {RomParameters.TS: ts_walk,
                    RomParameters.NUM_SNAPSHOTS: n_offline}
@@ -157,11 +175,21 @@ def main():
         log("offline: projection")
         hrom.project_reductors()
 
-    offline_wall = time.time() - t_offline_start
     rom = hrom.rom
+    if n_windows > 0:
+        log(f"offline: windowed serving build (W={n_windows}, "
+            f"N={window_n}/window)")
+        with jax.default_device(offline_device):
+            rom.build_windowed_serving(
+                n_windows=n_windows, num_basis=window_n,
+                snapshots=hrom.srom.offline_snapshots,
+            )
+    offline_wall = time.time() - t_offline_start
 
     # ------------------------------------------------------------------
-    # Accuracy: held-out parameter, trajectory rel-L2 vs FOM (f64, CPU)
+    # Accuracy: held-out parameter, trajectory rel-L2 vs FOM (f64, CPU).
+    # The windowed profile certifies the SAME engine family that serves
+    # (scan-over-windows lanes == the fused v2 kernels, tests/test_windowed).
     # ------------------------------------------------------------------
     fom = hrom.fom
     mu_val = dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4)
@@ -174,8 +202,14 @@ def main():
         uh_fom = fom.solutions.fom
 
         log("accuracy: ROM validation solve")
-        rom.solve(mu=mu_val, step=Stage.VALIDATION)
-        uh_rom = rom.solutions.fom
+        if n_windows > 0:
+            outs_v = rom.solve_batch([dict(mu_val)], step=Stage.VALIDATION,
+                                     mode="full", engine="windowed")
+            uh_rom = np.asarray(outs_v["uc"][0]).T
+            rom._online_fns = {}
+        else:
+            rom.solve(mu=mu_val, step=Stage.VALIDATION)
+            uh_rom = rom.solutions.fom
 
     rel_l2 = float(
         np.linalg.norm(uh_rom - uh_fom) / np.linalg.norm(uh_fom)
@@ -235,13 +269,23 @@ def main():
         }
         resolved = engine
         if resolved is None:
-            resolved = ("pallas"
-                        if serve_mode == "probes"
-                        and rom._pallas_supported(n_online)
-                        else ("lanes" if rom._lanes_supported() else "vmap"))
+            if rom.windows is not None and serve_mode == "probes":
+                resolved = "windowed-pallas"
+            elif (serve_mode == "probes"
+                    and rom._pallas_supported(n_online)):
+                resolved = "pallas"
+            else:
+                resolved = "lanes" if rom._lanes_supported() else "vmap"
+        interpret = jax.default_backend() == "cpu"
         if resolved == "pallas":
             online_fn = partial(rom._online_sweep_pallas,
-                                interpret=jax.default_backend() == "cpu")
+                                interpret=interpret)
+        elif resolved == "windowed-pallas":
+            online_fn = partial(rom._online_sweep_windowed_pallas,
+                                interpret=interpret)
+        elif resolved == "windowed":
+            online_fn = partial(rom._online_sweep_windowed,
+                                mode=serve_mode)
         else:
             online_fn = partial(rom._online_scan_batch, mode=serve_mode)
         online_fn = rom._full_precision(online_fn)
@@ -283,8 +327,14 @@ def main():
     log("online: f32 drift check")
     # f32-vs-f64 serving consistency on the validation parameter
     with jax.default_device(accel), compute_dtype_scope(serve_dtype):
-        rom.solve(mu=mu_val, step=Stage.VALIDATION)
-        uh_rom_f32 = rom.solutions.fom
+        if n_windows > 0:
+            outs32 = rom.solve_batch([dict(mu_val)], step=Stage.VALIDATION,
+                                     mode="full", engine="windowed")
+            uh_rom_f32 = np.asarray(outs32["uc"][0]).T
+            rom._online_fns = {}
+        else:
+            rom.solve(mu=mu_val, step=Stage.VALIDATION)
+            uh_rom_f32 = rom.solutions.fom
     serve_drift = float(
         np.linalg.norm(uh_rom_f32 - uh_rom) / np.linalg.norm(uh_fom)
     )
@@ -294,8 +344,15 @@ def main():
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / 10000.0, 4),
+        # First-class accuracy + offline metrics (BASELINE.md: the north
+        # star is JOINT — ≥10k solves/s AT ≤1e-6 rel-L2).
+        "rel_l2_vs_fom": rel_l2,
+        "offline_wall_s": round(offline_wall, 2),
         "extra": {
             "backend": jax.default_backend(),
+            "profile": profile,
+            "n_windows": n_windows,
+            "window_n": window_n,
             "nx": nx,
             "nt": nt,
             "rom_modes": int(rom.N),

@@ -78,6 +78,19 @@ def _compile_cap(n_real):
     return max(1, 1152 // max(n_real, 1))
 
 
+# Above this size the v2 kernels run the Gauss-Jordan pivot loop as an
+# in-kernel fori_loop (one compiled body) instead of a full unroll.
+GJ_FORI_MIN = 20
+
+
+def _compile_cap_v2(n_real):
+    """v2 chunk cap: the fori-loop Gauss-Jordan removes the n_real factor
+    from the unrolled body, so only the per-step assembly ops count."""
+    if n_real <= GJ_FORI_MIN:
+        return _compile_cap(n_real)
+    return 60
+
+
 def _chunk_capped(nt, cap):
     for c in range(min(cap, nt), 0, -1):
         if nt % c == 0:
@@ -518,19 +531,53 @@ def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
           - jnp.sum(dtS * pred_hi[None, :, :], axis=1))
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (NP, 1), 0)
-    for k in range(n_real):
-        is_k = row_ids == i32(k)
-        inv = one / KN[k, k, :]
-        row = KN[k] * inv[None, :]
-        bk = r0[k] * inv
-        colk = KN[:, k, :]
-        KN = jnp.where(is_k[:, :, None],
-                       row[None, :, :],
-                       KN - colk[:, None, :] * row[None, :, :])
-        r0 = jnp.where(is_k,
-                       bk[None, :],
-                       r0 - colk * bk[None, :])
-    delta = r0
+    if n_real <= GJ_FORI_MIN:
+        # Fully unrolled pivot loop: static row indexing, minimal runtime
+        # ops. Mosaic compile cost grows with chunk × n_real — fine here.
+        for k in range(n_real):
+            is_k = row_ids == i32(k)
+            inv = one / KN[k, k, :]
+            row = KN[k] * inv[None, :]
+            bk = r0[k] * inv
+            colk = KN[:, k, :]
+            KN = jnp.where(is_k[:, :, None],
+                           row[None, :, :],
+                           KN - colk[:, None, :] * row[None, :, :])
+            r0 = jnp.where(is_k,
+                           bk[None, :],
+                           r0 - colk * bk[None, :])
+        delta = r0
+    else:
+        # In-kernel fori_loop over pivots: ONE compiled body instead of
+        # n_real unrolled copies (the unroll at NP=48/chunk=24 is ~1150
+        # bodies and takes the Mosaic pipeline >15 min). Pivot row/column
+        # are extracted with one-hot masked reductions — no dynamic
+        # slicing on sublane dims, which Mosaic lowers poorly. Extra cost
+        # vs the unroll: two NP²·lane reduction passes per pivot.
+        def pivot_body(k, carry):
+            KN, r0 = carry
+            is_k = row_ids == k                       # (NP, 1)
+            mk = is_k.astype(jnp.float32)             # (NP, 1)
+            mk_row = mk.reshape(NP, 1, 1)             # mask along axis 0
+            mk_col = mk.reshape(1, NP, 1)             # mask along axis 1
+            rowk = jnp.sum(KN * mk_row, axis=0)       # (NP, BLANE)
+            colk = jnp.sum(KN * mk_col, axis=1)       # (NP, BLANE)
+            bk_v = jnp.sum(r0 * mk, axis=0)           # (BLANE,)
+            diag = jnp.sum(rowk * mk, axis=0)         # (BLANE,)
+            inv = one / diag
+            row = rowk * inv[None, :]
+            bk = bk_v * inv
+            KN = jnp.where(is_k[:, :, None],
+                           row[None, :, :],
+                           KN - colk[:, None, :] * row[None, :, :])
+            r0 = jnp.where(is_k,
+                           bk[None, :],
+                           r0 - colk * bk[None, :])
+            return KN, r0
+
+        KN, r0 = jax.lax.fori_loop(i32(0), i32(n_real), pivot_body,
+                                   (KN, r0))
+        delta = r0
 
     uN_new, lo_new = dd_add_small(pred_hi, pred_lo, delta)
     probes = jax.lax.dot(
@@ -539,13 +586,18 @@ def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
     return uN_new, lo_new, probes
 
 
-def _sweep_kernel_v2(MN_ref, KL_ref, fN_ref, g_ref, T0_ref, VE_ref, b0_ref,
-                     state0_ref, probes_ref, state_ref, *, nt, chunk, dt,
-                     step0, bdf2, with_trilinear, n_real, n_pad):
-    """Materialized-tables residual-form sweep with chainable dd state."""
+def _sweep_kernel_v2(step0_ref, MN_ref, KL_ref, fN_ref, g_ref, T0_ref,
+                     VE_ref, b0_ref, state0_ref, probes_ref, state_ref, *,
+                     nt, chunk, dt, bdf2, with_trilinear, n_real, n_pad):
+    """Materialized-tables residual-form sweep with chainable dd state.
+
+    step0 is a runtime SMEM scalar (NOT a static arg): it only feeds the
+    global-step-0 BDF startup select, and keeping it dynamic lets every
+    window launch of a chained sweep share ONE Mosaic compilation."""
     NP = n_pad
     i = pl.program_id(0)
     n_chunks = nt // chunk
+    step0 = step0_ref[0]
 
     def body(mn_s, kl_s, fn_s, g_s, sems):
         lanes = pl.ds(i * BLANE, BLANE)
@@ -585,7 +637,7 @@ def _sweep_kernel_v2(MN_ref, KL_ref, fN_ref, g_ref, T0_ref, VE_ref, b0_ref,
                 d.wait()
 
             for s in range(chunk):
-                step = i32(step0) + c * i32(chunk) + i32(s)
+                step = step0 + c * i32(chunk) + i32(s)
                 uN_new, lo_new, probes = _bdf_step_resid(
                     mn_s[slot, s], kl_s[slot, s], fn_s[slot, s],
                     g_s[slot, s], uN, lo, uN1, lo1, step, T0, VE, b0,
@@ -617,7 +669,7 @@ def _sweep_kernel_v2(MN_ref, KL_ref, fN_ref, g_ref, T0_ref, VE_ref, b0_ref,
     )
 
 
-@partial(jax.jit, static_argnames=("dt", "step0", "bdf2", "with_trilinear",
+@partial(jax.jit, static_argnames=("dt", "bdf2", "with_trilinear",
                                    "n_real", "interpret"))
 def online_sweep_pallas_v2(MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0, state0,
                            *, dt, step0=0, bdf2=True, with_trilinear=True,
@@ -626,7 +678,8 @@ def online_sweep_pallas_v2(MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0, state0,
 
     state0 : (4, NP, B) dd carry (uN_hi, uN_lo, uN1_hi, uN1_lo); zeros for
              a fresh trajectory, the previous window's output when chained.
-    step0  : global index of this launch's first timestep.
+    step0  : global index of this launch's first timestep — a RUNTIME
+             scalar, so chained window launches share one compilation.
 
     Returns (probes (nt, PROBE_P, B), state (4, NP, B)).
     """
@@ -636,14 +689,15 @@ def online_sweep_pallas_v2(MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0, state0,
     chunk = _chunk_capped(nt, 8) if interpret else _chunk_for(nt, n_pad)
 
     kernel = partial(_sweep_kernel_v2, nt=nt, chunk=chunk, dt=dt,
-                     step0=step0, bdf2=bdf2, with_trilinear=with_trilinear,
+                     bdf2=bdf2, with_trilinear=with_trilinear,
                      n_real=n_real, n_pad=n_pad)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         grid=(B // BLANE,),
-        in_specs=[hbm, hbm, hbm, hbm, vmem, vmem,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  hbm, hbm, hbm, hbm, vmem, vmem,
                   pl.BlockSpec((1, BLANE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((4, n_pad, BLANE), lambda i: (0, 0, i),
@@ -663,18 +717,22 @@ def online_sweep_pallas_v2(MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0, state0,
         ),
         interpret=interpret,
     )
+    step0_arr = jnp.asarray(step0, jnp.int32).reshape(1)
     with jax.enable_x64(False):
-        return call(MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0, state0)
+        return call(step0_arr, MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0,
+                    state0)
 
 
-def _theta_sweep_kernel_v2(THm_ref, THk_ref, THf_ref, g_ref, Bm_ref,
-                           Bk_ref, Bf_ref, T0_ref, VE_ref, b0_ref,
+def _theta_sweep_kernel_v2(step0_ref, THm_ref, THk_ref, THf_ref, g_ref,
+                           Bm_ref, Bk_ref, Bf_ref, T0_ref, VE_ref, b0_ref,
                            state0_ref, probes_ref, state_ref, *, nt, chunk,
-                           dt, step0, bdf2, with_trilinear, n_real, n_pad):
-    """θ-streaming residual-form sweep with chainable dd state."""
+                           dt, bdf2, with_trilinear, n_real, n_pad):
+    """θ-streaming residual-form sweep with chainable dd state (step0 is
+    a runtime SMEM scalar — see _sweep_kernel_v2)."""
     NP = n_pad
     i = pl.program_id(0)
     n_chunks = nt // chunk
+    step0 = step0_ref[0]
 
     def body(thm_s, thk_s, thf_s, g_s, sems):
         lanes = pl.ds(i * BLANE, BLANE)
@@ -718,7 +776,7 @@ def _theta_sweep_kernel_v2(THm_ref, THk_ref, THf_ref, g_ref, Bm_ref,
                 d.wait()
 
             for s in range(chunk):
-                step = i32(step0) + c * i32(chunk) + i32(s)
+                step = step0 + c * i32(chunk) + i32(s)
                 MN = jax.lax.dot(Bm, thm_s[slot, s],
                                  precision=hi).reshape(NP, NP, BLANE)
                 KL = jax.lax.dot(Bk, thk_s[slot, s],
@@ -757,7 +815,7 @@ def _theta_sweep_kernel_v2(THm_ref, THk_ref, THf_ref, g_ref, Bm_ref,
     )
 
 
-@partial(jax.jit, static_argnames=("dt", "step0", "bdf2", "with_trilinear",
+@partial(jax.jit, static_argnames=("dt", "bdf2", "with_trilinear",
                                    "n_real", "interpret"))
 def online_sweep_theta_pallas_v2(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p,
                                  VE_p, b0, state0, *, dt, step0=0,
@@ -779,18 +837,19 @@ def online_sweep_theta_pallas_v2(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p,
                         + PROBE_P) * BLANE * 4
         chunk = _chunk_capped(
             nt, min(75, max(1, (44 * 1024 * 1024) // per_step),
-                    _compile_cap(n_real)),
+                    _compile_cap_v2(n_real)),
         )
 
     kernel = partial(_theta_sweep_kernel_v2, nt=nt, chunk=chunk, dt=dt,
-                     step0=step0, bdf2=bdf2, with_trilinear=with_trilinear,
+                     bdf2=bdf2, with_trilinear=with_trilinear,
                      n_real=n_real, n_pad=n_pad)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         grid=(B // BLANE,),
-        in_specs=[hbm, hbm, hbm, hbm, vmem, vmem, vmem, vmem, vmem,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  hbm, hbm, hbm, hbm, vmem, vmem, vmem, vmem, vmem,
                   pl.BlockSpec((1, BLANE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((4, n_pad, BLANE), lambda i: (0, 0, i),
@@ -810,5 +869,7 @@ def online_sweep_theta_pallas_v2(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p,
         ),
         interpret=interpret,
     )
+    step0_arr = jnp.asarray(step0, jnp.int32).reshape(1)
     with jax.enable_x64(False):
-        return call(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p, VE_p, b0, state0)
+        return call(step0_arr, THm, THk, THf, g_p, Bm, Bk, Bf, T0_p, VE_p,
+                    b0, state0)

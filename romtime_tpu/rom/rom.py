@@ -1160,14 +1160,18 @@ class RomConstructor(Reductor):
             return out
 
         state = jnp.zeros((4, NP, B), dtype)
-        probes_parts = []
-        for w in range(W):
-            a_step, b_step = int(win.bounds[w]), int(win.bounds[w + 1])
-            Bm, Bk, Bf, VE_p, T0_p = window_consts(w)
-            if w > 0:
-                state = transfer_state(state, win.transfers[w - 1])
-            g_w = g_full[a_step:b_step]
-            if use_matrices:
+
+        if use_matrices:
+            # Small-batch path: per-window materialized-table launches
+            # (the tables for all W windows would not fit HBM at serving
+            # batch sizes; compile cost is fine at the sizes that do fit).
+            probes_parts = []
+            for w in range(W):
+                a_step, b_step = int(win.bounds[w]), int(win.bounds[w + 1])
+                Bm, Bk, Bf, VE_p, T0_p = window_consts(w)
+                if w > 0:
+                    state = transfer_state(state, win.transfers[w - 1])
+                g_w = g_full[a_step:b_step]
                 MN_p = jnp.einsum(
                     "nk,tkB->tnB", Bm, THm_full[a_step:b_step]
                 ).reshape(b_step - a_step, NP, NP, B)
@@ -1183,17 +1187,52 @@ class RomConstructor(Reductor):
                     with_trilinear=with_trilinear, n_real=N,
                     interpret=interpret,
                 )
-            else:
-                probes_w, state = online_sweep_theta_pallas_v2(
-                    THm_full[a_step:b_step], THk_full[a_step:b_step],
-                    THf_full[a_step:b_step], g_w, Bm, Bk, Bf, T0_p, VE_p,
-                    b0, state, dt=float(fom.dt), step0=a_step, bdf2=bdf2,
-                    with_trilinear=with_trilinear, n_real=N,
-                    interpret=interpret,
-                )
-            probes_parts.append(probes_w)
+                probes_parts.append(probes_w)
+            probes = jnp.concatenate(probes_parts, axis=0)
+            return {
+                "t": ts_grid,
+                "probes": probes[:, :2, :],
+                "uN_final": state[0, :N, :],
+            }
 
-        probes = jnp.concatenate(probes_parts, axis=0)
+        # θ-streaming serving path: lax.scan over the stacked per-window
+        # constants — exactly ONE pallas_call site (one Mosaic compile)
+        # regardless of W. A python launch loop instead traces W custom
+        # calls and the (remote) TPU pipeline compiles each one (~3.4 min
+        # per kernel at NP=48 — 25 windows never finished).
+        consts = [window_consts(w) for w in range(W)]
+        Bm_all, Bk_all, Bf_all, VE_all, T0_all = (
+            jnp.stack([c[i] for c in consts]) for i in range(5)
+        )
+        width = nt // W
+        THm_w = THm_full.reshape(W, width, -1, B)
+        THk_w = THk_full.reshape(W, width, -1, B)
+        THf_w = THf_full.reshape(W, width, -1, B)
+        g_w = g_full.reshape(W, width, PROBE_P, B)
+        T_np = np.concatenate(
+            [np.eye(N)[None], np.asarray(win.transfers)], axis=0
+        )
+        T_all = jnp.asarray(T_np, jnp.float64 if use64 else dtype)
+        k0s = jnp.arange(W, dtype=jnp.int32) * jnp.int32(width)
+
+        def window_body(state, wd):
+            state = transfer_state(state, wd["T"])
+            probes_w, state = online_sweep_theta_pallas_v2(
+                wd["THm"], wd["THk"], wd["THf"], wd["g"], wd["Bm"],
+                wd["Bk"], wd["Bf"], wd["T0"], wd["VE"], b0, state,
+                dt=float(fom.dt), step0=wd["k0"], bdf2=bdf2,
+                with_trilinear=with_trilinear, n_real=N,
+                interpret=interpret,
+            )
+            return state, probes_w
+
+        wdatas = {
+            "T": T_all, "k0": k0s, "THm": THm_w, "THk": THk_w,
+            "THf": THf_w, "g": g_w, "Bm": Bm_all, "Bk": Bk_all,
+            "Bf": Bf_all, "VE": VE_all, "T0": T0_all,
+        }
+        state, probes_sw = jax.lax.scan(window_body, state, wdatas)
+        probes = probes_sw.reshape((nt,) + probes_sw.shape[2:])
         return {
             "t": ts_grid,
             "probes": probes[:, :2, :],
@@ -1230,10 +1269,191 @@ class RomConstructor(Reductor):
         return (a[0], a[1], b[0], b[1])
 
     def _online_sweep_windowed(self, mu, mode="probes"):
-        """Lane-batched windowed μ-sweep: one scan per window chained
-        inside a single traced function, with float64 carry transfer at
-        the boundaries. Residual-form compensated stepping throughout
-        (exact in f64, drift-free in f32)."""
+        """Lane-batched windowed μ-sweep: ONE compiled window body scanned
+        over the stacked per-window constants (equal window widths), with
+        float64 carry transfer at the boundaries. Residual-form
+        compensated stepping throughout (exact in f64, drift-free in f32).
+
+        Compile cost is a single window regardless of W — the chained
+        per-window trace (W copies of the scan body, ~9 min XLA compile at
+        W=15/N=48 on CPU) remains as `_online_sweep_windowed_chained` for
+        unequal widths."""
+        win = self.windows
+        assert win is not None, "call build_windowed_serving first"
+        widths = np.diff(win.bounds)
+        if len(set(widths.tolist())) != 1:
+            return self._online_sweep_windowed_chained(mu, mode=mode)
+
+        fom = self.fom
+        nt = int(fom.domain[fom.NT])
+        bdf2 = fom.BDF_SCHEME == BDF.TWO
+        N = win.N
+        W = win.n_windows
+        width = nt // W
+        dtype = compute_dtype()
+        dt = _scalar(fom.dt)
+        one = _scalar(1.0)
+        one_five = _scalar(1.5)
+        B = int(next(iter(mu.values())).shape[0])
+
+        sources = self._theta_sources()
+        ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
+        ent = {
+            name: jax.vmap(lambda t, red=red: red._entries_traced(mu, t))(
+                ts_grid
+            )
+            for name, (red, _fb) in sources.items()
+        }  # each (nt, k, B)
+        stiff_names = [n for n in sources if n not in ("mass", "rhs_vec")]
+
+        b0 = None
+        if win.trilinear is not None:
+            b0 = self.fom.nonlinear_coefficient(mu)  # (B,) or scalar
+
+        matvec = partial(jnp.einsum, "ijB,jB->iB")
+
+        # Stacked per-window time tables (total size = the chained path's).
+        C = {name: _asarray(win.combines[name]) for name in sources}
+
+        def wslice(name):
+            e = ent[name]
+            return e.reshape((W, width) + e.shape[1:])
+
+        MN_tab = jnp.einsum("Wnk,WtkB->WtnB", C["mass"], wslice("mass"))
+        dtS_tab = dt * sum(
+            jnp.einsum("Wnk,WtkB->WtnB", C[n], wslice(n))
+            for n in stiff_names
+        )
+        fN_tab = dt * jnp.einsum(
+            "Wnk,WtkB->WtnB", C["rhs_vec"], wslice("rhs_vec")
+        )
+        T0_all = (
+            _asarray(win.trilinear) if win.trilinear is not None else None
+        )  # (W, N², N)
+        V_ends_all = _asarray(win.Vs[:, [0, -1], :])  # (W, 2, N)
+        V_full_all = _asarray(win.Vs) if mode == "full" else None
+
+        # Boundary transfers with an identity slot for w=0 (the dd
+        # renormalization it performs is a no-op on a normalized carry).
+        use64 = bool(jax.config.jax_enable_x64) and dtype == jnp.float32
+        T_np = np.concatenate(
+            [np.eye(N)[None], np.asarray(win.transfers)], axis=0
+        )
+        T_all = jnp.asarray(T_np, jnp.float64 if use64 else dtype)
+
+        if use64:
+
+            def tx(T, h, l):
+                x = h.astype(jnp.float64) + l.astype(jnp.float64)
+                y = T @ x
+                yh = y.astype(jnp.float32)
+                yl = (y - yh.astype(jnp.float64)).astype(jnp.float32)
+                return yh, yl
+        else:
+
+            def tx(T, h, l):
+                return T @ h + T @ l, jnp.zeros_like(h)
+
+        i32 = jnp.int32
+        k0s = jnp.arange(W, dtype=i32) * i32(width)
+
+        def window_body(carry, wdata):
+            T_w = wdata["T"]
+            k0 = wdata["k0"]
+            T0w = wdata.get("T0")
+            V_ends = wdata["V_ends"]
+            V_w = wdata.get("V_full")
+
+            hi, lo, hi1, lo1 = carry
+            a = tx(T_w, hi, lo)
+            c = tx(T_w, hi1, lo1)
+            carry = (a[0], a[1], c[0], c[1])
+
+            def step(carry, inputs):
+                uN_n, lo_n, uN_n1, lo_n1 = carry
+                i, (MN_flat, dtS_flat, fN_dt) = inputs
+                k = k0 + i
+                t = (k + 1).astype(dtype) * dt
+                MN = MN_flat.reshape((N, N, -1))
+                dtS = dtS_flat.reshape((N, N, -1))
+
+                if bdf2:
+                    ph, plo = dd_bdf2_predict(uN_n, lo_n, uN_n1, lo_n1)
+                    dh = dd_history_diff(uN_n, lo_n, uN_n1, lo_n1)
+                    first = k == 0
+                    pred_hi = jnp.where(first, uN_n, ph)
+                    pred_lo = jnp.where(first, lo_n, plo)
+                    d = jnp.where(first, jnp.zeros_like(dh), dh)
+                    bdf = jnp.where(k > 0, one_five, one)
+                else:
+                    pred_hi, pred_lo = uN_n, lo_n
+                    d = jnp.zeros_like(uN_n)
+                    bdf = one
+
+                if T0w is not None:
+                    NN = (T0w @ pred_hi).reshape((N, N, -1)) * b0
+                    dtS = dtS + dt * NN
+
+                KN = bdf * MN + dtS
+                r0 = matvec(MN, d) + fN_dt - matvec(dtS, pred_hi)
+                delta = gauss_solve_lanes(KN, r0)
+                uN, lo = dd_add_small(pred_hi, pred_lo, delta)
+
+                scale = fom.scale_factor(mu, t) if fom.Lt else one
+                L = fom.domain[fom.L0] * scale
+                L = L * jnp.ones((B,), dtype=dtype)
+                g = fom.create_lifting_operator(mu=mu, t=t, L=L,
+                                                only_g=True)
+
+                outputs = (dict(t=t) if mode == "probes"
+                           else dict(uN=uN, t=t))
+                if mode == "full":
+                    x_phys = _asarray(fom.mesh.x_dofs)[:, None] * (
+                        scale * jnp.ones((B,), dtype=dtype)
+                    )
+                    outputs["uc"] = V_w @ uN + g(x_phys)
+                    outputs["x"] = x_phys
+                else:
+                    x_ends = jnp.stack([jnp.zeros_like(L), L])
+                    outputs["probes"] = V_ends @ uN + g(x_ends)
+
+                return (uN, lo, uN_n, lo_n), outputs
+
+            carry, outs_w = jax.lax.scan(
+                step, carry,
+                (jnp.arange(width, dtype=i32),
+                 (wdata["MN"], wdata["dtS"], wdata["fN"])),
+                unroll=self.ONLINE_UNROLL,
+            )
+            return carry, outs_w
+
+        wdatas = {
+            "T": T_all,
+            "k0": k0s,
+            "V_ends": V_ends_all,
+            "MN": MN_tab,
+            "dtS": dtS_tab,
+            "fN": fN_tab,
+        }
+        if T0_all is not None:
+            wdatas["T0"] = T0_all
+        if V_full_all is not None:
+            wdatas["V_full"] = V_full_all
+
+        zeros = jnp.zeros((N, B), dtype=dtype)
+        carry, outs_sw = jax.lax.scan(
+            window_body, (zeros, zeros, zeros, zeros), wdatas
+        )
+        outs = {
+            key: v.reshape((nt,) + v.shape[2:])
+            for key, v in outs_sw.items()
+        }
+        if mode == "probes":
+            outs["uN_final"] = carry[0]
+        return outs
+
+    def _online_sweep_windowed_chained(self, mu, mode="probes"):
+        """Per-window chained trace (unequal window widths fallback)."""
         win = self.windows
         assert win is not None, "call build_windowed_serving first"
         fom = self.fom

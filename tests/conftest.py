@@ -23,3 +23,18 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite is XLA-compile dominated (CPU
+# scan pipelines); repeat runs on one machine skip most of that.
+_cache_dir = os.environ.get(
+    "ROMTIME_TEST_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                 ".jax_cache"),
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches",
+                      "all")
+except Exception:
+    pass

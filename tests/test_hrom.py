@@ -159,12 +159,12 @@ def test_estimate_batch_matches_serial(heat_hrom):
 
     hrom = heat_hrom
     rom, srom = hrom.rom, hrom.srom
-    mus = list(rom.build_sampling_space(num=3, rnd=np.random.RandomState(7)))
+    mus = list(rom.build_sampling_space(num=2, rnd=np.random.RandomState(7)))
 
     out = hrom.estimate_batch(mus, step=Stage.ONLINE)
     est = out[Errors.ESTIMATOR]
-    assert est.shape[0] == 3
-    assert out[Errors.AVERAGE_ESTIMATOR].shape == (3,)
+    assert est.shape[0] == 2
+    assert out[Errors.AVERAGE_ESTIMATOR].shape == (2,)
     assert np.all(out[Errors.AVERAGE_ESTIMATOR] >= 0)
 
     V_srom = srom.basis
@@ -225,6 +225,7 @@ def test_hrom_resume_from_existing_basis(heat_hrom, tmp_path, monkeypatch):
 # ---------------------------------------------------------------------------
 # Heat (moving) driver
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_hrom_moving_pipeline(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     (grid, fom_params, rom_params, deim_params, mdeim_params,

@@ -61,7 +61,9 @@ def _ref_scan(MN_t, KL_t, fN_t, g_t, T0, b0, VE, dt, N, B):
     return probes, uN
 
 
-@pytest.mark.parametrize("N", [15, 20])
+@pytest.mark.parametrize(
+    "N", [15, pytest.param(20, marks=pytest.mark.slow)]
+)
 def test_fused_sweep_matches_scan(N):
     NT, B = 24, 128
     MN_t, KL_t, fN_t, g_t, T0, b0, VE, dt = _synthetic(N, NT, B, seed=N)
@@ -96,7 +98,9 @@ def test_fused_sweep_matches_scan(N):
                                atol=1e-5)
 
 
-@pytest.mark.parametrize("N", [15, 20])
+@pytest.mark.parametrize(
+    "N", [15, pytest.param(20, marks=pytest.mark.slow)]
+)
 def test_theta_streaming_matches_scan(N):
     """The θ-streaming kernel (operators reconstructed per step on the
     MXU) must agree with the same reference recursion."""
@@ -214,7 +218,7 @@ def test_v2_residual_sweep_and_chaining():
     from romtime_tpu.ops.pallas_online import online_sweep_pallas_v2
 
     rng = np.random.default_rng(0)
-    N, NT, B = 12, 64, 128
+    N, NT, B = 12, 32, 128
     dt = 1.0 / NT
     eye = np.eye(N)
     MN = 0.05 * rng.normal(size=(NT, N, N, B)) + eye[None, :, :, None]
@@ -277,3 +281,65 @@ def test_v2_residual_sweep_and_chaining():
     )
     p_chain = np.concatenate([np.asarray(pa), np.asarray(pb)], 0)
     np.testing.assert_array_equal(p_chain, np.asarray(p1))
+
+
+def test_v2_fori_gauss_jordan_matches_reference():
+    """N > GJ_FORI_MIN routes the in-kernel pivot loop through
+    lax.fori_loop with one-hot masked row/column extraction (one Mosaic
+    body instead of ~chunk x N unrolled copies). Must reproduce the f64
+    plain recursion exactly as well as the unrolled path does."""
+    from romtime_tpu.ops.pallas_online import (
+        GJ_FORI_MIN,
+        online_sweep_pallas_v2,
+    )
+
+    rng = np.random.default_rng(1)
+    N, NT, B = GJ_FORI_MIN + 4, 32, 128
+    dt = 1.0 / NT
+    eye = np.eye(N)
+    MN = 0.05 * rng.normal(size=(NT, N, N, B)) + eye[None, :, :, None]
+    KL = (0.02 * rng.normal(size=(NT, N, N, B))
+          + 2.0 * eye[None, :, :, None]) * dt
+    fN = 0.1 * dt * rng.normal(size=(NT, N, B))
+    g = 0.01 * rng.normal(size=(NT, 2, B))
+    T0 = 0.05 * rng.normal(size=(N * N, N))
+    b0 = 1.0 + 0.1 * rng.normal(size=(B,))
+    VE = rng.normal(size=(2, N))
+
+    uN = np.zeros((N, B))
+    uN1 = np.zeros((N, B))
+    probes_ref = []
+    for k in range(NT):
+        bdf = 1.0 if k == 0 else 1.5
+        u_star = 2 * uN - uN1
+        NN = (T0 @ u_star).reshape(N, N, B) * (dt * b0)[None, None, :]
+        K = bdf * MN[k] + KL[k] + NN
+        combo = 2 * uN - 0.5 * uN1
+        bN = np.einsum("ijB,jB->iB", MN[k], combo) + fN[k]
+        u = np.stack(
+            [np.linalg.solve(K[:, :, b_], bN[:, b_]) for b_ in range(B)], 1
+        )
+        uN1, uN = uN, u
+        probes_ref.append(VE @ uN + g[k])
+    probes_ref = np.array(probes_ref)
+
+    to32 = lambda a: jnp.asarray(a, jnp.float32)
+    MN_p, KL_p, fN_p = pad_reduced_tables(
+        to32(MN.reshape(NT, N * N, B)), to32(KL.reshape(NT, N * N, B)),
+        to32(fN), N,
+    )
+    NP = MN_p.shape[1]
+    g_p = jnp.zeros((NT, PROBE_P, B), jnp.float32).at[:, :2, :].set(to32(g))
+    T0_np = np.zeros((NP, NP, NP), np.float32)
+    T0_np[:N, :N, :N] = T0.reshape(N, N, N)
+    T0_p = jnp.asarray(T0_np.reshape(NP * NP, NP))
+    VE_p = jnp.zeros((PROBE_P, NP), jnp.float32).at[:2, :N].set(to32(VE))
+    b0j = to32(b0)[None, :]
+    state0 = jnp.zeros((4, NP, B), jnp.float32)
+
+    p1, _s1 = online_sweep_pallas_v2(
+        MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0j, state0, step0=0,
+        dt=dt, bdf2=True, with_trilinear=True, n_real=N, interpret=True,
+    )
+    err = np.abs(np.asarray(p1[:, :2, :]) - probes_ref).max()
+    assert err < 5e-6, err

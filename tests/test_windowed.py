@@ -134,6 +134,7 @@ def test_windowed_f32_drift(piston_windowed):
     assert drift < 5e-7, drift
 
 
+@pytest.mark.slow
 def test_windowed_pallas_matches_windowed_lanes(piston_windowed):
     hrom, mu_val, _ = piston_windowed
     rom = hrom.rom
@@ -146,6 +147,33 @@ def test_windowed_pallas_matches_windowed_lanes(piston_windowed):
             served = rom.solve_batch(mus, step=Stage.ONLINE, mode="probes",
                                      engine="windowed-pallas")
         finally:
+            rom._online_fns = {}
+    scale = max(np.abs(lanes["probes"]).max(), 1e-3)
+    np.testing.assert_allclose(served["probes"], lanes["probes"],
+                               atol=5e-6 * scale)
+    np.testing.assert_allclose(served["uN_final"], lanes["uN_final"],
+                               atol=5e-5)
+
+
+def test_windowed_pallas_theta_scan_matches_lanes(piston_windowed):
+    """The θ-streaming windowed path (lax.scan over stacked window
+    constants — ONE pallas_call site) must match the lanes engine. The
+    materialized path is exercised by the test above; this one forces the
+    serving-batch (θ) branch by zeroing the precompute budget."""
+    hrom, mu_val, _ = piston_windowed
+    rom = hrom.rom
+    mus = [dict(mu_val)] * 128
+
+    budget = type(rom).ONLINE_PRECOMPUTE_BUDGET
+    with compute_dtype_scope(jnp.float32):
+        try:
+            type(rom).ONLINE_PRECOMPUTE_BUDGET = 0
+            lanes = rom.solve_batch(mus, step=Stage.ONLINE, mode="probes",
+                                    engine="windowed")
+            served = rom.solve_batch(mus, step=Stage.ONLINE, mode="probes",
+                                     engine="windowed-pallas")
+        finally:
+            type(rom).ONLINE_PRECOMPUTE_BUDGET = budget
             rom._online_fns = {}
     scale = max(np.abs(lanes["probes"]).max(), 1e-3)
     np.testing.assert_allclose(served["probes"], lanes["probes"],
