@@ -162,12 +162,24 @@ def main():
         models=models,
         rnd=np.random.RandomState(0),
     )
+    # BENCH_OFFLINE=device runs the FOM μ-sweep as ONE batched launch on
+    # the accelerator (f32 compute, f64 host-side POD finalize) instead of
+    # the serial f64 CPU loop; "cpu" (default) keeps certification-grade
+    # f64 numerics end-to-end.
+    offline_mode = os.environ.get("BENCH_OFFLINE", "cpu")
     with jax.default_device(offline_device):
         log("offline: setup")
         hrom.setup()
         hrom.setup_hyperreduction()
-        log("offline: FOM sweep + POD")
-        hrom.run_offline_rom()
+        log(f"offline: FOM sweep + POD ({offline_mode})")
+        if offline_mode == "device":
+            from romtime_tpu.dtypes import compute_dtype_scope as _cds
+            import jax.numpy as _jnp
+
+            with jax.default_device(accel), _cds(_jnp.float32):
+                hrom.run_offline_rom(device_sweep=True)
+        else:
+            hrom.run_offline_rom()
         log("offline: (M)DEIM training")
         hrom.run_offline_hyperreduction(
             mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False

@@ -242,8 +242,12 @@ class HyperReducedOrderModelFixed:
     # ------------------------------------------------------------------
     # Offline phases (reference: rom/hrom.py:308-448)
     # ------------------------------------------------------------------
-    def run_offline_rom(self, mu_space=None):
-        """Build the S-ROM basis, then truncate into the ROM."""
+    def run_offline_rom(self, mu_space=None, device_sweep=False, mesh=None):
+        """Build the S-ROM basis, then truncate into the ROM.
+
+        device_sweep runs the FOM μ-sweep as one batched (and, with a
+        multi-device ``mesh``, sharded) device launch instead of the
+        reference's serial loop — see RomConstructor.build_reduced_basis."""
         num_snapshots = self.rom_params[RomParameters.NUM_SNAPSHOTS]
         num_basis = self.rom_params.get(RomParameters.NUM_MU, None)
 
@@ -259,6 +263,8 @@ class HyperReducedOrderModelFixed:
             mu_space=mu_space,
             num_basis=num_basis,
             tolerances=tolerances,
+            device_sweep=device_sweep,
+            mesh=mesh,
         )
 
         n = self.rom_params[RomParameters.SROM_TRUNCATE]

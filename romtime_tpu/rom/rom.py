@@ -301,9 +301,18 @@ class RomConstructor(Reductor):
         mu_space=None,
         num_basis=None,
         tolerances=dict(),
+        device_sweep=False,
+        mesh=None,
     ):
         """FOM sweep per μ + POD tree walk (+ nonlinear-term basis for the
-        Burgers path) — reference: rom/rom.py:276-412."""
+        Burgers path) — reference: rom/rom.py:276-412.
+
+        device_sweep=True replaces the reference's serial per-μ solve loop
+        (rom/rom.py:317-327) with ONE device launch: the scanned FOM
+        vmapped over the μ-batch on a chip and, when ``mesh`` spans more
+        than one device, shard_map-ed over the mesh's μ axis
+        (parallel/sweep.py). The POD stages stay float64 host-side on the
+        fetched snapshots. Probe CSV dumps are skipped on this path."""
         if num_snapshots:
             space = self.build_sampling_space(num=num_snapshots,
                                               rnd=self.random_state)
@@ -326,19 +335,12 @@ class RomConstructor(Reductor):
         tol_t = tolerances.get(RomParameters.TOL_TIME, None)
         offline = self.report[Stage.OFFLINE]
 
-        for mu in space:
-            mu_idx, mu = self.add_mu(mu=mu, step=Stage.OFFLINE)
-
-            fom.setup()
-            fom.update_parametrization(mu)
-            fom.solve()
-
-            fom_solutions[mu_idx] = fom.solutions.fom.copy()
+        def ingest(mu_idx, snapshots, uc, nl_rows):
+            """Per-μ POD stages on host-side float64 data."""
+            fom_solutions[mu_idx] = uc
             # Retained for time-windowed local serving bases
             # (build_windowed_serving): nh×nt f64 per μ, a few MB each.
-            self.offline_snapshots.append(
-                np.asarray(fom.solutions.snapshots).copy()
-            )
+            self.offline_snapshots.append(np.asarray(snapshots).copy())
 
             # POD in time of the homogeneous snapshots. Stage-1 modes are
             # scaled by their singular values (hierarchical-POD weighting):
@@ -347,8 +349,7 @@ class RomConstructor(Reductor):
             # the leading energy modes — fatal for slowly-decaying spectra
             # (the reference stacks unweighted, rom/rom.py:335-368, which
             # its fast-decaying heat cases never expose).
-            _basis, sigmas_time, energy_time = orth(fom.solutions.snapshots,
-                                                    tol=tol_t)
+            _basis, sigmas_time, energy_time = orth(snapshots, tol=tol_t)
             basis_time.append(_basis * sigmas_time[: _basis.shape[1]])
 
             offline[Treewalk.SPECTRUM_TIME][mu_idx] = sigmas_time
@@ -358,7 +359,7 @@ class RomConstructor(Reductor):
             # POD in time of the captured nonlinear-operator snapshots
             # (first one dropped: zero initial state, rom/rom.py:345)
             if collect_nonlinear:
-                nl = np.array(fom.nonlinear_snapshots[1:]).T
+                nl = np.array(nl_rows[1:]).T
                 if hasattr(self, "_zero_nonlinear_boundary"):
                     nl = self._zero_nonlinear_boundary(nl)
                 _basis_nl, _sigmas_nl, _energy_nl = orth(nl, tol=tol_t)
@@ -368,10 +369,47 @@ class RomConstructor(Reductor):
 
                 offline[TreewalkNonlinear.SPECTRUM_TIME][mu_idx] = _sigmas_nl
                 offline[TreewalkNonlinear.ENERGY_TIME][mu_idx] = _energy_nl
-                offline[TreewalkNonlinear.BASIS_TIME][mu_idx] = _basis_nl.shape[1]
+                offline[TreewalkNonlinear.BASIS_TIME][mu_idx] = (
+                    _basis_nl.shape[1]
+                )
 
-            if fom.RUNTIME_PROCESS and hasattr(fom, "save_probes"):
-                fom.save_probes(name=f"probes_offline_fom_{mu_idx}.csv")
+        if device_sweep:
+            from ..parallel.sweep import solve_fom_batch, solve_fom_sharded
+
+            registered = [
+                self.add_mu(mu=mu, step=Stage.OFFLINE) for mu in space
+            ]
+            mus = [mu for _idx, mu in registered]
+            if mesh is not None and mesh.devices.size > 1:
+                outs = solve_fom_sharded(fom, mus, mesh=mesh)
+            else:
+                outs = solve_fom_batch(fom, mus)
+            for b, (mu_idx, _mu) in enumerate(registered):
+                ingest(
+                    mu_idx,
+                    np.asarray(outs["uh"][b], np.float64).T,
+                    np.asarray(outs["uc"][b], np.float64).T,
+                    np.asarray(outs["nonlinear_data"][b], np.float64)
+                    if collect_nonlinear else None,
+                )
+        else:
+            for mu in space:
+                mu_idx, mu = self.add_mu(mu=mu, step=Stage.OFFLINE)
+
+                fom.setup()
+                fom.update_parametrization(mu)
+                fom.solve()
+
+                ingest(
+                    mu_idx,
+                    np.asarray(fom.solutions.snapshots),
+                    fom.solutions.fom.copy(),
+                    list(fom.nonlinear_snapshots)
+                    if collect_nonlinear else None,
+                )
+
+                if fom.RUNTIME_PROCESS and hasattr(fom, "save_probes"):
+                    fom.save_probes(name=f"probes_offline_fom_{mu_idx}.csv")
 
         basis = np.hstack(basis_time)
         offline[Treewalk.BASIS_AFTER_WALK] = basis.shape[1]

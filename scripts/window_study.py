@@ -43,6 +43,10 @@ def main():
                     help="also measure f32 drift per point")
     ap.add_argument("--floor-only", action="store_true",
                     help="projection floors only (pure numpy, no serving)")
+    ap.add_argument("--offline-f32", action="store_true",
+                    help="run the FOM sweep in f32 via the batched device "
+                         "path (emulates the TPU-resident offline); POD "
+                         "and certification stay f64")
     args = ap.parse_args()
 
     # Offline certification is f64 host work; a sitecustomize may re-force
@@ -114,7 +118,11 @@ def main():
     )
     hrom.setup()
     hrom.setup_hyperreduction()
-    hrom.run_offline_rom()
+    if args.offline_f32:
+        with compute_dtype_scope(jnp.float32):
+            hrom.run_offline_rom(device_sweep=True)
+    else:
+        hrom.run_offline_rom()
     hrom.run_offline_hyperreduction(
         mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
     )

@@ -127,3 +127,37 @@ def test_graft_entry_points(mesh):
 
     dryrun_multichip(8)
     dryrun_multichip(2)
+
+
+def test_build_reduced_basis_device_sweep(mesh, piston_solver):
+    """build_reduced_basis(device_sweep=True) — the reference's serial
+    offline loop (rom/rom.py:317-327) as ONE sharded launch — must yield
+    the same reduced basis and nonlinear basis as the serial path."""
+    from romtime_tpu.parameters import get_uniform_dist
+    from romtime_tpu.rom import RomConstructorNonlinear
+
+    grid = {
+        "a0": get_uniform_dist(min=8.0, max=10.0),
+        "omega": get_uniform_dist(min=15.0, max=20.0),
+        "delta": get_uniform_dist(min=0.1, max=0.15),
+        "alpha": get_uniform_dist(min=1e-6, max=1e-6),
+        "gamma": get_uniform_dist(min=1.4, max=1.4),
+    }
+
+    def build(device_sweep):
+        rom = RomConstructorNonlinear(fom=piston_solver, grid=grid)
+        rom.setup(rnd=np.random.RandomState(5))
+        rom.build_reduced_basis(
+            num_snapshots=3, num_basis=6,
+            device_sweep=device_sweep,
+            mesh=mesh if device_sweep else None,
+        )
+        return rom
+
+    serial = build(False)
+    device = build(True)
+    assert device.basis.shape == serial.basis.shape
+    assert_allclose(device.basis, serial.basis, atol=1e-9)
+    assert_allclose(device.basis_nonlinear, serial.basis_nonlinear,
+                    atol=1e-9)
+    assert len(device.offline_snapshots) == 3
