@@ -64,3 +64,43 @@ def dd_history_diff(u_hi, u_lo, u1_hi, u1_lo):
 def zeros_like_pair(x):
     z = jnp.zeros_like(x)
     return z, z
+
+
+def _split_point(dtype):
+    """Dekker splitting constant 2^ceil(p/2)+1 for the mantissa width."""
+    return 134217729.0 if dtype == jnp.float64 else 4097.0
+
+
+def two_product(a, b):
+    """Error-free transformation: a·b = p + e exactly (Dekker splitting —
+    no FMA required, which XLA does not expose portably)."""
+    s = jnp.asarray(_split_point(jnp.result_type(a)), a.dtype)
+    p = a * b
+    ca = s * a
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = s * b
+    bh = cb - (cb - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def dd_matvec(T, hi, lo):
+    """Double-word matvec: (h, l) ≈ T @ (hi + lo) to ~2·eps² relative,
+    in pure working-precision ops (no float64 — the f64-emulation path on
+    TPU is both slow and a compile hazard).
+
+    T : (n, m) exact in working precision; hi, lo : (m, B) dd columns.
+    Column sweep with TwoProduct for T·hi and dd accumulation; the T·lo
+    contribution is a plain product (already below eps·‖x‖)."""
+    n, m = T.shape
+    acc_h = jnp.zeros((n, hi.shape[1]), hi.dtype)
+    acc_l = acc_h
+    for k in range(m):
+        col = T[:, k:k + 1]                  # (n, 1)
+        ph, pe = two_product(col, hi[k][None, :])
+        sh, se = two_sum(acc_h, ph)
+        acc_l = acc_l + (se + pe + col * lo[k][None, :])
+        acc_h = sh
+    return two_sum(acc_h, acc_l)

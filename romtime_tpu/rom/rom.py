@@ -44,6 +44,7 @@ from ..ops.compensated import (
     dd_add_small,
     dd_bdf2_predict,
     dd_history_diff,
+    dd_matvec,
 )
 from ..ops.linalg import gauss_solve, gauss_solve_lanes
 from ..rom.pod import orth
@@ -1168,30 +1169,16 @@ class RomConstructor(Reductor):
         mat_bytes = 2 * nt * NP * NP * B * 4
         use_matrices = mat_bytes <= self.ONLINE_PRECOMPUTE_BUDGET
 
-        use64 = bool(jax.config.jax_enable_x64)
-
         def transfer_state(state, T_np):
+            """Window-boundary dd carry transfer in pure f32
+            (ops/compensated.py dd_matvec — no emulated f64 on TPU)."""
             hi = state[0, :N]
             lo = state[1, :N]
             hi1 = state[2, :N]
             lo1 = state[3, :N]
-            if use64:
-                T = jnp.asarray(T_np, jnp.float64)
-
-                def tx(h, l):
-                    x = h.astype(jnp.float64) + l.astype(jnp.float64)
-                    y = T @ x
-                    yh = y.astype(jnp.float32)
-                    yl = (y - yh.astype(jnp.float64)).astype(jnp.float32)
-                    return yh, yl
-            else:
-                T = jnp.asarray(T_np, dtype)
-
-                def tx(h, l):
-                    return T @ h + T @ l, jnp.zeros_like(h)
-
-            a = tx(hi, lo)
-            c = tx(hi1, lo1)
+            T = jnp.asarray(T_np, dtype)
+            a = dd_matvec(T, hi, lo)
+            c = dd_matvec(T, hi1, lo1)
             out = jnp.zeros((4, NP, B), dtype)
             out = out.at[0, :N].set(a[0]).at[1, :N].set(a[1])
             out = out.at[2, :N].set(c[0]).at[3, :N].set(c[1])
@@ -1250,7 +1237,7 @@ class RomConstructor(Reductor):
         T_np = np.concatenate(
             [np.eye(N)[None], np.asarray(win.transfers)], axis=0
         )
-        T_all = jnp.asarray(T_np, jnp.float64 if use64 else dtype)
+        T_all = jnp.asarray(T_np, dtype)
         k0s = jnp.arange(W, dtype=jnp.int32) * jnp.int32(width)
 
         def window_body(state, wd):
@@ -1280,23 +1267,18 @@ class RomConstructor(Reductor):
     @staticmethod
     def _transfer_carry(carry, T_np, dtype):
         """Re-express the BDF carry in the next window's basis. For f32
-        serving the matvec runs in float64 (when available) and splits
-        back into (hi, lo) — a plain f32 transfer would inject eps·‖u‖
+        serving the matvec runs as a pure-f32 dd matvec
+        (ops/compensated.py) — a plain f32 transfer would inject eps·‖u‖
         once per boundary, re-creating the drift the residual-form
-        stepping removed."""
-        use64 = jax.config.jax_enable_x64 and dtype == jnp.float32
+        stepping removed, and emulated f64 on TPU is slow to compile and
+        run."""
+        T = jnp.asarray(T_np, dtype)
 
-        if use64:
-            T = jnp.asarray(T_np, jnp.float64)
+        if dtype == jnp.float32:
 
             def tx(h, l):
-                x = h.astype(jnp.float64) + l.astype(jnp.float64)
-                y = T @ x
-                yh = y.astype(jnp.float32)
-                yl = (y - yh.astype(jnp.float64)).astype(jnp.float32)
-                return yh, yl
+                return dd_matvec(T, h, l)
         else:
-            T = jnp.asarray(T_np, dtype)
 
             def tx(h, l):
                 return T @ h + T @ l, jnp.zeros_like(h)
@@ -1373,20 +1355,19 @@ class RomConstructor(Reductor):
 
         # Boundary transfers with an identity slot for w=0 (the dd
         # renormalization it performs is a no-op on a normalized carry).
-        use64 = bool(jax.config.jax_enable_x64) and dtype == jnp.float32
+        # f32 serving transfers through the pure-f32 dd matvec
+        # (ops/compensated.py) — a plain f32 matvec would inject
+        # eps·‖u‖ per boundary, and emulated f64 on TPU is both slow and
+        # a compile hazard.
         T_np = np.concatenate(
             [np.eye(N)[None], np.asarray(win.transfers)], axis=0
         )
-        T_all = jnp.asarray(T_np, jnp.float64 if use64 else dtype)
+        T_all = jnp.asarray(T_np, dtype)
 
-        if use64:
+        if dtype == jnp.float32:
 
             def tx(T, h, l):
-                x = h.astype(jnp.float64) + l.astype(jnp.float64)
-                y = T @ x
-                yh = y.astype(jnp.float32)
-                yl = (y - yh.astype(jnp.float64)).astype(jnp.float32)
-                return yh, yl
+                return dd_matvec(T, h, l)
         else:
 
             def tx(T, h, l):

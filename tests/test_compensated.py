@@ -135,3 +135,39 @@ def test_residual_form_recursion_beats_plain_f32():
     drift_resid = np.linalg.norm(resid - ref) / nrm
     assert drift_resid < drift_plain / 10, (drift_plain, drift_resid)
     assert drift_resid < 5e-8, drift_resid
+
+
+def test_two_product_exact():
+    from romtime_tpu.ops.compensated import two_product
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=512), jnp.float32)
+    b = jnp.asarray(rng.normal(size=512), jnp.float32)
+    p, e = two_product(a, b)
+    exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    np.testing.assert_array_equal(got, exact)
+
+
+def test_dd_matvec_accuracy():
+    """dd matvec in pure f32 must match the f64 matvec to ~dd precision —
+    it replaces the emulated-f64 window-boundary transfer on TPU."""
+    from romtime_tpu.ops.compensated import dd_matvec
+
+    rng = np.random.default_rng(1)
+    n, m, B = 48, 48, 64
+    T64 = rng.normal(size=(n, m))
+    T = jnp.asarray(np.float32(T64), jnp.float32)  # T exact in f32
+    x64 = rng.normal(size=(m, B))
+    hi = jnp.asarray(np.float32(x64), jnp.float32)
+    lo = jnp.asarray(np.float32(x64 - np.asarray(hi, np.float64)),
+                     jnp.float32)
+
+    h, l = dd_matvec(T, hi, lo)
+    got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+    want = np.asarray(T, np.float64) @ (
+        np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    )
+    scale = np.abs(want).max()
+    err = np.abs(got - want).max() / scale
+    assert err < 1e-13, err
