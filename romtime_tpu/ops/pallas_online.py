@@ -491,7 +491,8 @@ def online_sweep_theta_pallas(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p, VE_p,
 
 
 def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
-                    dt_c, bdf2, with_trilinear, n_real, NP):
+                    dt_c, bdf2, with_trilinear, n_real, NP,
+                    kn_ref=None, r0_ref=None):
     """One residual-form BDF step on a (NP, NP, BLANE) lane block.
 
     KL is the dt-scaled stiffness-side sum with identity padding — it IS
@@ -504,14 +505,16 @@ def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
     three_half = jnp.float32(1.5)
 
     if bdf2:
+        # NB: never name a local `pl` here — it would shadow the pallas
+        # module alias used by the blocked solve below.
         ph, pe = two_sum(two * uN, -uN1)
-        pl = pe + (two * lo - lo1)
-        ph, pl = two_sum(ph, pl)
+        plo = pe + (two * lo - lo1)
+        ph, plo = two_sum(ph, plo)
         dh, de = two_sum(uN1, -uN)
         d = dh + (de + (lo1 - lo))
         first = step == i32(0)
         pred_hi = jnp.where(first, uN, ph)
-        pred_lo = jnp.where(first, lo, pl)
+        pred_lo = jnp.where(first, lo, plo)
         d = jnp.where(first, jnp.zeros_like(d), d)
         bdf = jnp.where(first, one, three_half)
     else:
@@ -548,36 +551,66 @@ def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
                            r0 - colk * bk[None, :])
         delta = r0
     else:
-        # In-kernel fori_loop over pivots: ONE compiled body instead of
-        # n_real unrolled copies (the unroll at NP=48/chunk=24 is ~1150
-        # bodies and takes the Mosaic pipeline >15 min). Pivot row/column
-        # are extracted with one-hot masked reductions — no dynamic
-        # slicing on sublane dims, which Mosaic lowers poorly. Extra cost
-        # vs the unroll: two NP²·lane reduction passes per pivot.
-        def pivot_body(k, carry):
-            KN, r0 = carry
-            is_k = row_ids == k                       # (NP, 1)
-            mk = is_k.astype(jnp.float32)             # (NP, 1)
-            mk_row = mk.reshape(NP, 1, 1)             # mask along axis 0
-            mk_col = mk.reshape(1, NP, 1)             # mask along axis 1
-            rowk = jnp.sum(KN * mk_row, axis=0)       # (NP, BLANE)
-            colk = jnp.sum(KN * mk_col, axis=1)       # (NP, BLANE)
-            bk_v = jnp.sum(r0 * mk, axis=0)           # (BLANE,)
-            diag = jnp.sum(rowk * mk, axis=0)         # (BLANE,)
-            inv = one / diag
-            row = rowk * inv[None, :]
-            bk = bk_v * inv
-            KN = jnp.where(is_k[:, :, None],
-                           row[None, :, :],
-                           KN - colk[:, None, :] * row[None, :, :])
-            r0 = jnp.where(is_k,
-                           bk[None, :],
-                           r0 - colk * bk[None, :])
-            return KN, r0
+        # Blocked pivot-free Gauss-Jordan through a VMEM scratch ref:
+        # fori_loop over NP//8 blocks of 8 pivots. Per block, an ALIGNED
+        # (8, NP) row panel and (NP, 8) column block are loaded with ref
+        # dynamic slices (offsets are sublane-tile multiples; Mosaic has
+        # no dynamic_slice on register values), the panel is fully
+        # reduced with STATIC in-panel indices, and the trailing matrix
+        # takes ONE chained rank-8 update traversal. A scalar-pivot loop
+        # instead traverses the full (NP, NP, lane) block ~4× per pivot
+        # (extraction + update) — VMEM-bandwidth-bound at NP=48 it
+        # measured ~1.3k solves/s; blocking cuts big-matrix traffic ~16×.
+        # No pivoting: K = bdf·M + dt·S is diagonally dominant at BDF
+        # step sizes, and the padded diagonal is exactly identity.
+        assert kn_ref is not None and r0_ref is not None, (
+            "blocked Gauss-Jordan needs the kn/r0 VMEM scratch refs"
+        )
+        NB = NP // 8
+        kn_ref[:] = KN
+        r0_ref[:] = r0
 
-        KN, r0 = jax.lax.fori_loop(i32(0), i32(n_real), pivot_body,
-                                   (KN, r0))
-        delta = r0
+        def block_body(jb, _):
+            off = jb * i32(8)
+            panel = kn_ref[pl.ds(off, 8)]                 # (8, NP, BLANE)
+            q = r0_ref[pl.ds(off, 8)]                     # (8, BLANE)
+            D = kn_ref[pl.ds(off, 8), pl.ds(off, 8)]      # (8, 8, BLANE)
+
+            P_rows = [panel[i] for i in range(8)]    # (NP, BLANE) each
+            D_rows = [D[i] for i in range(8)]        # (8, BLANE) each
+            q_rows = [q[i] for i in range(8)]
+            for i in range(8):
+                inv = one / D_rows[i][i]
+                Pi = P_rows[i] * inv[None, :]
+                Di = D_rows[i] * inv[None, :]
+                qi = q_rows[i] * inv
+                for j in range(8):
+                    if j == i:
+                        continue
+                    cj = D_rows[j][i]
+                    P_rows[j] = P_rows[j] - cj[None, :] * Pi
+                    D_rows[j] = D_rows[j] - cj[None, :] * Di
+                    q_rows[j] = q_rows[j] - cj * qi
+                P_rows[i], D_rows[i], q_rows[i] = Pi, Di, qi
+            P = jnp.stack(P_rows)    # (8, NP, BLANE) = inv(D₀)·panel
+            qq = jnp.stack(q_rows)   # (8, BLANE)
+
+            colblk = kn_ref[:, pl.ds(off, 8)]             # (NP, 8, BLANE)
+            updK = colblk[:, 0:1, :] * P[0][None, :, :]
+            updr = colblk[:, 0, :] * qq[0][None, :]
+            for i in range(1, 8):
+                updK = updK + colblk[:, i:i + 1, :] * P[i][None, :, :]
+                updr = updr + colblk[:, i, :] * qq[i][None, :]
+            kn_ref[:] = kn_ref[:] - updK
+            r0_ref[:] = r0_ref[:] - updr
+            # Pivot rows were clobbered by the update; they hold the
+            # reduced panel.
+            kn_ref[pl.ds(off, 8)] = P
+            r0_ref[pl.ds(off, 8)] = qq
+            return 0
+
+        jax.lax.fori_loop(i32(0), i32(NB), block_body, 0)
+        delta = r0_ref[:]
 
     uN_new, lo_new = dd_add_small(pred_hi, pred_lo, delta)
     probes = jax.lax.dot(
@@ -599,7 +632,7 @@ def _sweep_kernel_v2(step0_ref, MN_ref, KL_ref, fN_ref, g_ref, T0_ref,
     n_chunks = nt // chunk
     step0 = step0_ref[0]
 
-    def body(mn_s, kl_s, fn_s, g_s, sems):
+    def body(mn_s, kl_s, fn_s, g_s, sems, kn_s=None, r0_s=None):
         lanes = pl.ds(i * BLANE, BLANE)
 
         def dmas(slot, c):
@@ -642,6 +675,7 @@ def _sweep_kernel_v2(step0_ref, MN_ref, KL_ref, fN_ref, g_ref, T0_ref,
                     mn_s[slot, s], kl_s[slot, s], fn_s[slot, s],
                     g_s[slot, s], uN, lo, uN1, lo1, step, T0, VE, b0,
                     dt_c, bdf2, with_trilinear, n_real, NP,
+                    kn_ref=kn_s, r0_ref=r0_s,
                 )
                 uN1, lo1 = uN, lo
                 uN, lo = uN_new, lo_new
@@ -659,14 +693,20 @@ def _sweep_kernel_v2(step0_ref, MN_ref, KL_ref, fN_ref, g_ref, T0_ref,
         state_ref[2] = uN1
         state_ref[3] = lo1
 
-    pl.run_scoped(
-        body,
+    scratches = dict(
         mn_s=pltpu.VMEM((2, chunk, NP, NP, BLANE), jnp.float32),
         kl_s=pltpu.VMEM((2, chunk, NP, NP, BLANE), jnp.float32),
         fn_s=pltpu.VMEM((2, chunk, NP, BLANE), jnp.float32),
         g_s=pltpu.VMEM((2, chunk, PROBE_P, BLANE), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2, 4)),
     )
+    if n_real > GJ_FORI_MIN:
+        # Blocked Gauss-Jordan scratch (see _bdf_step_resid).
+        scratches.update(
+            kn_s=pltpu.VMEM((NP, NP, BLANE), jnp.float32),
+            r0_s=pltpu.VMEM((NP, BLANE), jnp.float32),
+        )
+    pl.run_scoped(body, **scratches)
 
 
 @partial(jax.jit, static_argnames=("dt", "bdf2", "with_trilinear",
@@ -734,7 +774,7 @@ def _theta_sweep_kernel_v2(step0_ref, THm_ref, THk_ref, THf_ref, g_ref,
     n_chunks = nt // chunk
     step0 = step0_ref[0]
 
-    def body(thm_s, thk_s, thf_s, g_s, sems):
+    def body(thm_s, thk_s, thf_s, g_s, sems, kn_s=None, r0_s=None):
         lanes = pl.ds(i * BLANE, BLANE)
 
         def dmas(slot, c):
@@ -775,8 +815,7 @@ def _theta_sweep_kernel_v2(step0_ref, THm_ref, THk_ref, THf_ref, g_ref,
             for d in dmas(slot, c):
                 d.wait()
 
-            for s in range(chunk):
-                step = step0 + c * i32(chunk) + i32(s)
+            def one_step(uN, lo, uN1, lo1, s, step):
                 MN = jax.lax.dot(Bm, thm_s[slot, s],
                                  precision=hi).reshape(NP, NP, BLANE)
                 KL = jax.lax.dot(Bk, thk_s[slot, s],
@@ -785,10 +824,37 @@ def _theta_sweep_kernel_v2(step0_ref, THm_ref, THk_ref, THf_ref, g_ref,
                 uN_new, lo_new, probes = _bdf_step_resid(
                     MN, KL, fN, g_s[slot, s], uN, lo, uN1, lo1, step,
                     T0, VE, b0, dt_c, bdf2, with_trilinear, n_real, NP,
+                    kn_ref=kn_s, r0_ref=r0_s,
                 )
-                uN1, lo1 = uN, lo
-                uN, lo = uN_new, lo_new
-                probes_ref[c * i32(chunk) + i32(s)] = probes
+                return uN_new, lo_new, probes
+
+            if n_real <= GJ_FORI_MIN:
+                # Small-N: fully unrolled steps (static stores, minimal
+                # loop overhead — the N=15 serving latency path).
+                for s in range(chunk):
+                    step = step0 + c * i32(chunk) + i32(s)
+                    uN_new, lo_new, probes = one_step(
+                        uN, lo, uN1, lo1, s, step
+                    )
+                    uN1, lo1 = uN, lo
+                    uN, lo = uN_new, lo_new
+                    probes_ref[c * i32(chunk) + i32(s)] = probes
+            else:
+                # Large-N: per-step work dwarfs loop overhead; a
+                # fori_loop keeps the Mosaic body size (and compile
+                # time) independent of chunk.
+                def step_body(s, carry2):
+                    uN, lo, uN1, lo1 = carry2
+                    step = step0 + c * i32(chunk) + s
+                    uN_new, lo_new, probes = one_step(
+                        uN, lo, uN1, lo1, s, step
+                    )
+                    probes_ref[c * i32(chunk) + s] = probes
+                    return (uN_new, lo_new, uN, lo)
+
+                uN, lo, uN1, lo1 = jax.lax.fori_loop(
+                    i32(0), i32(chunk), step_body, (uN, lo, uN1, lo1)
+                )
 
             return (uN, lo, uN1, lo1)
 
@@ -805,14 +871,20 @@ def _theta_sweep_kernel_v2(step0_ref, THm_ref, THk_ref, THf_ref, g_ref,
     km = THm_ref.shape[1]
     kk = THk_ref.shape[1]
     kf = THf_ref.shape[1]
-    pl.run_scoped(
-        body,
+    scratches = dict(
         thm_s=pltpu.VMEM((2, chunk, km, BLANE), jnp.float32),
         thk_s=pltpu.VMEM((2, chunk, kk, BLANE), jnp.float32),
         thf_s=pltpu.VMEM((2, chunk, kf, BLANE), jnp.float32),
         g_s=pltpu.VMEM((2, chunk, PROBE_P, BLANE), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2, 4)),
     )
+    if n_real > GJ_FORI_MIN:
+        # Blocked Gauss-Jordan scratch (see _bdf_step_resid).
+        scratches.update(
+            kn_s=pltpu.VMEM((NP, NP, BLANE), jnp.float32),
+            r0_s=pltpu.VMEM((NP, BLANE), jnp.float32),
+        )
+    pl.run_scoped(body, **scratches)
 
 
 @partial(jax.jit, static_argnames=("dt", "bdf2", "with_trilinear",

@@ -1045,15 +1045,85 @@ class RomConstructor(Reductor):
             trilinear=np.stack(tri) if has_tri else None,
         )
         self._online_fns = {}
+        self._windowed_pallas_tbl = None
+        self._windowed_lanes_tbl = {}
         return self.windows
 
-    def _online_sweep_windowed_pallas(self, mu, interpret=False):
-        """Fused windowed serving: one residual-form v2 kernel launch per
-        window (ops/pallas_online.py), chained through the double-f32
-        carry with float64 transfers at the boundaries. θ-streaming
-        tables (raw gathered entries × per-window folded combine
-        tensors); falls back to materialized per-window operator tables
-        when they fit the precompute budget."""
+    def _windowed_pallas_tables(self):
+        """Stacked per-window constant tensors for the fused serving path,
+        built host-side ONCE as eager device arrays and passed to the
+        jitted sweep as ARGUMENTS. Creating them at trace time embeds
+        multi-MB literals in the HLO (T0 alone is W·NP²·NP f32 ≈ 11 MB at
+        W=25/NP=48), which the remote-compile tunnel and XLA choke on —
+        the observed 40-minute serving-sweep compiles."""
+        if getattr(self, "_windowed_pallas_tbl", None) is not None:
+            return self._windowed_pallas_tbl
+        from ..ops.pallas_online import PROBE_P, pad_dim
+
+        win = self.windows
+        fom = self.fom
+        N = win.N
+        NP = pad_dim(N)
+        W = win.n_windows
+        sources = self._theta_sources()
+        stiff_names = [n for n in sources if n not in ("mass", "rhs_vec")]
+
+        def pad8(k):
+            return -(-k // 8) * 8
+
+        km = win.combines["mass"].shape[2]
+        km8 = pad8(km)
+        kk = sum(win.combines[n].shape[2] for n in stiff_names) + 1
+        kk8 = pad8(kk)
+        kf = win.combines["rhs_vec"].shape[2]
+        kf8 = pad8(kf)
+
+        Bm_np = np.zeros((W, NP * NP, km8), np.float32)
+        Bk_np = np.zeros((W, NP * NP, kk8), np.float32)
+        Bf_np = np.zeros((W, NP, kf8), np.float32)
+        VE_np = np.zeros((W, PROBE_P, NP), np.float32)
+        T0_np = np.zeros((W, NP * NP, NP), np.float32)
+        for w in range(W):
+            bm = np.zeros((NP, NP, km8), np.float32)
+            bm[:N, :N, :km] = win.combines["mass"][w].reshape(N, N, km)
+            Bm_np[w] = bm.reshape(NP * NP, km8)
+            bk = np.zeros((NP, NP, kk8), np.float32)
+            col = 0
+            for n in stiff_names:
+                Cw = win.combines[n][w]
+                k = Cw.shape[1]
+                bk[:N, :N, col:col + k] = (
+                    Cw.reshape(N, N, k) * float(fom.dt)
+                )
+                col += k
+            bk[np.arange(N, NP), np.arange(N, NP), col] = 1.0
+            Bk_np[w] = bk.reshape(NP * NP, kk8)
+            Bf_np[w, :N, :kf] = win.combines["rhs_vec"][w] * float(fom.dt)
+            VE_np[w, :2, :N] = win.Vs[w][[0, -1], :]
+            if win.trilinear is not None:
+                t0 = np.zeros((NP, NP, NP), np.float32)
+                t0[:N, :N, :N] = win.trilinear[w].reshape(N, N, N)
+                T0_np[w] = t0.reshape(NP * NP, NP)
+        T_np = np.concatenate(
+            [np.eye(N, dtype=np.float32)[None],
+             np.asarray(win.transfers, np.float32)], axis=0
+        )
+        tbl = {
+            "Bm": jnp.asarray(Bm_np), "Bk": jnp.asarray(Bk_np),
+            "Bf": jnp.asarray(Bf_np), "VE": jnp.asarray(VE_np),
+            "T0": jnp.asarray(T0_np), "T": jnp.asarray(T_np),
+        }
+        self._windowed_pallas_tbl = tbl
+        return tbl
+
+    def _online_sweep_windowed_pallas(self, mu, tables, interpret=False):
+        """Fused windowed serving: residual-form v2 kernels chained
+        through the double-f32 carry with pure-f32 dd transfers at the
+        boundaries. θ-streaming tables (raw gathered entries × per-window
+        folded combine tensors, lax.scan over windows — ONE pallas_call);
+        falls back to materialized per-window operator tables when they
+        fit the precompute budget. ``tables`` is the
+        `_windowed_pallas_tables` pytree, passed as a jit argument."""
         from ..ops.pallas_online import (
             PROBE_P,
             online_sweep_pallas_v2,
@@ -1088,8 +1158,9 @@ class RomConstructor(Reductor):
         }  # (nt, k, B)
         stiff_names = [n for n in sources if n not in ("mass", "rhs_vec")]
 
-        def pad8(k):
-            return -(-k // 8) * 8
+        km8 = tables["Bm"].shape[2]
+        kk8 = tables["Bk"].shape[2]
+        kf8 = tables["Bf"].shape[2]
 
         def ent_pad(th, k8):
             k = th.shape[1]
@@ -1098,13 +1169,6 @@ class RomConstructor(Reductor):
             return jnp.concatenate(
                 [th, jnp.zeros((th.shape[0], k8 - k, B), dtype)], axis=1
             )
-
-        km = win.combines["mass"].shape[2]
-        km8 = pad8(km)
-        kk = sum(win.combines[n].shape[2] for n in stiff_names) + 1
-        kk8 = pad8(kk)
-        kf = win.combines["rhs_vec"].shape[2]
-        kf8 = pad8(kf)
 
         THm_full = ent_pad(ent["mass"], km8)
         THk_full = ent_pad(
@@ -1115,35 +1179,6 @@ class RomConstructor(Reductor):
             kk8,
         )
         THf_full = ent_pad(ent["rhs_vec"], kf8)
-
-        # Per-window constant tensors (padded, f32; built host-side once).
-        def window_consts(w):
-            Bm_np = np.zeros((NP, NP, km8), np.float32)
-            Bm_np[:N, :N, :km] = win.combines["mass"][w].reshape(N, N, km)
-            Bk_np = np.zeros((NP, NP, kk8), np.float32)
-            col = 0
-            for n in stiff_names:
-                Cw = win.combines[n][w]
-                k = Cw.shape[1]
-                Bk_np[:N, :N, col:col + k] = (
-                    Cw.reshape(N, N, k) * float(fom.dt)
-                )
-                col += k
-            Bk_np[np.arange(N, NP), np.arange(N, NP), col] = 1.0
-            Bf_np = np.zeros((NP, kf8), np.float32)
-            Bf_np[:N, :kf] = win.combines["rhs_vec"][w] * float(fom.dt)
-            VE_np = np.zeros((PROBE_P, NP), np.float32)
-            VE_np[:2, :N] = win.Vs[w][[0, -1], :]
-            if win.trilinear is not None:
-                T0_np = np.zeros((NP, NP, NP), np.float32)
-                T0_np[:N, :N, :N] = win.trilinear[w].reshape(N, N, N)
-                T0_np = T0_np.reshape(NP * NP, NP)
-            else:
-                T0_np = np.zeros((NP * NP, NP), np.float32)
-            return (jnp.asarray(Bm_np.reshape(NP * NP, km8)),
-                    jnp.asarray(Bk_np.reshape(NP * NP, kk8)),
-                    jnp.asarray(Bf_np), jnp.asarray(VE_np),
-                    jnp.asarray(T0_np))
 
         with_trilinear = win.trilinear is not None
         if with_trilinear:
@@ -1193,9 +1228,10 @@ class RomConstructor(Reductor):
             probes_parts = []
             for w in range(W):
                 a_step, b_step = int(win.bounds[w]), int(win.bounds[w + 1])
-                Bm, Bk, Bf, VE_p, T0_p = window_consts(w)
+                Bm, Bk, Bf = tables["Bm"][w], tables["Bk"][w], tables["Bf"][w]
+                VE_p, T0_p = tables["VE"][w], tables["T0"][w]
                 if w > 0:
-                    state = transfer_state(state, win.transfers[w - 1])
+                    state = transfer_state(state, tables["T"][w])
                 g_w = g_full[a_step:b_step]
                 MN_p = jnp.einsum(
                     "nk,tkB->tnB", Bm, THm_full[a_step:b_step]
@@ -1221,23 +1257,15 @@ class RomConstructor(Reductor):
             }
 
         # θ-streaming serving path: lax.scan over the stacked per-window
-        # constants — exactly ONE pallas_call site (one Mosaic compile)
+        # tables — exactly ONE pallas_call site (one Mosaic compile)
         # regardless of W. A python launch loop instead traces W custom
         # calls and the (remote) TPU pipeline compiles each one (~3.4 min
         # per kernel at NP=48 — 25 windows never finished).
-        consts = [window_consts(w) for w in range(W)]
-        Bm_all, Bk_all, Bf_all, VE_all, T0_all = (
-            jnp.stack([c[i] for c in consts]) for i in range(5)
-        )
         width = nt // W
         THm_w = THm_full.reshape(W, width, -1, B)
         THk_w = THk_full.reshape(W, width, -1, B)
         THf_w = THf_full.reshape(W, width, -1, B)
         g_w = g_full.reshape(W, width, PROBE_P, B)
-        T_np = np.concatenate(
-            [np.eye(N)[None], np.asarray(win.transfers)], axis=0
-        )
-        T_all = jnp.asarray(T_np, dtype)
         k0s = jnp.arange(W, dtype=jnp.int32) * jnp.int32(width)
 
         def window_body(state, wd):
@@ -1252,9 +1280,10 @@ class RomConstructor(Reductor):
             return state, probes_w
 
         wdatas = {
-            "T": T_all, "k0": k0s, "THm": THm_w, "THk": THk_w,
-            "THf": THf_w, "g": g_w, "Bm": Bm_all, "Bk": Bk_all,
-            "Bf": Bf_all, "VE": VE_all, "T0": T0_all,
+            "T": tables["T"], "k0": k0s, "THm": THm_w, "THk": THk_w,
+            "THf": THf_w, "g": g_w, "Bm": tables["Bm"],
+            "Bk": tables["Bk"], "Bf": tables["Bf"], "VE": tables["VE"],
+            "T0": tables["T0"],
         }
         state, probes_sw = jax.lax.scan(window_body, state, wdatas)
         probes = probes_sw.reshape((nt,) + probes_sw.shape[2:])
@@ -1288,16 +1317,45 @@ class RomConstructor(Reductor):
         b = tx(hi1, lo1)
         return (a[0], a[1], b[0], b[1])
 
-    def _online_sweep_windowed(self, mu, mode="probes"):
+    def _windowed_lanes_tables(self, mode):
+        """Stacked per-window tensors for the lanes windowed engine —
+        eager device arrays passed to the jitted sweep as ARGUMENTS (see
+        _windowed_pallas_tables for why trace-time constants are a
+        compile hazard). Keyed by (mode, compute dtype)."""
+        win = self.windows
+        dtype = np.dtype(compute_dtype()).name
+        cache = getattr(self, "_windowed_lanes_tbl", None)
+        if cache is None:
+            cache = self._windowed_lanes_tbl = {}
+        key = (mode, dtype)
+        if key in cache:
+            return cache[key]
+        sources = self._theta_sources()
+        tbl = {f"C_{name}": _asarray(win.combines[name])
+               for name in sources}
+        if win.trilinear is not None:
+            tbl["T0"] = _asarray(win.trilinear)
+        tbl["V_ends"] = _asarray(win.Vs[:, [0, -1], :])
+        if mode == "full":
+            tbl["V_full"] = _asarray(win.Vs)
+        T_np = np.concatenate(
+            [np.eye(win.N)[None], np.asarray(win.transfers)], axis=0
+        )
+        tbl["T"] = _asarray(T_np)
+        cache[key] = tbl
+        return tbl
+
+    def _online_sweep_windowed(self, mu, tables, mode="probes"):
         """Lane-batched windowed μ-sweep: ONE compiled window body scanned
-        over the stacked per-window constants (equal window widths), with
-        float64 carry transfer at the boundaries. Residual-form
+        over the stacked per-window tables (equal window widths), with
+        pure-f32 dd carry transfer at the boundaries. Residual-form
         compensated stepping throughout (exact in f64, drift-free in f32).
 
         Compile cost is a single window regardless of W — the chained
         per-window trace (W copies of the scan body, ~9 min XLA compile at
         W=15/N=48 on CPU) remains as `_online_sweep_windowed_chained` for
-        unequal widths."""
+        unequal widths. ``tables`` is the `_windowed_lanes_tables` pytree,
+        passed as a jit argument."""
         win = self.windows
         assert win is not None, "call build_windowed_serving first"
         widths = np.diff(win.bounds)
@@ -1333,25 +1391,23 @@ class RomConstructor(Reductor):
         matvec = partial(jnp.einsum, "ijB,jB->iB")
 
         # Stacked per-window time tables (total size = the chained path's).
-        C = {name: _asarray(win.combines[name]) for name in sources}
-
         def wslice(name):
             e = ent[name]
             return e.reshape((W, width) + e.shape[1:])
 
-        MN_tab = jnp.einsum("Wnk,WtkB->WtnB", C["mass"], wslice("mass"))
+        MN_tab = jnp.einsum(
+            "Wnk,WtkB->WtnB", tables["C_mass"], wslice("mass")
+        )
         dtS_tab = dt * sum(
-            jnp.einsum("Wnk,WtkB->WtnB", C[n], wslice(n))
+            jnp.einsum("Wnk,WtkB->WtnB", tables[f"C_{n}"], wslice(n))
             for n in stiff_names
         )
         fN_tab = dt * jnp.einsum(
-            "Wnk,WtkB->WtnB", C["rhs_vec"], wslice("rhs_vec")
+            "Wnk,WtkB->WtnB", tables["C_rhs_vec"], wslice("rhs_vec")
         )
-        T0_all = (
-            _asarray(win.trilinear) if win.trilinear is not None else None
-        )  # (W, N², N)
-        V_ends_all = _asarray(win.Vs[:, [0, -1], :])  # (W, 2, N)
-        V_full_all = _asarray(win.Vs) if mode == "full" else None
+        T0_all = tables.get("T0")  # (W, N², N) or None
+        V_ends_all = tables["V_ends"]  # (W, 2, N)
+        V_full_all = tables.get("V_full")
 
         # Boundary transfers with an identity slot for w=0 (the dd
         # renormalization it performs is a no-op on a normalized carry).
@@ -1359,10 +1415,7 @@ class RomConstructor(Reductor):
         # (ops/compensated.py) — a plain f32 matvec would inject
         # eps·‖u‖ per boundary, and emulated f64 on TPU is both slow and
         # a compile hazard.
-        T_np = np.concatenate(
-            [np.eye(N)[None], np.asarray(win.transfers)], axis=0
-        )
-        T_all = jnp.asarray(T_np, dtype)
+        T_all = tables["T"]
 
         if dtype == jnp.float32:
 
@@ -1626,23 +1679,33 @@ class RomConstructor(Reductor):
                compute_dtype())
         fn = self._online_fns.get(key)
         if fn is None:
+            tables_fn = None
             if batched and engine == "pallas":
                 interpret = jax.default_backend() == "cpu"
                 impl = partial(self._online_sweep_pallas,
                                interpret=interpret)
             elif batched and engine == "windowed":
                 impl = partial(self._online_sweep_windowed, mode=mode)
+                tables_fn = partial(self._windowed_lanes_tables, mode)
             elif batched and engine == "windowed-pallas":
                 interpret = jax.default_backend() == "cpu"
                 impl = partial(self._online_sweep_windowed_pallas,
                                interpret=interpret)
+                tables_fn = self._windowed_pallas_tables
             elif batched and engine == "lanes":
                 impl = partial(self._online_scan_batch, mode=mode)
             elif batched:
                 impl = jax.vmap(partial(self._online_scan, mode=mode))
             else:
                 impl = partial(self._online_scan, mode=mode)
-            fn = jax.jit(self._full_precision(impl))
+            jitted = jax.jit(self._full_precision(impl))
+            if tables_fn is not None:
+                # Windowed engines take the precomputed table pytree as a
+                # runtime ARGUMENT (built eagerly, outside the trace).
+                def fn(batch, _jit=jitted, _tables=tables_fn):
+                    return _jit(batch, _tables())
+            else:
+                fn = jitted
             self._online_fns[key] = fn
         return fn
 

@@ -343,3 +343,93 @@ def test_v2_fori_gauss_jordan_matches_reference():
     )
     err = np.abs(np.asarray(p1[:, :2, :]) - probes_ref).max()
     assert err < 5e-6, err
+
+
+def test_theta_v2_fori_steps_blocked_gj():
+    """θ-streaming v2 at N > GJ_FORI_MIN: dynamic (fori) step loop +
+    blocked Gauss-Jordan must reproduce the f64 recursion built from the
+    same θ-parametrized operators."""
+    from romtime_tpu.ops.pallas_online import (
+        GJ_FORI_MIN,
+        online_sweep_theta_pallas_v2,
+        pad_dim,
+    )
+
+    rng = np.random.default_rng(7)
+    N, NT, B = GJ_FORI_MIN + 4, 24, 128
+    NP = pad_dim(N)
+    km8, kk8, kf8 = 8, 16, 8
+    dt = 1.0 / NT
+
+    # θ₀ ≈ 1 keeps K = bdf·M + dt·S diagonally dominant (the regime the
+    # pivot-free solve — like the reference's operators — lives in).
+    thm = rng.normal(size=(NT, km8, B)) * 0.1
+    thm[:, 0, :] = 1.0 + 0.05 * rng.normal(size=(NT, B))
+    thk = rng.normal(size=(NT, kk8, B)) * 0.1
+    thk[:, 0, :] = 1.0 + 0.05 * rng.normal(size=(NT, B))
+    thf = rng.normal(size=(NT, kf8, B))
+    g = 0.01 * rng.normal(size=(NT, 2, B))
+
+    Bm = np.zeros((NP, NP, km8), np.float32)
+    Bm[:N, :N, :] = 0.02 * rng.normal(size=(N, N, km8))
+    for i in range(N):
+        Bm[i, i, 0] += 1.0  # mass ~ identity + noise combos
+    Bk = np.zeros((NP, NP, kk8), np.float32)
+    Bk[:N, :N, :] = 0.01 * dt * rng.normal(size=(N, N, kk8))
+    for i in range(N):
+        Bk[i, i, 0] += 2.0 * dt
+    for i in range(N, NP):
+        Bk[i, i, 0] = 1.0  # padded identity lives in the KL table
+    Bf = np.zeros((NP, kf8), np.float32)
+    Bf[:N, :] = 0.1 * dt * rng.normal(size=(N, kf8))
+    T0 = np.zeros((NP * NP, NP), np.float32)
+    T0_real = 0.02 * rng.normal(size=(N, N, N))
+    tmp = np.zeros((NP, NP, NP), np.float32)
+    tmp[:N, :N, :N] = T0_real
+    T0 = tmp.reshape(NP * NP, NP)
+    b0 = 1.0 + 0.1 * rng.normal(size=(B,))
+    VE = rng.normal(size=(2, N))
+
+    # f64 reference recursion from the same parametrization. The padded
+    # identity must NOT contribute: padded state stays 0.
+    uN = np.zeros((N, B))
+    uN1 = np.zeros((N, B))
+    probes_ref = []
+    Bm64 = np.float64(Bm[:N, :N, :])
+    Bk64 = np.float64(Bk[:N, :N, :])
+    Bf64 = np.float64(Bf[:N, :])
+    for k in range(NT):
+        MN = np.einsum("ijk,kB->ijB", Bm64, np.float32(thm[k]))
+        KL = np.einsum("ijk,kB->ijB", Bk64, np.float32(thk[k]))
+        fN = np.einsum("ik,kB->iB", Bf64, np.float32(thf[k]))
+        bdf = 1.0 if k == 0 else 1.5
+        u_star = 2 * uN - uN1
+        NN = (np.float64(T0_real.reshape(N * N, N)) @ u_star
+              ).reshape(N, N, B) * (dt * b0)[None, None, :]
+        K = bdf * MN + KL + NN
+        combo = 2 * uN - 0.5 * uN1
+        bN = np.einsum("ijB,jB->iB", MN, combo) + fN
+        u = np.stack(
+            [np.linalg.solve(K[:, :, b_], bN[:, b_]) for b_ in range(B)],
+            1,
+        )
+        uN1, uN = uN, u
+        probes_ref.append(np.float64(VE) @ uN + g[k])
+    probes_ref = np.array(probes_ref)
+
+    to32 = lambda a: jnp.asarray(a, jnp.float32)
+    g_p = jnp.zeros((NT, PROBE_P, B), jnp.float32).at[:, :2, :].set(to32(g))
+    VE_p = jnp.zeros((PROBE_P, NP), jnp.float32).at[:2, :N].set(to32(VE))
+    state0 = jnp.zeros((4, NP, B), jnp.float32)
+
+    p1, _s1 = online_sweep_theta_pallas_v2(
+        to32(thm), to32(thk), to32(thf), g_p,
+        jnp.asarray(Bm.reshape(NP * NP, km8)),
+        jnp.asarray(Bk.reshape(NP * NP, kk8)),
+        jnp.asarray(Bf), jnp.asarray(T0), VE_p,
+        to32(b0)[None, :], state0,
+        dt=dt, step0=0, bdf2=True, with_trilinear=True, n_real=N,
+        interpret=True,
+    )
+    err = np.abs(np.asarray(p1[:, :2, :]) - probes_ref).max()
+    assert err < 2e-5, err
