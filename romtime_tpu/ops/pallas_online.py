@@ -82,6 +82,9 @@ def _compile_cap(n_real):
 # in-kernel fori_loop (one compiled body) instead of a full unroll.
 GJ_FORI_MIN = 20
 
+# Force the theta-v2 STEP loop to unroll even for large N (static scratch
+# indexing + static probe stores; costs Mosaic compile time ~ chunk).
+STEP_UNROLL_V2 = False
 
 def _compile_cap_v2(n_real):
     """v2 chunk cap: the fori-loop Gauss-Jordan removes the n_real factor
@@ -551,66 +554,82 @@ def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
                            r0 - colk * bk[None, :])
         delta = r0
     else:
-        # Blocked pivot-free Gauss-Jordan through a VMEM scratch ref:
-        # fori_loop over NP//8 blocks of 8 pivots. Per block, an ALIGNED
-        # (8, NP) row panel and (NP, 8) column block are loaded with ref
-        # dynamic slices (offsets are sublane-tile multiples; Mosaic has
-        # no dynamic_slice on register values), the panel is fully
-        # reduced with STATIC in-panel indices, and the trailing matrix
-        # takes ONE chained rank-8 update traversal. A scalar-pivot loop
-        # instead traverses the full (NP, NP, lane) block ~4× per pivot
-        # (extraction + update) — VMEM-bandwidth-bound at NP=48 it
-        # measured ~1.3k solves/s; blocking cuts big-matrix traffic ~16×.
-        # No pivoting: K = bdf·M + dt·S is diagonally dominant at BDF
-        # step sizes, and the padded diagonal is exactly identity.
-        assert kn_ref is not None and r0_ref is not None, (
-            "blocked Gauss-Jordan needs the kn/r0 VMEM scratch refs"
-        )
-        NB = NP // 8
-        kn_ref[:] = KN
-        r0_ref[:] = r0
+        # Blocked pivot-free LU with STATIC shrinking shapes. The matrix
+        # stays a register value: python-level loop over NP//8 pivot
+        # blocks, each inverting its 8×8 diagonal block (unrolled
+        # Jordan), forming CD = C·D⁻¹, and applying one chained rank-8
+        # update to the TRAILING submatrix only (Σ R² ≈ ¼ of full-Jordan
+        # traversal volume at NP=48); back-substitution runs over the
+        # saved (D⁻¹, U) panels. Scalar-pivot and full-Jordan variants
+        # were VMEM-bandwidth-bound (measured 1.3k / 2.9k solves per
+        # second at NP=48, B=2048 on v5e). No pivoting: K = bdf·M + dt·S
+        # is diagonally dominant at BDF step sizes, and the padded
+        # diagonal is exactly identity.
+        BS = 8                        # pad_dim guarantees NP % 8 == 0
+        NB = NP // BS
 
-        def block_body(jb, _):
-            off = jb * i32(8)
-            panel = kn_ref[pl.ds(off, 8)]                 # (8, NP, BLANE)
-            q = r0_ref[pl.ds(off, 8)]                     # (8, BLANE)
-            D = kn_ref[pl.ds(off, 8), pl.ds(off, 8)]      # (8, 8, BLANE)
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (BS, 1), 0)
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
+        eyeB = (r_ids == c_ids).astype(jnp.float32)     # (BS, BS)
 
-            P_rows = [panel[i] for i in range(8)]    # (NP, BLANE) each
-            D_rows = [D[i] for i in range(8)]        # (8, BLANE) each
-            q_rows = [q[i] for i in range(8)]
-            for i in range(8):
-                inv = one / D_rows[i][i]
-                Pi = P_rows[i] * inv[None, :]
-                Di = D_rows[i] * inv[None, :]
-                qi = q_rows[i] * inv
-                for j in range(8):
-                    if j == i:
-                        continue
-                    cj = D_rows[j][i]
-                    P_rows[j] = P_rows[j] - cj[None, :] * Pi
-                    D_rows[j] = D_rows[j] - cj[None, :] * Di
-                    q_rows[j] = q_rows[j] - cj * qi
-                P_rows[i], D_rows[i], q_rows[i] = Pi, Di, qi
-            P = jnp.stack(P_rows)    # (8, NP, BLANE) = inv(D₀)·panel
-            qq = jnp.stack(q_rows)   # (8, BLANE)
+        def solve_blk_aug(D, rj):
+            """Jordan on the augmented block [D | I | r]: WIDE (BS,
+            2·BS+1, lane) ops — a row-list formulation lowers to ~260
+            one-vreg ops per block and is op-overhead-bound on the VPU."""
+            A8 = jnp.concatenate(
+                [D,
+                 jnp.broadcast_to(eyeB[:, :, None], D.shape),
+                 rj[:, None, :]],
+                axis=1,
+            )                                       # (BS, 2·BS+1, BLANE)
+            for i in range(BS):
+                inv = one / A8[i, i]
+                rowi = A8[i] * inv[None, :]
+                coli = A8[:, i, :]
+                is_i = r_ids == i32(i)
+                A8 = jnp.where(
+                    is_i[:, :, None],
+                    rowi[None, :, :],
+                    A8 - coli[:, None, :] * rowi[None, :, :],
+                )
+            return A8[:, BS:2 * BS], A8[:, 2 * BS]      # D⁻¹, y
 
-            colblk = kn_ref[:, pl.ds(off, 8)]             # (NP, 8, BLANE)
-            updK = colblk[:, 0:1, :] * P[0][None, :, :]
-            updr = colblk[:, 0, :] * qq[0][None, :]
-            for i in range(1, 8):
-                updK = updK + colblk[:, i:i + 1, :] * P[i][None, :, :]
-                updr = updr + colblk[:, i, :] * qq[i][None, :]
-            kn_ref[:] = kn_ref[:] - updK
-            r0_ref[:] = r0_ref[:] - updr
-            # Pivot rows were clobbered by the update; they hold the
-            # reduced panel.
-            kn_ref[pl.ds(off, 8)] = P
-            r0_ref[pl.ds(off, 8)] = qq
-            return 0
+        def matbvec(Dinv, v):
+            return jnp.sum(Dinv * v[None, :, :], axis=1)
 
-        jax.lax.fori_loop(i32(0), i32(NB), block_body, 0)
-        delta = r0_ref[:]
+        A = KN
+        r = r0
+        ys = []
+        panels = []
+        for jb in range(NB):
+            D = A[:BS, :BS]
+            U = A[:BS, BS:]          # (BS, R, BLANE); R may be 0
+            C = A[BS:, :BS]          # (R, BS, BLANE)
+            Dinv, y = solve_blk_aug(D, r[:BS])
+            panels.append((Dinv, U))
+            ys.append(y)
+            R = A.shape[0] - BS
+            if R == 0:
+                break
+            # CD = C·D⁻¹ as BS wide FMAs on (R, BS, lane)
+            CD = C[:, 0:1, :] * Dinv[0][None, :, :]
+            for k in range(1, BS):
+                CD = CD + C[:, k:k + 1, :] * Dinv[k][None, :, :]
+            upd = CD[:, 0:1, :] * U[0][None, :, :]
+            updr = C[:, 0, :] * y[0][None, :]
+            for i in range(1, BS):
+                upd = upd + CD[:, i:i + 1, :] * U[i][None, :, :]
+                updr = updr + C[:, i, :] * y[i][None, :]
+            A = A[BS:, BS:] - upd
+            r = r[BS:] - updr
+
+        xs = [ys[-1]]
+        for jb in range(NB - 2, -1, -1):
+            Dinv, U = panels[jb]
+            xt = jnp.concatenate(xs, axis=0)       # (R_jb, BLANE)
+            Ux = jnp.sum(U * xt[None, :, :], axis=1)
+            xs.insert(0, ys[jb] - matbvec(Dinv, Ux))
+        delta = jnp.concatenate(xs, axis=0)        # (NP, BLANE)
 
     uN_new, lo_new = dd_add_small(pred_hi, pred_lo, delta)
     probes = jax.lax.dot(
@@ -700,12 +719,6 @@ def _sweep_kernel_v2(step0_ref, MN_ref, KL_ref, fN_ref, g_ref, T0_ref,
         g_s=pltpu.VMEM((2, chunk, PROBE_P, BLANE), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2, 4)),
     )
-    if n_real > GJ_FORI_MIN:
-        # Blocked Gauss-Jordan scratch (see _bdf_step_resid).
-        scratches.update(
-            kn_s=pltpu.VMEM((NP, NP, BLANE), jnp.float32),
-            r0_s=pltpu.VMEM((NP, BLANE), jnp.float32),
-        )
     pl.run_scoped(body, **scratches)
 
 
@@ -828,7 +841,7 @@ def _theta_sweep_kernel_v2(step0_ref, THm_ref, THk_ref, THf_ref, g_ref,
                 )
                 return uN_new, lo_new, probes
 
-            if n_real <= GJ_FORI_MIN:
+            if n_real <= GJ_FORI_MIN or STEP_UNROLL_V2:
                 # Small-N: fully unrolled steps (static stores, minimal
                 # loop overhead — the N=15 serving latency path).
                 for s in range(chunk):
@@ -878,12 +891,6 @@ def _theta_sweep_kernel_v2(step0_ref, THm_ref, THk_ref, THf_ref, g_ref,
         g_s=pltpu.VMEM((2, chunk, PROBE_P, BLANE), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2, 4)),
     )
-    if n_real > GJ_FORI_MIN:
-        # Blocked Gauss-Jordan scratch (see _bdf_step_resid).
-        scratches.update(
-            kn_s=pltpu.VMEM((NP, NP, BLANE), jnp.float32),
-            r0_s=pltpu.VMEM((NP, BLANE), jnp.float32),
-        )
     pl.run_scoped(body, **scratches)
 
 
