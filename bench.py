@@ -262,14 +262,15 @@ def main():
         # Honest device timing on the axon backend (docs/tpu_notes.md):
         #   - jax.block_until_ready is a NO-OP;
         #   - the runtime is LAZY — launches whose outputs are never
-        #     fetched (even transitively) never execute, and K separately
-        #     queued sweeps hold K sets of operator tables alive (HBM
-        #     pressure distorts the timing);
-        # so K sweeps are chained INSIDE one jit — each sweep's input
-        # perturbed by a scalar from the previous sweep's output, forcing
-        # strict sequential execution — and a single scalar leaves the
-        # device. marginal(wall_K, wall_1) is then pure per-sweep device
-        # time, independent of tunnel latency/bandwidth.
+        #     fetched (even transitively) never execute;
+        # so K sweeps are chained through DATA DEPENDENCIES — each
+        # sweep's input perturbed by a scalar from the previous sweep's
+        # output — and one scalar leaves the device at the end, forcing
+        # strict sequential execution of the whole chain.
+        # marginal(wall_K, wall_1) is then pure per-sweep device time,
+        # independent of tunnel latency/bandwidth. The chain re-dispatches
+        # the SAME compiled sweep (compiling K copies inside one jit
+        # triples the already-minutes-long XLA+Mosaic compile).
         from functools import partial
 
         name0 = sorted(mus[0].keys())[0]
@@ -288,46 +289,34 @@ def main():
                 resolved = "pallas"
             else:
                 resolved = "lanes" if rom._lanes_supported() else "vmap"
-        interpret = jax.default_backend() == "cpu"
-        # Windowed engines take their precomputed table pytree as a
-        # runtime argument (NOT a trace-time constant — compile hazard).
-        tables = None
-        if resolved == "pallas":
-            online_fn = partial(rom._online_sweep_pallas,
-                                interpret=interpret)
-        elif resolved == "windowed-pallas":
-            tables = rom._windowed_pallas_tables()
-            online_fn = partial(rom._online_sweep_windowed_pallas,
-                                interpret=interpret)
-        elif resolved == "windowed":
-            tables = rom._windowed_lanes_tables(serve_mode)
-            online_fn = partial(rom._online_sweep_windowed,
-                                mode=serve_mode)
-        else:
-            online_fn = partial(rom._online_scan_batch, mode=serve_mode)
-        online_fn = rom._full_precision(online_fn)
         rom._prime_online_tables()
 
-        def chained(batch, tables, reps):
+        # The exact callable the warm-up solve_batch compiled (jit-cache
+        # reuse — no second multi-minute compile).
+        sweep_jit = rom._get_online_fn(batched=True, mode=serve_mode,
+                                       engine=resolved)
+
+        @jax.jit
+        def _perturb(v, acc, k):
+            return v + acc * 1e-30 + k * 1e-9
+
+        def run_chain(reps):
             acc = jnp.asarray(0.0, batch[name0].dtype)
             for k in range(reps):
                 b2 = dict(batch)
-                b2[name0] = b2[name0] + acc * 1e-30 + k * 1e-9
-                o = (online_fn(b2) if tables is None
-                     else online_fn(b2, tables))
-                acc = acc + jnp.sum(o["uN_final"])
-            return acc
+                b2[name0] = _perturb(b2[name0], acc, float(k))
+                o = sweep_jit(b2)
+                acc = jnp.sum(o["uN_final"])
+            return float(np.asarray(acc))
 
-        chain_1 = jax.jit(partial(chained, reps=1))
-        chain_k = jax.jit(partial(chained, reps=n_rep))
-        float(np.asarray(chain_1(batch, tables)))  # compile + execute
-        float(np.asarray(chain_k(batch, tables)))
+        run_chain(1)        # compile + execute
+        run_chain(n_rep)
 
         t0 = time.time()
-        float(np.asarray(chain_1(batch, tables)))
+        run_chain(1)
         wall_1 = time.time() - t0
         t0 = time.time()
-        float(np.asarray(chain_k(batch, tables)))
+        run_chain(n_rep)
         wall_k = time.time() - t0
         online_wall = (wall_k - wall_1) / max(n_rep - 1, 1)
         # Guard: if the marginal collapses below clock/launch resolution

@@ -1116,37 +1116,21 @@ class RomConstructor(Reductor):
         self._windowed_pallas_tbl = tbl
         return tbl
 
-    def _online_sweep_windowed_pallas(self, mu, tables, interpret=False):
-        """Fused windowed serving: residual-form v2 kernels chained
-        through the double-f32 carry with pure-f32 dd transfers at the
-        boundaries. θ-streaming tables (raw gathered entries × per-window
-        folded combine tensors, lax.scan over windows — ONE pallas_call);
-        falls back to materialized per-window operator tables when they
-        fit the precompute budget. ``tables`` is the
-        `_windowed_pallas_tables` pytree, passed as a jit argument."""
-        from ..ops.pallas_online import (
-            PROBE_P,
-            online_sweep_pallas_v2,
-            online_sweep_theta_pallas_v2,
-            pad_dim,
-        )
+    def _windowed_pallas_prep(self, mu, tables):
+        """Stage 1 of the fused windowed serving: θ entry tables (gathered
+        local assembly over the full time grid), the padded lifting-probe
+        table and the trilinear coefficient — compiled SEPARATELY from the
+        kernel scan (stage 2). One fused program takes XLA's optimizer
+        >17 min at the headline shapes; the two stages compile in ~2.5 min
+        and ~6 min and chain through HBM-resident tables."""
+        from ..ops.pallas_online import PROBE_P
 
         win = self.windows
-        assert win is not None, "call build_windowed_serving first"
         fom = self.fom
         nt = int(fom.domain[fom.NT])
-        bdf2 = fom.BDF_SCHEME == BDF.TWO
-        N = win.N
-        NP = pad_dim(N)
         dtype = jnp.float32
         dt = _scalar(fom.dt)
         B = int(next(iter(mu.values())).shape[0])
-        W = win.n_windows
-        widths = np.diff(win.bounds)
-        assert len(set(widths.tolist())) == 1, (
-            "windowed pallas serving needs equal window widths "
-            "(one Mosaic compilation shared by all launches)"
-        )
 
         sources = self._theta_sources()
         ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
@@ -1180,8 +1164,7 @@ class RomConstructor(Reductor):
         )
         THf_full = ent_pad(ent["rhs_vec"], kf8)
 
-        with_trilinear = win.trilinear is not None
-        if with_trilinear:
+        if win.trilinear is not None:
             b0 = jnp.asarray(
                 self.fom.nonlinear_coefficient(mu), dtype
             ) * jnp.ones((B,), dtype)
@@ -1199,6 +1182,49 @@ class RomConstructor(Reductor):
         g_full = jnp.zeros((nt, PROBE_P, B), dtype).at[:, :2, :].set(
             g_tab.astype(dtype)
         )
+        return {"THm": THm_full, "THk": THk_full, "THf": THf_full,
+                "g": g_full, "b0": b0}
+
+    def _online_sweep_windowed_pallas(self, prepped, tables,
+                                      interpret=False):
+        """Stage 2 of the fused windowed serving: residual-form v2
+        kernels chained through the double-f32 carry with pure-f32 dd
+        transfers at the boundaries. θ-streaming tables (stage-1 entries
+        × per-window folded combine tensors, lax.scan over windows — ONE
+        pallas_call); falls back to materialized per-window operator
+        tables when they fit the precompute budget. ``tables`` is the
+        `_windowed_pallas_tables` pytree, passed as a jit argument."""
+        from ..ops.pallas_online import (
+            PROBE_P,
+            online_sweep_pallas_v2,
+            online_sweep_theta_pallas_v2,
+            pad_dim,
+        )
+
+        win = self.windows
+        assert win is not None, "call build_windowed_serving first"
+        fom = self.fom
+        nt = int(fom.domain[fom.NT])
+        bdf2 = fom.BDF_SCHEME == BDF.TWO
+        N = win.N
+        NP = pad_dim(N)
+        dtype = jnp.float32
+        dt = _scalar(fom.dt)
+        W = win.n_windows
+        widths = np.diff(win.bounds)
+        assert len(set(widths.tolist())) == 1, (
+            "windowed pallas serving needs equal window widths "
+            "(one Mosaic compilation shared by all launches)"
+        )
+
+        THm_full = prepped["THm"]
+        THk_full = prepped["THk"]
+        THf_full = prepped["THf"]
+        g_full = prepped["g"]
+        b0 = prepped["b0"]
+        B = THm_full.shape[2]
+        ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
+        with_trilinear = win.trilinear is not None
 
         # Materialized tables only when every window's fit the budget.
         mat_bytes = 2 * nt * NP * NP * B * 4
@@ -1689,9 +1715,23 @@ class RomConstructor(Reductor):
                 tables_fn = partial(self._windowed_lanes_tables, mode)
             elif batched and engine == "windowed-pallas":
                 interpret = jax.default_backend() == "cpu"
-                impl = partial(self._online_sweep_windowed_pallas,
-                               interpret=interpret)
-                tables_fn = self._windowed_pallas_tables
+                # TWO jits chained through HBM tables: one fused program
+                # takes XLA >17 min to optimize at serving shapes.
+                prep_jit = jax.jit(
+                    self._full_precision(self._windowed_pallas_prep)
+                )
+                run_jit = jax.jit(self._full_precision(
+                    partial(self._online_sweep_windowed_pallas,
+                            interpret=interpret)
+                ))
+
+                def fn(batch, _p=prep_jit, _r=run_jit,
+                       _t=self._windowed_pallas_tables):
+                    tables = _t()
+                    return _r(_p(batch, tables), tables)
+
+                self._online_fns[key] = fn
+                return fn
             elif batched and engine == "lanes":
                 impl = partial(self._online_scan_batch, mode=mode)
             elif batched:
