@@ -87,20 +87,41 @@ def two_product(a, b):
 
 
 def dd_matvec(T, hi, lo):
-    """Double-word matvec: (h, l) ≈ T @ (hi + lo) to ~2·eps² relative,
-    in pure working-precision ops (no float64 — the f64-emulation path on
-    TPU is both slow and a compile hazard).
+    """Double-word matvec: (h, l) ≈ T @ (hi + lo) to ~eps²·log m
+    relative, in pure working-precision ops (no float64 — the
+    f64-emulation path on TPU is both slow and a compile hazard).
 
     T : (n, m) exact in working precision; hi, lo : (m, B) dd columns.
-    Column sweep with TwoProduct for T·hi and dd accumulation; the T·lo
-    contribution is a plain product (already below eps·‖x‖)."""
+    8-column chunks of wide TwoProducts reduced by a pairwise dd tree —
+    a scalar column sweep is ~720 one-vreg ops at m=48 and costs ~10%
+    of a whole serving sweep in boundary transfers."""
     n, m = T.shape
-    acc_h = jnp.zeros((n, hi.shape[1]), hi.dtype)
+    B = hi.shape[1]
+    CH = 8
+    pad = (-m) % CH
+    if pad:
+        T = jnp.concatenate([T, jnp.zeros((n, pad), T.dtype)], axis=1)
+        hi = jnp.concatenate([hi, jnp.zeros((pad, B), hi.dtype)], axis=0)
+        lo = jnp.concatenate([lo, jnp.zeros((pad, B), lo.dtype)], axis=0)
+        m = m + pad
+
+    def dd_add(ah, al, bh, bl):
+        sh, se = two_sum(ah, bh)
+        return two_sum(sh, se + al + bl)
+
+    acc_h = jnp.zeros((n, B), hi.dtype)
     acc_l = acc_h
-    for k in range(m):
-        col = T[:, k:k + 1]                  # (n, 1)
-        ph, pe = two_product(col, hi[k][None, :])
-        sh, se = two_sum(acc_h, ph)
-        acc_l = acc_l + (se + pe + col * lo[k][None, :])
-        acc_h = sh
+    for c0 in range(0, m, CH):
+        Tc = T[:, c0:c0 + CH][:, :, None]        # (n, 8, 1)
+        xh = hi[c0:c0 + CH][None, :, :]          # (1, 8, B)
+        xl = lo[c0:c0 + CH][None, :, :]
+        ph, pe = two_product(Tc, xh)             # exact products
+        pl = pe + Tc * xl
+        w = CH
+        while w > 1:
+            h = w // 2
+            ph, pl = dd_add(ph[:, :h], pl[:, :h],
+                            ph[:, h:w], pl[:, h:w])
+            w = h
+        acc_h, acc_l = dd_add(acc_h, acc_l, ph[:, 0], pl[:, 0])
     return two_sum(acc_h, acc_l)

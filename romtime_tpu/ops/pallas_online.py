@@ -49,11 +49,11 @@ BLANE = 128   # lane block
 
 
 def pad_dim(n):
-    """Smallest sublane-tile multiple (16) that holds n. The fused kernels
-    serve n ≤ 64 (validated on hardware at NP=64 via the θ-streaming
-    variant; the matrices variant is preferred while its tables fit
-    HBM)."""
-    return max(16, -(-n // 16) * 16)
+    """Smallest f32-sublane-tile multiple (8) ≥ 16 that holds n. Every
+    kernel shape keyed on NP (DMA slices, LU blocks of 8, probe rows) is
+    8-aligned, so 8-granular padding is legal — and at N=44→48 vs
+    N=40→40 the whole serving step scales with NP²–NP³."""
+    return max(16, -(-n // 8) * 8)
 
 
 def _chunk_for(nt, n_pad=NP):

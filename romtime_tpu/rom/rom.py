@@ -1815,7 +1815,11 @@ class RomConstructor(Reductor):
 
         if engine is None:
             B = len(mus)
-            if mode == "probes" and self._pallas_supported(B):
+            if self.windows is not None and mode == "probes":
+                # Windowed local-basis serving (the accuracy-at-speed
+                # configuration) — serve through the fused v2 path.
+                engine = "windowed-pallas"
+            elif mode == "probes" and self._pallas_supported(B):
                 engine = "pallas"
             else:
                 engine = "lanes" if self._lanes_supported() else "vmap"
