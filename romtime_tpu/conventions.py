@@ -182,3 +182,9 @@ class StorageNames:
     SETUP = "setup.json"
     MU_SPACE = "mu_space.json"
     MU_SPACE_DEIM = "mu_space_deim.json"
+
+    # TPU-era extension artifacts (no reference analog): the time-windowed
+    # local-basis serving configuration (rom/windowed.py) and the retained
+    # offline FOM snapshots that windowed bases are built from.
+    WINDOWS = "windowed_serving.npz"
+    SNAPSHOTS = "offline_snapshots.npz"

@@ -13,6 +13,7 @@ Contract:
 with checkpoint/resume via ``start_from_existing_basis()``.
 """
 
+import os
 from collections import defaultdict
 from functools import partial
 from pathlib import Path
@@ -126,6 +127,25 @@ class HyperReducedOrderModelFixed:
         dump_pickle(StorageNames.ROM, self.basis)
         if self.srom is not None and self.srom.basis is not None:
             dump_pickle(StorageNames.SROM, self.srom.basis)
+
+    def dump_offline_snapshots(self, path=None):
+        """Persist the retained per-μ FOM snapshot matrices (the input of
+        ``build_windowed_serving`` — lets a resumed run re-search the
+        (W, N) windowed operating point without repaying the FOM sweep)."""
+        snaps = self.srom.offline_snapshots
+        np.savez(
+            path or StorageNames.SNAPSHOTS,
+            **{f"s{i}": np.asarray(s) for i, s in enumerate(snaps)},
+        )
+
+    def load_offline_snapshots(self, path=None):
+        path = path or StorageNames.SNAPSHOTS
+        if not os.path.exists(path):
+            return False
+        with np.load(path) as data:
+            snaps = [data[f"s{i}"] for i in range(len(data.files))]
+        self.srom.offline_snapshots = snaps
+        return True
 
     def dump_nonlinear_basis(self, path=None):
         dump_pickle(
@@ -304,6 +324,24 @@ class HyperReducedOrderModelFixed:
         self.rom.project_reductors()
         self.srom.project_reductors()
 
+    def build_windowed_serving(self, n_windows, num_basis, snapshots=None,
+                               overlap=2, dump=True):
+        """Driver-level windowed-serving build: per-window local bases +
+        serving tensors on the ROM, persisted next to the basis pickles so
+        ``start_from_existing_basis`` restores a serving-ready windowed
+        configuration without repaying the offline phase (TPU-era
+        extension; resume semantics follow reference rom/hrom.py:344-417).
+        """
+        if snapshots is None:
+            snapshots = self.srom.offline_snapshots
+        windows = self.rom.build_windowed_serving(
+            n_windows=n_windows, num_basis=num_basis,
+            snapshots=snapshots, overlap=overlap,
+        )
+        if dump:
+            windows.dump(StorageNames.WINDOWS)
+        return windows
+
     # ------------------------------------------------------------------
     # Resume from disk (reference: rom/hrom.py:344-417)
     # ------------------------------------------------------------------
@@ -334,6 +372,15 @@ class HyperReducedOrderModelFixed:
                 continue
             for _rom in (self.rom, self.srom):
                 _rom.add_hyper_reductor(reductor=reductor, which=which)
+
+        # Windowed serving configuration, when one was persisted: restore
+        # it bit-compatibly so the flagship serving path needs no offline
+        # rebuild (the W×operators projection loop) after a restart.
+        if os.path.exists(StorageNames.WINDOWS):
+            self.rom.load_windowed_serving(StorageNames.WINDOWS)
+        # Retained FOM snapshots (for re-building windowed bases at a
+        # different (W, N) without the FOM sweep).
+        self.load_offline_snapshots()
 
     def _resume_reductors(self):
         self.deim_rhs.load_fom_basis()
@@ -781,6 +828,10 @@ class HyperReducedPiston(HyperReducedOrderModelFixed):
                 object.u_n = object.u_n.reshape((-1, 1))
             keep = self.rom_params.get(RomParameters.NMDEIM_SIZE)
             object.load_fom_basis(basis=basis, keep=keep)
+            # Persist the adopted basis too: _resume_reductors reloads it
+            # from disk, so resume must not depend on re-running the FOM
+            # sweep that captured the nonlinear snapshots.
+            object.dump_fom_basis()
 
         for rom in (self.rom, self.srom):
             rom.add_hyper_reductor(reductor=object, which=which)

@@ -29,6 +29,7 @@ from ..conventions import (
     PistonParameters,
     RomParameters,
     Stage,
+    StorageNames,
     Treewalk,
     TreewalkNonlinear,
 )
@@ -1044,6 +1045,20 @@ class RomConstructor(Reductor):
             combines={k: np.stack(v) for k, v in combines.items()},
             trilinear=np.stack(tri) if has_tri else None,
         )
+        self._online_fns = {}
+        self._windowed_pallas_tbl = None
+        self._windowed_lanes_tbl = {}
+        return self.windows
+
+    def load_windowed_serving(self, path=None):
+        """Attach a serving configuration persisted by
+        ``WindowedServing.dump`` — the windowed analog of
+        ``load_from_basis`` (reference: rom/hrom.py:344-417). Skips the
+        W×(operators) projection loop entirely; the loaded artifacts are
+        bit-identical to the built ones (npz round-trip is exact)."""
+        from .windowed import WindowedServing
+
+        self.windows = WindowedServing.load(path or StorageNames.WINDOWS)
         self._online_fns = {}
         self._windowed_pallas_tbl = None
         self._windowed_lanes_tbl = {}

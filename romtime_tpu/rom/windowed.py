@@ -54,6 +54,42 @@ class WindowedServing:
     def N(self):
         return self.Vs.shape[2]
 
+    # ------------------------------------------------------------------
+    # Persistence (analog of the reference's basis pickles,
+    # reference: rom/hrom.py:344-417 — resume restores the full online
+    # configuration from disk)
+    # ------------------------------------------------------------------
+    def dump(self, path):
+        """Write every serving artifact to one ``.npz`` container."""
+        payload = {
+            "bounds": np.asarray(self.bounds),
+            "Vs": np.asarray(self.Vs),
+            "transfers": np.asarray(self.transfers),
+        }
+        for name, C in self.combines.items():
+            payload[f"combine_{name}"] = np.asarray(C)
+        if self.trilinear is not None:
+            payload["trilinear"] = np.asarray(self.trilinear)
+        np.savez(path, **payload)
+
+    @classmethod
+    def load(cls, path):
+        """Rebuild a serving-ready instance from :meth:`dump` output."""
+        with np.load(path) as data:
+            combines = {
+                k[len("combine_"):]: data[k]
+                for k in data.files
+                if k.startswith("combine_")
+            }
+            return cls(
+                bounds=data["bounds"],
+                Vs=data["Vs"],
+                transfers=data["transfers"],
+                combines=combines,
+                trilinear=(data["trilinear"]
+                           if "trilinear" in data.files else None),
+            )
+
 
 def build_windowed_basis(
     snapshots, n_windows, num_basis, overlap=2, tol_t=None

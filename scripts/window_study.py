@@ -47,6 +47,10 @@ def main():
                     help="run the FOM sweep in f32 via the batched device "
                          "path (emulates the TPU-resident offline); POD "
                          "and certification stay f64")
+    ap.add_argument("--warm-dir", default=None,
+                    help="resume the offline pipeline from a bench.py "
+                         "BENCH_DIR (basis pickles + offline_snapshots.npz) "
+                         "instead of rebuilding it")
     args = ap.parse_args()
 
     # Offline certification is f64 host work; a sitecustomize may re-force
@@ -118,15 +122,23 @@ def main():
     )
     hrom.setup()
     hrom.setup_hyperreduction()
-    if args.offline_f32:
+    if args.warm_dir:
+        os.chdir(args.warm_dir)
+        hrom.start_from_existing_basis()
+        hrom.project_reductors()
+    elif args.offline_f32:
         with compute_dtype_scope(jnp.float32):
             hrom.run_offline_rom(device_sweep=True)
+        hrom.run_offline_hyperreduction(
+            mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
+        )
+        hrom.project_reductors()
     else:
         hrom.run_offline_rom()
-    hrom.run_offline_hyperreduction(
-        mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
-    )
-    hrom.project_reductors()
+        hrom.run_offline_hyperreduction(
+            mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
+        )
+        hrom.project_reductors()
     print(f"[study] offline pipeline: {time.time()-t0:.1f}s "
           f"(global N={hrom.rom.N})", flush=True)
 
@@ -134,11 +146,20 @@ def main():
     rom = hrom.rom
     mu_val = dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4)
     t0 = time.time()
-    fom.setup()
-    fom.update_parametrization(mu_val)
-    fom.solve()
-    uh_fom = np.asarray(fom.solutions.fom)  # (nh, nt), complete
-    uh_hom = np.asarray(fom.solutions.snapshots)  # homogeneous part
+    uh_fom = uh_hom = None
+    if args.warm_dir and os.path.exists("fom_validation_full.npz"):
+        with np.load("fom_validation_full.npz") as d:
+            if int(d["nx"]) == nx and int(d["nt"]) == nt:
+                uh_fom, uh_hom = d["uh"], d["uh_hom"]
+    if uh_fom is None:
+        fom.setup()
+        fom.update_parametrization(mu_val)
+        fom.solve()
+        uh_fom = np.asarray(fom.solutions.fom)  # (nh, nt), complete
+        uh_hom = np.asarray(fom.solutions.snapshots)  # homogeneous part
+        if args.warm_dir:
+            np.savez("fom_validation_full.npz", uh=uh_fom, uh_hom=uh_hom,
+                     nx=nx, nt=nt)
     print(f"[study] FOM reference solve: {time.time()-t0:.1f}s", flush=True)
     nrm = np.linalg.norm(uh_fom)
 

@@ -38,9 +38,9 @@ def test_build_windowed_basis_invariants():
     np.testing.assert_allclose(transfers[0], Vs[1].T @ Vs[0], atol=1e-14)
 
 
-@pytest.fixture(scope="module")
-def piston_windowed():
-    """Small piston pipeline + windowed serving artifacts."""
+def _piston_windowed_setup():
+    """Config + constructor kwargs for the small windowed piston pipeline
+    (shared by the build fixture and the resume-from-disk test)."""
     L, nx, nt, tf = 1.0, 150, 96, 0.6
     domain, bcs, forcing, u0, Lt, dLt_dt = define_piston_problem(
         L=L, nx=nx, tf=tf, nt=nt
@@ -73,7 +73,7 @@ def piston_windowed():
         OperatorType.NONLINEAR_LIFTING: True,
         OperatorType.TRILINEAR: True,
     }
-    hrom = HyperReducedPiston(
+    return dict(
         grid=grid,
         fom_params=fom_params,
         rom_params=rom_params,
@@ -84,30 +84,47 @@ def piston_windowed():
             RomParameters.NUM_SNAPSHOTS: 2,
         },
         models=models,
-        rnd=np.random.RandomState(0),
-    )
-    hrom.setup()
-    hrom.setup_hyperreduction()
-    hrom.run_offline_rom()
-    hrom.run_offline_hyperreduction(
-        mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
-    )
-    hrom.project_reductors()
-    hrom.rom.build_windowed_serving(
-        n_windows=4, num_basis=12, snapshots=hrom.srom.offline_snapshots
     )
 
-    fom = hrom.fom
-    mu_val = dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4)
-    fom.setup()
-    fom.update_parametrization(mu_val)
-    fom.solve()
-    uh_fom = np.asarray(fom.solutions.fom)
-    return hrom, mu_val, uh_fom
+
+@pytest.fixture(scope="module")
+def piston_windowed(tmp_path_factory):
+    """Small piston pipeline + windowed serving artifacts, built in its
+    own directory so the dumped basis pickles + windowed npz are available
+    for the resume test (and stay out of the repo root)."""
+    import os
+
+    cwd = os.getcwd()
+    workdir = tmp_path_factory.mktemp("piston_windowed")
+    os.chdir(workdir)
+    try:
+        hrom = HyperReducedPiston(
+            **_piston_windowed_setup(), rnd=np.random.RandomState(0)
+        )
+        hrom.setup()
+        hrom.setup_hyperreduction()
+        hrom.run_offline_rom()
+        hrom.run_offline_hyperreduction(
+            mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
+        )
+        hrom.project_reductors()
+        hrom.dump_mu_space()
+        hrom.dump_reduced_basis()
+        hrom.build_windowed_serving(n_windows=4, num_basis=12)
+
+        fom = hrom.fom
+        mu_val = dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4)
+        fom.setup()
+        fom.update_parametrization(mu_val)
+        fom.solve()
+        uh_fom = np.asarray(fom.solutions.fom)
+    finally:
+        os.chdir(cwd)
+    return hrom, mu_val, uh_fom, workdir
 
 
 def test_windowed_tracks_fom(piston_windowed):
-    hrom, mu_val, uh_fom = piston_windowed
+    hrom, mu_val, uh_fom, _dir = piston_windowed
     rom = hrom.rom
     outs = rom.solve_batch([dict(mu_val)], step=Stage.VALIDATION,
                            mode="full", engine="windowed")
@@ -119,7 +136,7 @@ def test_windowed_tracks_fom(piston_windowed):
 
 
 def test_windowed_f32_drift(piston_windowed):
-    hrom, mu_val, uh_fom = piston_windowed
+    hrom, mu_val, uh_fom, _dir = piston_windowed
     rom = hrom.rom
     outs = rom.solve_batch([dict(mu_val)], step=Stage.VALIDATION,
                            mode="full", engine="windowed")
@@ -136,7 +153,7 @@ def test_windowed_f32_drift(piston_windowed):
 
 @pytest.mark.slow
 def test_windowed_pallas_matches_windowed_lanes(piston_windowed):
-    hrom, mu_val, _ = piston_windowed
+    hrom, mu_val, _, _dir = piston_windowed
     rom = hrom.rom
     mus = [dict(mu_val)] * 128
 
@@ -160,7 +177,7 @@ def test_windowed_pallas_theta_scan_matches_lanes(piston_windowed):
     constants — ONE pallas_call site) must match the lanes engine. The
     materialized path is exercised by the test above; this one forces the
     serving-batch (θ) branch by zeroing the precompute budget."""
-    hrom, mu_val, _ = piston_windowed
+    hrom, mu_val, _, _dir = piston_windowed
     rom = hrom.rom
     mus = [dict(mu_val)] * 128
 
@@ -180,3 +197,54 @@ def test_windowed_pallas_theta_scan_matches_lanes(piston_windowed):
                                atol=5e-6 * scale)
     np.testing.assert_allclose(served["uN_final"], lanes["uN_final"],
                                atol=5e-5)
+
+
+def test_windowed_serving_npz_roundtrip(piston_windowed):
+    """WindowedServing.dump/load must be bit-exact for every artifact."""
+    from romtime_tpu.conventions import StorageNames
+    from romtime_tpu.rom.windowed import WindowedServing
+
+    hrom, _mu_val, _uh, workdir = piston_windowed
+    win = hrom.rom.windows
+    loaded = WindowedServing.load(workdir / StorageNames.WINDOWS)
+
+    np.testing.assert_array_equal(loaded.bounds, win.bounds)
+    np.testing.assert_array_equal(loaded.Vs, win.Vs)
+    np.testing.assert_array_equal(loaded.transfers, win.transfers)
+    assert set(loaded.combines) == set(win.combines)
+    for name in win.combines:
+        np.testing.assert_array_equal(loaded.combines[name],
+                                      win.combines[name])
+    np.testing.assert_array_equal(loaded.trilinear, win.trilinear)
+
+
+def test_windowed_resume_from_existing_basis(piston_windowed, monkeypatch):
+    """Driver-level resume restores a SERVING-READY windowed configuration
+    (reference resume semantics: rom/hrom.py:344-417) — no offline phase,
+    no rebuild of rom.windows — and serves identically to the original."""
+    hrom, mu_val, _uh, workdir = piston_windowed
+    monkeypatch.chdir(workdir)
+
+    setup = _piston_windowed_setup()
+    setup["rom_params"][RomParameters.SROM_KEEP] = hrom.srom.N
+    fresh = HyperReducedPiston(**setup, rnd=np.random.RandomState(0))
+    fresh.setup()
+    fresh.setup_hyperreduction()
+    fresh.start_from_existing_basis()
+    fresh.project_reductors()
+
+    assert fresh.rom.windows is not None
+    assert fresh.rom.windows.n_windows == hrom.rom.windows.n_windows
+    np.testing.assert_array_equal(fresh.rom.windows.Vs, hrom.rom.windows.Vs)
+
+    outs_orig = hrom.rom.solve_batch(
+        [dict(mu_val)], step=Stage.VALIDATION, mode="full", engine="windowed"
+    )
+    outs_res = fresh.rom.solve_batch(
+        [dict(mu_val)], step=Stage.VALIDATION, mode="full", engine="windowed"
+    )
+    hrom.rom._online_fns = {}
+    fresh.rom._online_fns = {}
+    np.testing.assert_allclose(
+        outs_res["uc"], outs_orig["uc"], rtol=0, atol=1e-12
+    )
