@@ -211,12 +211,23 @@ def main():
             hrom.dump_offline_snapshots()
 
     rom = hrom.rom
+    srom_extra = int(os.environ.get("BENCH_WINDOW_SROM_EXTRA", 8))
     if n_windows > 0 and rom.windows is None:
         log(f"offline: windowed serving build (W={n_windows}, "
             f"N={window_n}/window)")
         with jax.default_device(offline_device):
             hrom.build_windowed_serving(
-                n_windows=n_windows, num_basis=window_n
+                n_windows=n_windows, num_basis=window_n,
+                srom_extra=srom_extra or None,
+            )
+    if (n_windows > 0 and srom_extra and hrom.windows_srom is None
+            and hrom.srom.offline_snapshots):
+        # Warm dirs persisted before the estimator existed: retrofit the
+        # sacrificial windowed configuration from the retained snapshots.
+        log("offline: sacrificial windowed build (estimator reference)")
+        with jax.default_device(offline_device):
+            hrom.build_windowed_srom(
+                n_windows=n_windows, num_basis=window_n + srom_extra
             )
     offline_wall = time.time() - t_offline_start
 
@@ -262,6 +273,96 @@ def main():
     rel_l2 = float(
         np.linalg.norm(uh_rom - uh_fom) / np.linalg.norm(uh_fom)
     )
+
+    # ------------------------------------------------------------------
+    # Multi-μ certification: ≥16 held-out parameters swept batched
+    # through the same windowed engine family (f64), per-μ rel-L2 vs the
+    # FOM, plus the windowed S-ROM estimator on the same batch
+    # (reference certification sweeps 20 μ: tests/test_mpf1.py:624-718).
+    # ------------------------------------------------------------------
+    n_multi = int(os.environ.get("BENCH_MULTI_MU", 16))
+    multi_stats = None
+    est_stats = None
+    if n_multi > 0 and n_windows > 0:
+        from romtime_tpu.conventions import Errors
+
+        mus_val = list(rom.build_sampling_space(
+            num=n_multi, rnd=np.random.RandomState(7)
+        ))[:n_multi]
+        for m in mus_val:
+            m.pop(PistonParameters.MACH_PISTON, None)
+        key = np.array([[float(m[k]) for k in sorted(m)] for m in mus_val])
+
+        cache = "fom_validation_multi.npz"
+        fom_refs = None
+        if os.path.exists(cache):
+            with np.load(cache) as d:
+                if (int(d["nx"]) == nx and int(d["nt"]) == nt
+                        and d["mu"].shape == key.shape
+                        and np.allclose(d["mu"], key)):
+                    fom_refs = d["uh"]
+                    log(f"accuracy: {len(mus_val)}-mu FOM references "
+                        "(cached)")
+        if fom_refs is None:
+            log(f"accuracy: {len(mus_val)}-mu FOM reference solves")
+            refs = []
+            with jax.default_device(offline_device):
+                for m in mus_val:
+                    fom.setup()
+                    fom.update_parametrization(m)
+                    fom.solve()
+                    refs.append(np.asarray(fom.solutions.fom))
+            fom_refs = np.stack(refs)
+            np.savez(cache, uh=fom_refs, nx=nx, nt=nt, mu=key)
+
+        log(f"accuracy: {len(mus_val)}-mu windowed validation sweep")
+        with jax.default_device(offline_device):
+            outs_m = rom.solve_batch([dict(m) for m in mus_val],
+                                     step=Stage.VALIDATION, mode="full",
+                                     engine="windowed")
+            rom._online_fns = {}
+        rels = [
+            float(np.linalg.norm(np.asarray(outs_m["uc"][i]).T
+                                 - fom_refs[i])
+                  / np.linalg.norm(fom_refs[i]))
+            for i in range(len(mus_val))
+        ]
+        multi_stats = {
+            "n": len(mus_val),
+            "mean": float(np.mean(rels)),
+            "max": float(np.max(rels)),
+        }
+        log(f"accuracy: rel-L2 over {len(mus_val)} mu: "
+            f"mean {multi_stats['mean']:.3e} max {multi_stats['max']:.3e}")
+
+        if hrom.windows_srom is not None:
+            log("certify: windowed S-ROM estimator on the same batch")
+            with jax.default_device(offline_device):
+                est = hrom.estimate_batch([dict(m) for m in mus_val],
+                                          step=Stage.VALIDATION,
+                                          engine="windowed")
+            # Per-μ: time-averaged estimator vs the true time-RMS error.
+            ratios = []
+            for i in range(len(mus_val)):
+                uh_i = np.asarray(outs_m["uc"][i]).T
+                true_rms = np.linalg.norm(uh_i - fom_refs[i]) / np.sqrt(
+                    uh_i.size
+                )
+                est_rms = float(
+                    np.sqrt(np.mean(np.asarray(est[Errors.ESTIMATOR][i])
+                                    ** 2))
+                )
+                ratios.append(est_rms / max(true_rms, 1e-300))
+            est_stats = {
+                "avg_estimator_mean": float(
+                    np.mean(est[Errors.AVERAGE_ESTIMATOR])
+                ),
+                "ratio_min": float(np.min(ratios)),
+                "ratio_max": float(np.max(ratios)),
+            }
+            log(f"certify: estimator/true ratio in "
+                f"[{est_stats['ratio_min']:.2f}, "
+                f"{est_stats['ratio_max']:.2f}]")
 
     # ------------------------------------------------------------------
     # Online throughput: batched μ-sweep, served in float32
@@ -367,6 +468,27 @@ def main():
         fetch_wall = time.time() - t0
     solves_per_sec = n_online / online_wall
 
+    # ------------------------------------------------------------------
+    # Certify the engine actually TIMED, at the scale timed: the fetched
+    # headline-batch kernel probes vs a windowed-lanes f64 reference on a
+    # sub-batch of the same μ. This pins the numerical fidelity of the
+    # served kernel output as a recorded artifact.
+    # ------------------------------------------------------------------
+    probe_err = None
+    if n_windows > 0 and serve_mode == "probes" and "probes" in outs:
+        n_chk = min(16, n_online)
+        log("certify: windowed-lanes f64 reference vs the timed kernel")
+        with jax.default_device(offline_device):
+            ref = rom.solve_batch([dict(m) for m in mus[:n_chk]],
+                                  step=Stage.ONLINE, mode="probes",
+                                  engine="windowed")
+            rom._online_fns = {}
+        p_ref = np.asarray(ref["probes"])            # (n_chk, nt, 2)
+        p_timed = np.moveaxis(outs["probes"], -1, 0)[:n_chk]
+        scale = max(float(np.abs(p_ref).max()), 1e-12)
+        probe_err = float(np.abs(p_timed - p_ref).max() / scale)
+        log(f"certify: served_engine_probe_err = {probe_err:.3e}")
+
     log("online: f32 drift check")
     # f32-vs-f64 serving consistency on the validation parameter
     with jax.default_device(accel), compute_dtype_scope(serve_dtype):
@@ -409,6 +531,9 @@ def main():
             "rel_l2_vs_fom": rel_l2,
             "f32_serving_drift": serve_drift,
             "timesteps_per_sec": round(solves_per_sec * nt, 0),
+            "served_engine_probe_err": probe_err,
+            "rel_l2_multi_mu": multi_stats,
+            "windowed_estimator": est_stats,
         },
     }
     print(json.dumps(payload))

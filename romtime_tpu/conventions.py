@@ -187,4 +187,5 @@ class StorageNames:
     # local-basis serving configuration (rom/windowed.py) and the retained
     # offline FOM snapshots that windowed bases are built from.
     WINDOWS = "windowed_serving.npz"
+    WINDOWS_SROM = "windowed_serving_srom.npz"
     SNAPSHOTS = "offline_snapshots.npz"

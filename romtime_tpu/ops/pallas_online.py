@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .compensated import dd_add_small, two_sum
+from .compensated import dd_add_small, dd_matvec, two_sum
 
 # Mosaic lowers convert_element_type by recursing into jaxpr_subcomp once
 # per convert; under jax_enable_x64 the unrolled kernel body carries a few
@@ -495,7 +495,8 @@ def online_sweep_theta_pallas(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p, VE_p,
 
 def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
                     dt_c, bdf2, with_trilinear, n_real, NP,
-                    kn_ref=None, r0_ref=None):
+                    kn_ref=None, r0_ref=None, t0_transposed=False,
+                    skip_solve=False):
     """One residual-form BDF step on a (NP, NP, BLANE) lane block.
 
     KL is the dt-scaled stiffness-side sum with identity padding — it IS
@@ -527,9 +528,17 @@ def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
 
     dtS = KL
     if with_trilinear:
-        NN = jax.lax.dot(
-            T0, pred_hi, precision=jax.lax.Precision.HIGHEST
-        ).reshape(NP, NP, BLANE)
+        if t0_transposed:
+            # T0 stored (NP, NP·NP) so its VMEM-resident form wastes no
+            # lane padding; contract the leading axis on the MXU.
+            NN = jax.lax.dot_general(
+                T0, pred_hi, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(NP, NP, BLANE)
+        else:
+            NN = jax.lax.dot(
+                T0, pred_hi, precision=jax.lax.Precision.HIGHEST
+            ).reshape(NP, NP, BLANE)
         dtS = dtS + NN * (dt_c * b0)[None, None, :]
 
     KN = bdf * MN + dtS
@@ -537,7 +546,10 @@ def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
           - jnp.sum(dtS * pred_hi[None, :, :], axis=1))
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (NP, 1), 0)
-    if n_real <= GJ_FORI_MIN:
+    if skip_solve:
+        # Ablation probe only (perf ledger): bypass the linear solve.
+        delta = r0
+    elif n_real <= GJ_FORI_MIN:
         # Fully unrolled pivot loop: static row indexing, minimal runtime
         # ops. Mosaic compile cost grows with chunk × n_real — fine here.
         for k in range(n_real):
@@ -952,3 +964,272 @@ def online_sweep_theta_pallas_v2(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p,
     with jax.enable_x64(False):
         return call(step0_arr, THm, THk, THf, g_p, Bm, Bk, Bf, T0_p, VE_p,
                     b0, state0)
+
+
+# ======================================================================
+# v3: fully-fused windowed serving — ONE kernel launch for the whole
+# W-window sweep.
+#
+# The v2 serving path launched one θ-streaming kernel per window
+# (lax.scan over stacked tables) with the dd boundary transfer as XLA
+# ops between launches. Measured costs that removes:
+#   * W×(B/BLANE) kernel entries + XLA dispatches per sweep;
+#   * the ~50-op dd transfer dispatch per boundary (~10% of the sweep,
+#     round-2 ablation ledger);
+#   * a full-chunk DMA stall at the head of every window — at serving
+#     widths each window is a single chunk, so the v2 double buffer
+#     never actually prefetched.
+# Here the window loop runs INSIDE the kernel: the per-window constant
+# tensors (combine bases, trilinear table, probe rows, boundary
+# transfer) stay VMEM-RESIDENT for the whole sweep (~20 MB at the
+# headline W=25/NP=48 — their minor dims are not 128-lane aligned, so
+# Mosaic cannot DMA-slice them from HBM anyway) and are dynamically
+# indexed per window; the merged θ table streams continuously across
+# window boundaries (one DMA per chunk instead of four), and the dd
+# carry transfer is computed on the VPU between windows — the BDF state
+# never leaves VMEM.
+# ======================================================================
+
+
+def _windowed_fused_kernel(TH_ref, Bm_ref, Bk_ref, Bf_ref, T0_ref, VE_ref,
+                           T_ref, b0_ref, state0_ref, probes_ref, state_ref,
+                           *, W, width, chunk, km8, kk8, kf8, dt, bdf2,
+                           with_trilinear, n_real, n_pad, ablate=None):
+    NP = n_pad
+    i = pl.program_id(0)
+    nt = W * width
+    n_chunks = nt // chunk
+    cpw = width // chunk          # chunks per window (width % chunk == 0)
+    off_k = km8
+    off_f = km8 + kk8
+    off_g = km8 + kk8 + kf8
+
+    def body(th_s, pr_s, sems, osems):
+        lanes = pl.ds(i * BLANE, BLANE)
+
+        def th_dma(slot, c):
+            sl = pl.ds(c * chunk, chunk)
+            return pltpu.make_async_copy(TH_ref.at[sl, :, lanes],
+                                         th_s.at[slot], sems.at[slot])
+
+        def pr_dma(slot, c):
+            # Probes leave VMEM per chunk (the full (nt, P, B) output
+            # would be a ~100 MB scoped-VMEM stack at headline shapes).
+            sl = pl.ds(c * chunk, chunk)
+            return pltpu.make_async_copy(pr_s.at[slot],
+                                         probes_ref.at[sl, :, lanes],
+                                         osems.at[slot])
+
+        th_dma(0, jnp.int32(0)).start()
+
+        b0 = b0_ref[0, :] if with_trilinear else None
+        dt_c = jnp.float32(dt)
+
+        def window_body(w, carry):
+            i32 = jnp.int32
+            uN, lo, uN1, lo1 = carry
+
+            # Boundary transfer of the dd carry through T_w on the VPU
+            # (T[0] is the identity; its dd renormalization is a no-op on
+            # a normalized carry). ops/compensated.dd_matvec is pure jnp —
+            # 8-column wide TwoProducts + pairwise dd tree.
+            if ablate != "no_boundary":
+                T = T_ref[w]
+                uN, lo = dd_matvec(T, uN, lo)
+                uN1, lo1 = dd_matvec(T, uN1, lo1)
+
+            # Constants live TRANSPOSED — (k, NP·NP) with the big axis
+            # minor — so their VMEM residency wastes no 128-lane padding
+            # (k=8 minor would tile-pad 16×: ~90 MB at headline shapes).
+            # Un-transpose ONCE PER WINDOW: a leading-axis contraction in
+            # the step body makes Mosaic relayout the operand every step
+            # (measured 10% off the whole sweep via the trilinear tensor).
+            Bm = Bm_ref[w].T           # (NP·NP, km8)
+            Bk = Bk_ref[w].T           # (NP·NP, kk8)
+            Bf = Bf_ref[w].T           # (NP, kf8)
+            VE = VE_ref[w]
+            T0 = T0_ref[w].T if with_trilinear else None  # (NP·NP, NP)
+            hi = jax.lax.Precision.HIGHEST
+            if ablate == "no_dots":
+                # Perf-ledger probe: per-window constant operators stand
+                # in for the per-step θ-combine MXU dots.
+                ones_b = jnp.ones((km8, BLANE), jnp.float32)
+                MN0 = jax.lax.dot(Bm, ones_b[:km8], precision=hi
+                                  ).reshape(NP, NP, BLANE)
+                KL0 = jax.lax.dot(Bk, jnp.ones((kk8, BLANE), jnp.float32),
+                                  precision=hi).reshape(NP, NP, BLANE)
+                fN0 = jax.lax.dot(Bf, jnp.ones((kf8, BLANE), jnp.float32),
+                                  precision=hi)
+
+            def chunk_body(cw, carry2):
+                c = w * i32(cpw) + cw
+                slot = jax.lax.rem(c, i32(2))
+
+                @pl.when(c + i32(1) < i32(n_chunks))
+                def _():
+                    th_dma(jax.lax.rem(c + i32(1), i32(2)),
+                           c + i32(1)).start()
+
+                th_dma(slot, c).wait()
+                # The out-DMA of the chunk that last used this probe slot
+                # must have drained before we overwrite it.
+                @pl.when(c >= i32(2))
+                def _():
+                    pr_dma(slot, c - i32(2)).wait()
+
+                def step_body(s, carry3):
+                    uN, lo, uN1, lo1 = carry3
+                    step = c * i32(chunk) + s
+                    tts = th_s[slot, s]            # (K8, BLANE)
+                    g = tts[off_g:off_g + PROBE_P]
+                    if ablate == "empty":
+                        # Floor probe: loop + θ DMA + probe store only.
+                        pr_s[slot, s] = g
+                        uN_new = uN * jnp.float32(0.99) + tts[0][None, :]
+                        return (uN_new, lo, uN, lo1)
+                    if ablate == "no_dots":
+                        MN, KL, fN = MN0, KL0, fN0
+                    else:
+                        MN = jax.lax.dot(
+                            Bm, tts[0:km8], precision=hi
+                        ).reshape(NP, NP, BLANE)
+                        KL = jax.lax.dot(
+                            Bk, tts[off_k:off_k + kk8], precision=hi
+                        ).reshape(NP, NP, BLANE)
+                        fN = jax.lax.dot(
+                            Bf, tts[off_f:off_f + kf8], precision=hi
+                        )
+                    uN_new, lo_new, probes = _bdf_step_resid(
+                        MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE,
+                        b0, dt_c, bdf2, with_trilinear, n_real, NP,
+                        skip_solve=(ablate == "no_solve"),
+                    )
+                    pr_s[slot, s] = probes
+                    return (uN_new, lo_new, uN, lo)
+
+                carry2 = jax.lax.fori_loop(i32(0), i32(chunk), step_body,
+                                           carry2)
+                pr_dma(slot, c).start()
+                return carry2
+
+            return jax.lax.fori_loop(i32(0), i32(cpw), chunk_body,
+                                     (uN, lo, uN1, lo1))
+
+        carry0 = (state0_ref[0], state0_ref[1], state0_ref[2],
+                  state0_ref[3])
+        uN, lo, uN1, lo1 = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(W), window_body, carry0
+        )
+        i32 = jnp.int32
+        nc = i32(n_chunks)
+
+        @pl.when(nc >= i32(2))
+        def _():
+            pr_dma(jax.lax.rem(nc - i32(2), i32(2)), nc - i32(2)).wait()
+
+        pr_dma(jax.lax.rem(nc - i32(1), i32(2)), nc - i32(1)).wait()
+        state_ref[0] = uN
+        state_ref[1] = lo
+        state_ref[2] = uN1
+        state_ref[3] = lo1
+
+    K8 = km8 + kk8 + kf8 + PROBE_P
+    scratches = dict(
+        th_s=pltpu.VMEM((2, chunk, K8, BLANE), jnp.float32),
+        pr_s=pltpu.VMEM((2, chunk, PROBE_P, BLANE), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+        osems=pltpu.SemaphoreType.DMA((2,)),
+    )
+    pl.run_scoped(body, **scratches)
+
+
+def _fused_chunk(width, K8, n_real):
+    """Largest divisor of the window width within the VMEM/compile caps.
+    The θ slot budget matches the v2 kernels (~44 MB over both slots);
+    the step body is a fori_loop so the Mosaic body size is
+    chunk-independent at serving N."""
+    per_step = 2 * K8 * BLANE * 4
+    cap = min(75, max(1, (44 * 1024 * 1024) // per_step),
+              _compile_cap_v2(n_real))
+    for c in range(min(cap, width), 0, -1):
+        if width % c == 0:
+            return c
+    return 1
+
+
+@partial(jax.jit, static_argnames=("widths", "dt", "bdf2",
+                                   "with_trilinear", "n_real", "km8",
+                                   "kk8", "kf8", "interpret", "ablate"))
+def online_sweep_windowed_fused(TH, Bm, Bk, Bf, T0_p, VE_p, T_p, b0,
+                                state0, *, widths, dt, bdf2=True,
+                                with_trilinear=True, n_real=15, km8=None,
+                                kk8=None, kf8=None, interpret=False,
+                                ablate=None):
+    """Whole-trajectory windowed serving sweep in ONE pallas launch.
+
+    TH     : (nt, K8, B) merged θ table — [θ_mass | θ_stiff+1 | θ_rhs | g]
+             along axis 1 (km8 + kk8 + kf8 + PROBE_P rows, all 8-aligned)
+    Bm/Bk  : (W, k, NP·NP) TRANSPOSED per-window padded combine tensors
+             (dt folded into Bk, identity row for the padded diagonal) —
+             big axis minor so VMEM residency wastes no lane padding
+    Bf     : (W, kf8, NP) transposed per-window rhs combine (dt folded)
+    T0_p   : (W, NP, NP·NP) transposed per-window trilinear tensors
+             (ignored when with_trilinear=False — pass a (W, 8, 8) dummy)
+    VE_p   : (W, PROBE_P, NP) per-window probe rows
+    T_p    : (W, NP, NP) zero-padded boundary transfers; T_p[0] = I
+    b0     : (1, B) trilinear μ-coefficient
+    state0 : (4, NP, B) dd carry at entry (zeros for a fresh trajectory)
+    widths : (W,)-tuple of per-window step counts — must be EQUAL (the
+             unequal-width fallback is the chained v2 path)
+
+    Returns (probes (nt, PROBE_P, B), state (4, NP, B)).
+    """
+    W = Bm.shape[0]
+    n_pad = VE_p.shape[2]
+    nt, K8, B = TH.shape
+    if B % BLANE:
+        raise ValueError(f"batch ({B}) must be a multiple of {BLANE}")
+    if len(set(widths)) != 1 or W * widths[0] != nt:
+        raise ValueError("fused windowed sweep needs equal window widths")
+    width = widths[0]
+    if K8 != km8 + kk8 + kf8 + PROBE_P:
+        raise ValueError("merged θ table rows do not match k offsets")
+    for k in (km8, kk8, kf8):
+        if k % 8:
+            raise ValueError("θ table k dims must be 8-aligned")
+    chunk = (_chunk_capped(width, 8) if interpret
+             else _fused_chunk(width, K8, n_real))
+
+    kernel = partial(_windowed_fused_kernel, W=W, width=width, chunk=chunk,
+                     km8=km8, kk8=kk8, kf8=kf8, dt=dt, bdf2=bdf2,
+                     with_trilinear=with_trilinear, n_real=n_real,
+                     n_pad=n_pad, ablate=ablate)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    # Per-window constants are whole-array VMEM residents: ~20 MB at the
+    # headline W=25/NP=48, loaded once per lane-block program (their minor
+    # dims are not 128-aligned, so HBM DMA-slicing them is illegal anyway).
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(B // BLANE,),
+        in_specs=[hbm, vmem, vmem, vmem, vmem, vmem, vmem,
+                  pl.BlockSpec((1, BLANE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((4, n_pad, BLANE), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((4, n_pad, BLANE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, PROBE_P, B), jnp.float32),
+            jax.ShapeDtypeStruct((4, n_pad, B), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+    with jax.enable_x64(False):
+        return call(TH, Bm, Bk, Bf, T0_p, VE_p, T_p, b0, state0)

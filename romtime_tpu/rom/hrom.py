@@ -101,6 +101,9 @@ class HyperReducedOrderModelFixed:
         self.summary_energy = defaultdict(dict)
 
         self.validation_solutions = None
+        # Sacrificial windowed serving configuration (the windowed analog
+        # of the S-ROM — build_windowed_serving(srom_extra=...)).
+        self.windows_srom = None
 
     # ------------------------------------------------------------------
     # Accessors
@@ -325,15 +328,28 @@ class HyperReducedOrderModelFixed:
         self.srom.project_reductors()
 
     def build_windowed_serving(self, n_windows, num_basis, snapshots=None,
-                               overlap=2, dump=True):
+                               overlap=2, dump=True, srom_extra=None):
         """Driver-level windowed-serving build: per-window local bases +
         serving tensors on the ROM, persisted next to the basis pickles so
         ``start_from_existing_basis`` restores a serving-ready windowed
         configuration without repaying the offline phase (TPU-era
         extension; resume semantics follow reference rom/hrom.py:344-417).
+
+        ``srom_extra``: also build a SACRIFICIAL windowed configuration
+        with ``num_basis + srom_extra`` modes per window from the same
+        snapshots (stored as ``self.windows_srom``). Per-window POD bases
+        nest — the first ``num_basis`` columns of the enriched basis ARE
+        the serving basis — so the reference's S-ROM online estimator
+        (reference rom/hrom.py:563-574, utils.py:173-212) carries over to
+        the windowed engine verbatim: see ``estimate_batch``.
         """
         if snapshots is None:
             snapshots = self.srom.offline_snapshots
+        if srom_extra:
+            self.build_windowed_srom(
+                n_windows=n_windows, num_basis=num_basis + srom_extra,
+                snapshots=snapshots, overlap=overlap, dump=dump,
+            )
         windows = self.rom.build_windowed_serving(
             n_windows=n_windows, num_basis=num_basis,
             snapshots=snapshots, overlap=overlap,
@@ -341,6 +357,26 @@ class HyperReducedOrderModelFixed:
         if dump:
             windows.dump(StorageNames.WINDOWS)
         return windows
+
+    def build_windowed_srom(self, n_windows, num_basis, snapshots=None,
+                            overlap=2, dump=True):
+        """Build ONLY the sacrificial windowed configuration (estimator
+        reference), preserving the ROM's serving configuration — used to
+        retrofit certification onto a warm-resumed serving directory."""
+        if snapshots is None:
+            snapshots = self.srom.offline_snapshots
+        current = self.rom.windows
+        self.windows_srom = self.rom.build_windowed_serving(
+            n_windows=n_windows, num_basis=num_basis,
+            snapshots=snapshots, overlap=overlap,
+        )
+        self.rom.windows = current
+        self.rom._online_fns = {}
+        self.rom._windowed_lanes_tbl = {}
+        self.rom._windowed_pallas_tbl = None
+        if dump:
+            self.windows_srom.dump(StorageNames.WINDOWS_SROM)
+        return self.windows_srom
 
     # ------------------------------------------------------------------
     # Resume from disk (reference: rom/hrom.py:344-417)
@@ -378,6 +414,12 @@ class HyperReducedOrderModelFixed:
         # rebuild (the W×operators projection loop) after a restart.
         if os.path.exists(StorageNames.WINDOWS):
             self.rom.load_windowed_serving(StorageNames.WINDOWS)
+        if os.path.exists(StorageNames.WINDOWS_SROM):
+            from .windowed import WindowedServing
+
+            self.windows_srom = WindowedServing.load(
+                StorageNames.WINDOWS_SROM
+            )
         # Retained FOM snapshots (for re-building windowed bases at a
         # different (W, N) without the FOM sweep).
         self.load_offline_snapshots()
@@ -482,7 +524,7 @@ class HyperReducedOrderModelFixed:
         """Hook: probe/mass-conservation dumps for the piston driver."""
         pass
 
-    def estimate_batch(self, mus, step=Stage.ONLINE):
+    def estimate_batch(self, mus, step=Stage.ONLINE, engine=None):
         """Batched S-ROM error certification: one lane-batched online sweep
         per ROM, estimator computed entirely in reduced space.
 
@@ -495,19 +537,48 @@ class HyperReducedOrderModelFixed:
         per (μ, t) it is ``‖uN_srom - pad(uN)‖₂ / √Nh``, an O(N_hat) lane
         op over the whole batch.
 
+        ``engine="windowed"`` certifies the time-windowed local-basis
+        serving configuration (the flagship operating point): the second
+        sweep runs through the sacrificial windowed configuration built by
+        ``build_windowed_serving(srom_extra=...)``. Per-window POD bases
+        nest, so the same coefficient-difference norm applies per window.
+
         Returns a dict with ``estimator`` (B, nt) per-step series,
         ``average`` (B,) trapezoid time-averages, plus both sweeps' raw
         outputs (reduced coefficients + end-point probes). Also records the
         per-μ series under ``self.errors[f"{step}-estimator"]``.
         """
         rom, srom = self.rom, self.srom
-        out_rom = rom.solve_batch(mus, step=step, mode="reduced")
-        out_srom = srom.solve_batch(mus, step=step, mode="reduced")
+        if engine == "windowed":
+            if rom.windows is None or self.windows_srom is None:
+                raise ValueError(
+                    "windowed estimation needs build_windowed_serving("
+                    "..., srom_extra=N) first"
+                )
+            out_rom = rom.solve_batch(mus, step=step, mode="reduced",
+                                      engine="windowed")
+            serving = rom.windows
+            rom.windows = self.windows_srom
+            rom._online_fns = {}
+            rom._windowed_lanes_tbl = {}
+            rom._windowed_pallas_tbl = None
+            try:
+                out_srom = rom.solve_batch(mus, step=step, mode="reduced",
+                                           engine="windowed")
+            finally:
+                rom.windows = serving
+                rom._online_fns = {}
+                rom._windowed_lanes_tbl = {}
+                rom._windowed_pallas_tbl = None
+            Nh = serving.Vs.shape[1]
+        else:
+            out_rom = rom.solve_batch(mus, step=step, mode="reduced")
+            out_srom = srom.solve_batch(mus, step=step, mode="reduced")
+            Nh = srom.basis.shape[0]
 
         uN = out_rom["uN"]  # (B, nt, N)
         diff = out_srom["uN"].copy()  # (B, nt, N_hat)
         diff[..., : uN.shape[-1]] -= uN
-        Nh = srom.basis.shape[0]
         estimator = np.linalg.norm(diff, axis=-1) / np.sqrt(Nh)  # (B, nt)
 
         ts = np.asarray(out_rom["t"])

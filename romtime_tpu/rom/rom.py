@@ -1123,10 +1123,22 @@ class RomConstructor(Reductor):
             [np.eye(N, dtype=np.float32)[None],
              np.asarray(win.transfers, np.float32)], axis=0
         )
+        # Zero-padded transfers for the fused in-kernel boundary transfer
+        # (padded state entries are exactly 0, so zero columns/rows are
+        # numerically inert).
+        Tp_np = np.zeros((W, NP, NP), np.float32)
+        Tp_np[:, :N, :N] = T_np
         tbl = {
             "Bm": jnp.asarray(Bm_np), "Bk": jnp.asarray(Bk_np),
             "Bf": jnp.asarray(Bf_np), "VE": jnp.asarray(VE_np),
             "T0": jnp.asarray(T0_np), "T": jnp.asarray(T_np),
+            "Tp": jnp.asarray(Tp_np),
+            # Transposed layouts for the fused v3 kernel: big axis minor,
+            # so the VMEM-resident tensors waste no 128-lane tile padding.
+            "BmT": jnp.asarray(Bm_np.transpose(0, 2, 1)),
+            "BkT": jnp.asarray(Bk_np.transpose(0, 2, 1)),
+            "BfT": jnp.asarray(Bf_np.transpose(0, 2, 1)),
+            "T0T": jnp.asarray(T0_np.transpose(0, 2, 1)),
         }
         self._windowed_pallas_tbl = tbl
         return tbl
@@ -1209,10 +1221,13 @@ class RomConstructor(Reductor):
         pallas_call); falls back to materialized per-window operator
         tables when they fit the precompute budget. ``tables`` is the
         `_windowed_pallas_tables` pytree, passed as a jit argument."""
+        import os
+
         from ..ops.pallas_online import (
             PROBE_P,
             online_sweep_pallas_v2,
             online_sweep_theta_pallas_v2,
+            online_sweep_windowed_fused,
             pad_dim,
         )
 
@@ -1297,7 +1312,39 @@ class RomConstructor(Reductor):
                 "uN_final": state[0, :N, :],
             }
 
-        # θ-streaming serving path: lax.scan over the stacked per-window
+        # θ-streaming serving path. ROMTIME_WINDOWED_KERNEL selects the
+        # kernel generation:
+        #   "v2" (default) — lax.scan over per-window θ-streaming launches
+        #       with out-of-kernel dd boundary transfers: measured 8,345
+        #       solves/s at the headline point.
+        #   "fused" — v3: the window loop runs INSIDE one pallas launch
+        #       (VMEM-resident per-window constants, ONE merged θ DMA per
+        #       chunk instead of four, in-kernel VPU dd transfers, probes
+        #       DMA'd out per chunk). Measured 7,574 solves/s — the fused
+        #       form is currently ~10% BEHIND v2 (see scripts/
+        #       kernel_ledger.py for the per-component ablation); kept for
+        #       optimization, flip the default when it wins.
+        if os.environ.get("ROMTIME_WINDOWED_KERNEL", "v2") == "fused":
+            km8 = tables["Bm"].shape[2]
+            kk8 = tables["Bk"].shape[2]
+            kf8 = tables["Bf"].shape[2]
+            TH = jnp.concatenate(
+                [THm_full, THk_full, THf_full, g_full], axis=1
+            )
+            probes, state = online_sweep_windowed_fused(
+                TH, tables["BmT"], tables["BkT"], tables["BfT"],
+                tables["T0T"], tables["VE"], tables["Tp"], b0, state,
+                widths=tuple(int(x) for x in widths), dt=float(fom.dt),
+                bdf2=bdf2, with_trilinear=with_trilinear, n_real=N,
+                km8=km8, kk8=kk8, kf8=kf8, interpret=interpret,
+            )
+            return {
+                "t": ts_grid,
+                "probes": probes[:, :2, :],
+                "uN_final": state[0, :N, :],
+            }
+
+        # v2: lax.scan over the stacked per-window
         # tables — exactly ONE pallas_call site (one Mosaic compile)
         # regardless of W. A python launch loop instead traces W custom
         # calls and the (remote) TPU pipeline compiles each one (~3.4 min

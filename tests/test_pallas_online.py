@@ -345,6 +345,115 @@ def test_v2_fori_gauss_jordan_matches_reference():
     assert err < 5e-6, err
 
 
+def _windowed_synthetic(N, W, width, B, seed=11):
+    """Per-window θ-parametrized serving tables + boundary transfers."""
+    rng = np.random.default_rng(seed)
+    NP = pad_dim(N)
+    NT = W * width
+    km8, kk8, kf8 = 8, 16, 8
+    dt = 1.0 / NT
+
+    thm = rng.normal(size=(NT, km8, B)) * 0.1
+    thm[:, 0, :] = 1.0 + 0.05 * rng.normal(size=(NT, B))
+    thk = rng.normal(size=(NT, kk8, B)) * 0.1
+    thk[:, 0, :] = 1.0 + 0.05 * rng.normal(size=(NT, B))
+    thf = rng.normal(size=(NT, kf8, B))
+    g = 0.01 * rng.normal(size=(NT, 2, B))
+
+    Bm = np.zeros((W, NP, NP, km8), np.float32)
+    Bk = np.zeros((W, NP, NP, kk8), np.float32)
+    Bf = np.zeros((W, NP, kf8), np.float32)
+    T0 = np.zeros((W, NP * NP, NP), np.float32)
+    VE = np.zeros((W, PROBE_P, NP), np.float32)
+    Tp = np.zeros((W, NP, NP), np.float32)
+    Tp[0, :N, :N] = np.eye(N)
+    for w in range(W):
+        Bm[w, :N, :N, :] = 0.02 * rng.normal(size=(N, N, km8))
+        Bk[w, :N, :N, :] = 0.01 * dt * rng.normal(size=(N, N, kk8))
+        for i in range(N):
+            Bm[w, i, i, 0] += 1.0
+            Bk[w, i, i, 0] += 2.0 * dt
+        for i in range(N, NP):
+            Bk[w, i, i, 0] = 1.0
+        Bf[w, :N, :] = 0.1 * dt * rng.normal(size=(N, kf8))
+        tmp = np.zeros((NP, NP, NP), np.float32)
+        tmp[:N, :N, :N] = 0.02 * rng.normal(size=(N, N, N))
+        T0[w] = tmp.reshape(NP * NP, NP)
+        VE[w, :2, :N] = rng.normal(size=(2, N))
+        if w > 0:
+            # near-orthogonal boundary transfer (local-basis change)
+            Q, _ = np.linalg.qr(rng.normal(size=(N, N)))
+            Tp[w, :N, :N] = Q.astype(np.float32)
+    b0 = 1.0 + 0.1 * rng.normal(size=(B,))
+    to32 = lambda a: np.asarray(a, np.float32)
+    return (to32(thm), to32(thk), to32(thf), to32(g),
+            Bm.reshape(W, NP * NP, km8), Bk.reshape(W, NP * NP, kk8),
+            Bf, T0, VE, Tp, to32(b0), dt, (km8, kk8, kf8))
+
+
+@pytest.mark.parametrize(
+    "N", [12, pytest.param(24, marks=pytest.mark.slow)]
+)
+def test_windowed_fused_matches_v2_chain(N):
+    """The fully-fused single-launch windowed kernel (v3) must reproduce
+    the v2 per-window chain (θ-streaming launches + out-of-kernel dd
+    boundary transfers) — the exact semantics it replaces."""
+    from romtime_tpu.ops.compensated import dd_matvec
+    from romtime_tpu.ops.pallas_online import (
+        online_sweep_theta_pallas_v2,
+        online_sweep_windowed_fused,
+    )
+
+    W, width, B = 3, 8, 128
+    (thm, thk, thf, g, Bm, Bk, Bf, T0, VE, Tp, b0, dt,
+     (km8, kk8, kf8)) = _windowed_synthetic(N, W, width, B, seed=N)
+    NP = pad_dim(N)
+    NT = W * width
+    g_p = np.zeros((NT, PROBE_P, B), np.float32)
+    g_p[:, :2, :] = g
+    b0j = jnp.asarray(b0)[None, :]
+
+    # Reference: v2 chain with the same padded dd boundary transfers.
+    state = jnp.zeros((4, NP, B), jnp.float32)
+    probes_parts = []
+    for w in range(W):
+        a, b = w * width, (w + 1) * width
+        T = jnp.asarray(Tp[w])
+        hi, lo = dd_matvec(T, state[0], state[1])
+        hi1, lo1 = dd_matvec(T, state[2], state[3])
+        state = jnp.stack([hi, lo, hi1, lo1])
+        probes_w, state = online_sweep_theta_pallas_v2(
+            jnp.asarray(thm[a:b]), jnp.asarray(thk[a:b]),
+            jnp.asarray(thf[a:b]), jnp.asarray(g_p[a:b]),
+            jnp.asarray(Bm[w]), jnp.asarray(Bk[w]), jnp.asarray(Bf[w]),
+            jnp.asarray(T0[w]), jnp.asarray(VE[w]), b0j, state,
+            dt=dt, step0=a, bdf2=True, with_trilinear=True, n_real=N,
+            interpret=True,
+        )
+        probes_parts.append(np.asarray(probes_w))
+    probes_ref = np.concatenate(probes_parts, axis=0)
+    state_ref = np.asarray(state)
+
+    TH = jnp.asarray(np.concatenate([thm, thk, thf, g_p], axis=1))
+    probes_f, state_f = online_sweep_windowed_fused(
+        TH, jnp.asarray(Bm.transpose(0, 2, 1)),
+        jnp.asarray(Bk.transpose(0, 2, 1)),
+        jnp.asarray(Bf.transpose(0, 2, 1)),
+        jnp.asarray(T0.transpose(0, 2, 1)),
+        jnp.asarray(VE), jnp.asarray(Tp), b0j,
+        jnp.zeros((4, NP, B), jnp.float32),
+        widths=(width,) * W, dt=dt, bdf2=True, with_trilinear=True,
+        n_real=N, km8=km8, kk8=kk8, kf8=kf8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(probes_f), probes_ref,
+                               rtol=0, atol=0)
+    # hi words bitwise; dd lo words may differ in last-bit reassociation
+    np.testing.assert_allclose(np.asarray(state_f)[[0, 2]],
+                               state_ref[[0, 2]], rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(state_f)[[1, 3]],
+                               state_ref[[1, 3]], rtol=0, atol=1e-13)
+
+
 def test_theta_v2_fori_steps_blocked_gj():
     """θ-streaming v2 at N > GJ_FORI_MIN: dynamic (fori) step loop +
     blocked Gauss-Jordan must reproduce the f64 recursion built from the

@@ -110,7 +110,8 @@ def piston_windowed(tmp_path_factory):
         hrom.project_reductors()
         hrom.dump_mu_space()
         hrom.dump_reduced_basis()
-        hrom.build_windowed_serving(n_windows=4, num_basis=12)
+        hrom.build_windowed_serving(n_windows=4, num_basis=12,
+                                    srom_extra=4)
 
         fom = hrom.fom
         mu_val = dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4)
@@ -172,14 +173,18 @@ def test_windowed_pallas_matches_windowed_lanes(piston_windowed):
                                atol=5e-5)
 
 
-def test_windowed_pallas_theta_scan_matches_lanes(piston_windowed):
-    """The θ-streaming windowed path (lax.scan over stacked window
-    constants — ONE pallas_call site) must match the lanes engine. The
-    materialized path is exercised by the test above; this one forces the
-    serving-batch (θ) branch by zeroing the precompute budget."""
+@pytest.mark.parametrize("kernel", ["v2", "fused"])
+def test_windowed_pallas_theta_scan_matches_lanes(piston_windowed,
+                                                  monkeypatch, kernel):
+    """The θ-streaming windowed path must match the lanes engine for BOTH
+    kernel generations (v2 scan-of-launches and the v3 fused single
+    launch). The materialized path is exercised by the test above; this
+    one forces the serving-batch (θ) branch by zeroing the precompute
+    budget."""
     hrom, mu_val, _, _dir = piston_windowed
     rom = hrom.rom
     mus = [dict(mu_val)] * 128
+    monkeypatch.setenv("ROMTIME_WINDOWED_KERNEL", kernel)
 
     budget = type(rom).ONLINE_PRECOMPUTE_BUDGET
     with compute_dtype_scope(jnp.float32):
@@ -248,3 +253,35 @@ def test_windowed_resume_from_existing_basis(piston_windowed, monkeypatch):
     np.testing.assert_allclose(
         outs_res["uc"], outs_orig["uc"], rtol=0, atol=1e-12
     )
+
+
+def test_windowed_estimator_tracks_error(piston_windowed):
+    """estimate_batch(engine="windowed"): the sacrificial-windowed
+    estimator must track the true per-step ROM-vs-FOM RMS error of the
+    flagship windowed serving path within a measured band (reference
+    online certification semantics: rom/hrom.py:563-574)."""
+    from romtime_tpu.conventions import Errors
+
+    hrom, mu_val, uh_fom, _dir = piston_windowed
+    assert hrom.windows_srom is not None
+    assert hrom.windows_srom.N == hrom.rom.windows.N + 4
+    # POD nesting: the first N columns of the enriched per-window basis
+    # ARE the serving basis (same SVD, longer truncation).
+    np.testing.assert_allclose(
+        hrom.windows_srom.Vs[:, :, : hrom.rom.windows.N],
+        hrom.rom.windows.Vs, atol=1e-12,
+    )
+
+    out = hrom.estimate_batch([dict(mu_val)], step=Stage.VALIDATION,
+                              engine="windowed")
+    est = np.asarray(out[Errors.ESTIMATOR][0])  # (nt,)
+
+    outs = hrom.rom.solve_batch([dict(mu_val)], step=Stage.VALIDATION,
+                                mode="full", engine="windowed")
+    hrom.rom._online_fns = {}
+    uh_rom = np.asarray(outs["uc"][0]).T  # (nh, nt)
+    nh = uh_fom.shape[0]
+    true_rms = np.linalg.norm(uh_rom - uh_fom, axis=0) / np.sqrt(nh)
+
+    ratio = est.mean() / true_rms.mean()
+    assert 0.05 < ratio < 20.0, ratio
