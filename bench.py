@@ -66,10 +66,12 @@ def main():
     # "throughput" = round-1 small-N global-basis point (fastest).
     profile = os.environ.get("BENCH_PROFILE", "joint")
     if profile == "joint":
-        # W=25/N=48 windowed point: measured 6.0e-7 (f64) / 6.4e-7 (f32)
-        # rel-L2 vs the FOM on the held-out μ (scripts/window_study.py).
-        defaults = dict(modes=96, truncate=8, nmdeim=48, windows=25,
-                        window_n=48, batch=2048)
+        # W=30/N=40 windowed point: measured 8.8e-7 (f64) rel-L2 vs the
+        # FOM on the held-out μ (scripts/window_study.py) — NP=40 shrinks
+        # the per-step dot/solve/trilinear volume ~0.6-0.7× vs the round-2
+        # W=25/N=48 point (6.0e-7) at the same ≤1e-6 certification.
+        defaults = dict(modes=96, truncate=8, nmdeim=48, windows=30,
+                        window_n=40, batch=2048)
     else:
         defaults = dict(modes=20, truncate=5, nmdeim=12, windows=0,
                         window_n=0, batch=2048)
@@ -159,13 +161,7 @@ def main():
     t_offline_start = time.time()
 
     warm = (os.path.exists(StorageNames.SROM)
-            and os.path.exists(StorageNames.WINDOWS) == (n_windows > 0)
             and os.environ.get("BENCH_COLD", "0") != "1")
-    if warm and n_windows > 0:
-        # The persisted windowed configuration must match the requested one.
-        with np.load(StorageNames.WINDOWS) as _d:
-            warm = (_d["Vs"].shape[0] == n_windows
-                    and _d["Vs"].shape[2] == window_n)
 
     hrom = HyperReducedPiston(
         grid=grid,
@@ -212,23 +208,34 @@ def main():
 
     rom = hrom.rom
     srom_extra = int(os.environ.get("BENCH_WINDOW_SROM_EXTRA", 8))
-    if n_windows > 0 and rom.windows is None:
-        log(f"offline: windowed serving build (W={n_windows}, "
-            f"N={window_n}/window)")
-        with jax.default_device(offline_device):
-            hrom.build_windowed_serving(
-                n_windows=n_windows, num_basis=window_n,
-                srom_extra=srom_extra or None,
-            )
-    if (n_windows > 0 and srom_extra and hrom.windows_srom is None
-            and hrom.srom.offline_snapshots):
-        # Warm dirs persisted before the estimator existed: retrofit the
-        # sacrificial windowed configuration from the retained snapshots.
-        log("offline: sacrificial windowed build (estimator reference)")
-        with jax.default_device(offline_device):
-            hrom.build_windowed_srom(
-                n_windows=n_windows, num_basis=window_n + srom_extra
-            )
+    if n_windows > 0:
+        # A warm dir persisted at a different (W, N) resumes the basis +
+        # reductors and rebuilds only the windowed projections from the
+        # retained offline snapshots (seconds, not the full offline).
+        win = rom.windows
+        if win is not None and (win.n_windows != n_windows
+                                or win.N != window_n):
+            rom.windows = win = None
+        if win is None:
+            log(f"offline: windowed serving build (W={n_windows}, "
+                f"N={window_n}/window)")
+            with jax.default_device(offline_device):
+                hrom.build_windowed_serving(
+                    n_windows=n_windows, num_basis=window_n,
+                    srom_extra=srom_extra or None,
+                )
+        elif (srom_extra and (hrom.windows_srom is None
+                              or hrom.windows_srom.n_windows != n_windows
+                              or hrom.windows_srom.N
+                              != window_n + srom_extra)
+                and hrom.srom.offline_snapshots):
+            # Warm dirs persisted before the estimator existed: retrofit
+            # the sacrificial configuration from the retained snapshots.
+            log("offline: sacrificial windowed build (estimator reference)")
+            with jax.default_device(offline_device):
+                hrom.build_windowed_srom(
+                    n_windows=n_windows, num_basis=window_n + srom_extra
+                )
     offline_wall = time.time() - t_offline_start
 
     # ------------------------------------------------------------------

@@ -493,16 +493,11 @@ def online_sweep_theta_pallas(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p, VE_p,
 # ======================================================================
 
 
-def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
-                    dt_c, bdf2, with_trilinear, n_real, NP,
-                    kn_ref=None, r0_ref=None, t0_transposed=False,
-                    skip_solve=False):
-    """One residual-form BDF step on a (NP, NP, BLANE) lane block.
+def _dd_predictor(uN, lo, uN1, lo1, step, bdf2):
+    """Double-word BDF-2 extrapolation + history difference.
 
-    KL is the dt-scaled stiffness-side sum with identity padding — it IS
-    dt·S, so K = bdf·MN + KL(+trilinear) and
-    r0 = MN·(u_{n-1} − u_n) + fN − (KL+tri)·u_pred. The padded block of K
-    is the identity and every padded state entry stays exactly 0."""
+    Returns (pred_hi, pred_lo, d, bdf) with the first-step (BDF-1)
+    special case folded in via where()."""
     i32 = jnp.int32
     one = jnp.float32(1.0)
     two = jnp.float32(2.0)
@@ -510,7 +505,7 @@ def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
 
     if bdf2:
         # NB: never name a local `pl` here — it would shadow the pallas
-        # module alias used by the blocked solve below.
+        # module alias used by the blocked solve.
         ph, pe = two_sum(two * uN, -uN1)
         plo = pe + (two * lo - lo1)
         ph, plo = two_sum(ph, plo)
@@ -525,6 +520,20 @@ def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
         pred_hi, pred_lo = uN, lo
         d = jnp.zeros_like(uN)
         bdf = one
+    return pred_hi, pred_lo, d, bdf
+
+
+def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
+                    dt_c, bdf2, with_trilinear, n_real, NP,
+                    kn_ref=None, r0_ref=None, t0_transposed=False,
+                    skip_solve=False):
+    """One residual-form BDF step on a (NP, NP, BLANE) lane block.
+
+    KL is the dt-scaled stiffness-side sum with identity padding — it IS
+    dt·S, so K = bdf·MN + KL(+trilinear) and
+    r0 = MN·(u_{n-1} − u_n) + fN − (KL+tri)·u_pred. The padded block of K
+    is the identity and every padded state entry stays exactly 0."""
+    pred_hi, pred_lo, d, bdf = _dd_predictor(uN, lo, uN1, lo1, step, bdf2)
 
     dtS = KL
     if with_trilinear:
@@ -544,7 +553,21 @@ def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
     KN = bdf * MN + dtS
     r0 = (jnp.sum(MN * d[None, :, :], axis=1) + fN
           - jnp.sum(dtS * pred_hi[None, :, :], axis=1))
+    delta = _lanes_solve(KN, r0, n_real, NP, skip_solve=skip_solve)
 
+    uN_new, lo_new = dd_add_small(pred_hi, pred_lo, delta)
+    probes = jax.lax.dot(
+        VE, uN_new, precision=jax.lax.Precision.HIGHEST
+    ) + g
+    return uN_new, lo_new, probes
+
+
+def _lanes_solve(KN, r0, n_real, NP, skip_solve=False):
+    """Lane-batched in-register solve of KN·delta = r0 on a
+    (NP, NP, BLANE) block — unrolled Gauss-Jordan for small N, blocked
+    pivot-free LU above GJ_FORI_MIN."""
+    i32 = jnp.int32
+    one = jnp.float32(1.0)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (NP, 1), 0)
     if skip_solve:
         # Ablation probe only (perf ledger): bypass the linear solve.
@@ -643,10 +666,61 @@ def _bdf_step_resid(MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE, b0,
             xs.insert(0, ys[jb] - matbvec(Dinv, Ux))
         delta = jnp.concatenate(xs, axis=0)        # (NP, BLANE)
 
+    return delta
+
+
+def _bdf_step_merged(tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1, step,
+                     T0, VE, b0, dt_c, bdf2, with_trilinear, n_real, NP,
+                     km8, kk8, kf8, skip_solve=False):
+    """Merged-dot residual-form BDF step (v3 fused kernel).
+
+    The v2 step materialized MN and KL with two K=8 MXU dots, then ran
+    the r0 matvecs on the VPU over the (NP, NP, BLANE) blocks. Those dots
+    are STREAM-bound (M·N/128 array cycles regardless of K — measured
+    68.6 µs/step of a 164.7 µs step at the W=25/NP=48 point), so:
+
+      * the solve matrix is built by ONE merged dot — KNl = [Bm | Bk] @
+        [bdf·θm; θk] = bdf·MN + dt·S_lin — twice the contraction depth,
+        half the stream passes;
+      * the r0 matvecs use the θ-FACTORED form instead of materialized
+        operators: MN·d = Σ_k θm_k · (Bm_k · d) with the k-stacked
+        (k·NP, NP) tensor as a single small MXU dot (M = k·NP ≈ NP²/6)
+        plus a cheap VPU θ-contraction. No materialization of MN or KL
+        outside the merged solve matrix.
+
+    r0 = MN·d + fN − KL·pred − tri·pred is evaluated term-by-term
+    (each term computed directly — no catastrophic cancellation; same
+    structure as the v2 residual form)."""
+    kmk8 = km8 + kk8
+    one = jnp.float32(1.0)
+    hi = jax.lax.Precision.HIGHEST
+
+    pred_hi, pred_lo, d, bdf = _dd_predictor(uN, lo, uN1, lo1, step, bdf2)
+
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (kmk8, 1), 0)
+    scale = jnp.where(k_iota < km8, bdf, one)
+    rhs = tts[0:kmk8] * scale
+    KNl = jax.lax.dot(Bmk, rhs, precision=hi).reshape(NP, NP, BLANE)
+    fN = jax.lax.dot(Bf, tts[kmk8:kmk8 + kf8], precision=hi)
+
+    if with_trilinear:
+        NN = jax.lax.dot(T0, pred_hi, precision=hi).reshape(NP, NP, BLANE)
+        dtb0 = (dt_c * b0)[None, :]
+        KN = KNl + NN * dtb0[None, :, :]
+        trip = jnp.sum(NN * pred_hi[None, :, :], axis=1) * dtb0
+    else:
+        KN = KNl
+        trip = jnp.zeros_like(pred_hi)
+
+    t1m = jax.lax.dot(BmF, d, precision=hi).reshape(km8, NP, BLANE)
+    MNd = jnp.sum(t1m * tts[0:km8][:, None, :], axis=0)
+    t1k = jax.lax.dot(BkF, pred_hi, precision=hi).reshape(kk8, NP, BLANE)
+    KLp = jnp.sum(t1k * tts[km8:kmk8][:, None, :], axis=0)
+    r0 = MNd + fN - KLp - trip
+
+    delta = _lanes_solve(KN, r0, n_real, NP, skip_solve=skip_solve)
     uN_new, lo_new = dd_add_small(pred_hi, pred_lo, delta)
-    probes = jax.lax.dot(
-        VE, uN_new, precision=jax.lax.Precision.HIGHEST
-    ) + g
+    probes = jax.lax.dot(VE, uN_new, precision=hi) + g
     return uN_new, lo_new, probes
 
 
@@ -991,8 +1065,9 @@ def online_sweep_theta_pallas_v2(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p,
 # ======================================================================
 
 
-def _windowed_fused_kernel(TH_ref, Bm_ref, Bk_ref, Bf_ref, T0_ref, VE_ref,
-                           T_ref, b0_ref, state0_ref, probes_ref, state_ref,
+def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
+                           T0_ref, VE_ref, T_ref, b0_ref, state0_ref,
+                           probes_ref, state_ref,
                            *, W, width, chunk, km8, kk8, kf8, dt, bdf2,
                            with_trilinear, n_real, n_pad, ablate=None):
     NP = n_pad
@@ -1000,8 +1075,6 @@ def _windowed_fused_kernel(TH_ref, Bm_ref, Bk_ref, Bf_ref, T0_ref, VE_ref,
     nt = W * width
     n_chunks = nt // chunk
     cpw = width // chunk          # chunks per window (width % chunk == 0)
-    off_k = km8
-    off_f = km8 + kk8
     off_g = km8 + kk8 + kf8
 
     def body(th_s, pr_s, sems, osems):
@@ -1044,20 +1117,20 @@ def _windowed_fused_kernel(TH_ref, Bm_ref, Bk_ref, Bf_ref, T0_ref, VE_ref,
             # Un-transpose ONCE PER WINDOW: a leading-axis contraction in
             # the step body makes Mosaic relayout the operand every step
             # (measured 10% off the whole sweep via the trilinear tensor).
-            Bm = Bm_ref[w].T           # (NP·NP, km8)
-            Bk = Bk_ref[w].T           # (NP·NP, kk8)
+            Bmk = Bmk_ref[w].T         # (NP·NP, km8+kk8) merged combine
+            BmF = BmF_ref[w].T         # (km8·NP, NP) factored mass
+            BkF = BkF_ref[w].T         # (kk8·NP, NP) factored stiffness
             Bf = Bf_ref[w].T           # (NP, kf8)
             VE = VE_ref[w]
             T0 = T0_ref[w].T if with_trilinear else None  # (NP·NP, NP)
             hi = jax.lax.Precision.HIGHEST
             if ablate == "no_dots":
-                # Perf-ledger probe: per-window constant operators stand
-                # in for the per-step θ-combine MXU dots.
-                ones_b = jnp.ones((km8, BLANE), jnp.float32)
-                MN0 = jax.lax.dot(Bm, ones_b[:km8], precision=hi
-                                  ).reshape(NP, NP, BLANE)
-                KL0 = jax.lax.dot(Bk, jnp.ones((kk8, BLANE), jnp.float32),
-                                  precision=hi).reshape(NP, NP, BLANE)
+                # Perf-ledger probe: a per-window constant solve matrix
+                # stands in for the per-step θ-combine MXU dots.
+                KN0 = jax.lax.dot(
+                    Bmk, jnp.ones((km8 + kk8, BLANE), jnp.float32),
+                    precision=hi,
+                ).reshape(NP, NP, BLANE)
                 fN0 = jax.lax.dot(Bf, jnp.ones((kf8, BLANE), jnp.float32),
                                   precision=hi)
 
@@ -1088,22 +1161,38 @@ def _windowed_fused_kernel(TH_ref, Bm_ref, Bk_ref, Bf_ref, T0_ref, VE_ref,
                         uN_new = uN * jnp.float32(0.99) + tts[0][None, :]
                         return (uN_new, lo, uN, lo1)
                     if ablate == "no_dots":
-                        MN, KL, fN = MN0, KL0, fN0
-                    else:
-                        MN = jax.lax.dot(
-                            Bm, tts[0:km8], precision=hi
-                        ).reshape(NP, NP, BLANE)
-                        KL = jax.lax.dot(
-                            Bk, tts[off_k:off_k + kk8], precision=hi
-                        ).reshape(NP, NP, BLANE)
-                        fN = jax.lax.dot(
-                            Bf, tts[off_f:off_f + kf8], precision=hi
+                        # Skip every per-step table dot (merged KNl, fN,
+                        # factored r0 matvecs); keep predictor, trilinear,
+                        # solve, probes.
+                        pred_hi, pred_lo, dd_, bdf_ = _dd_predictor(
+                            uN, lo, uN1, lo1, step, bdf2
                         )
-                    uN_new, lo_new, probes = _bdf_step_resid(
-                        MN, KL, fN, g, uN, lo, uN1, lo1, step, T0, VE,
-                        b0, dt_c, bdf2, with_trilinear, n_real, NP,
-                        skip_solve=(ablate == "no_solve"),
-                    )
+                        if with_trilinear:
+                            NN = jax.lax.dot(
+                                T0, pred_hi, precision=hi
+                            ).reshape(NP, NP, BLANE)
+                            dtb0 = (dt_c * b0)[None, :]
+                            KN = KN0 + NN * dtb0[None, :, :]
+                            trip = jnp.sum(
+                                NN * pred_hi[None, :, :], axis=1
+                            ) * dtb0
+                        else:
+                            KN = KN0
+                            trip = jnp.zeros_like(pred_hi)
+                        delta = _lanes_solve(KN, fN0 - trip, n_real, NP)
+                        uN_new, lo_new = dd_add_small(
+                            pred_hi, pred_lo, delta
+                        )
+                        probes = jax.lax.dot(
+                            VE, uN_new, precision=hi
+                        ) + g
+                    else:
+                        uN_new, lo_new, probes = _bdf_step_merged(
+                            tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1,
+                            step, T0, VE, b0, dt_c, bdf2, with_trilinear,
+                            n_real, NP, km8, kk8, kf8,
+                            skip_solve=(ablate == "no_solve"),
+                        )
                     pr_s[slot, s] = probes
                     return (uN_new, lo_new, uN, lo)
 
@@ -1160,8 +1249,8 @@ def _fused_chunk(width, K8, n_real):
 @partial(jax.jit, static_argnames=("widths", "dt", "bdf2",
                                    "with_trilinear", "n_real", "km8",
                                    "kk8", "kf8", "interpret", "ablate"))
-def online_sweep_windowed_fused(TH, Bm, Bk, Bf, T0_p, VE_p, T_p, b0,
-                                state0, *, widths, dt, bdf2=True,
+def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, T0_p, VE_p, T_p,
+                                b0, state0, *, widths, dt, bdf2=True,
                                 with_trilinear=True, n_real=15, km8=None,
                                 kk8=None, kf8=None, interpret=False,
                                 ablate=None):
@@ -1169,9 +1258,14 @@ def online_sweep_windowed_fused(TH, Bm, Bk, Bf, T0_p, VE_p, T_p, b0,
 
     TH     : (nt, K8, B) merged θ table — [θ_mass | θ_stiff+1 | θ_rhs | g]
              along axis 1 (km8 + kk8 + kf8 + PROBE_P rows, all 8-aligned)
-    Bm/Bk  : (W, k, NP·NP) TRANSPOSED per-window padded combine tensors
-             (dt folded into Bk, identity row for the padded diagonal) —
-             big axis minor so VMEM residency wastes no lane padding
+    Bmk    : (W, km8+kk8, NP·NP) TRANSPOSED merged combine tensors
+             [Bm | Bk] (dt folded into the Bk block, identity row for the
+             padded diagonal) — big axis minor so VMEM residency wastes
+             no lane padding; bdf scales the θm rows at runtime
+    BmF    : (W, NP, km8·NP) transposed k-stacked factored mass tensors
+             (row (k, n) of the untransposed form is Bm3[n, :, k]) for
+             the θ-factored r0 matvecs
+    BkF    : (W, NP, kk8·NP) transposed factored stiffness tensors
     Bf     : (W, kf8, NP) transposed per-window rhs combine (dt folded)
     T0_p   : (W, NP, NP·NP) transposed per-window trilinear tensors
              (ignored when with_trilinear=False — pass a (W, 8, 8) dummy)
@@ -1184,7 +1278,7 @@ def online_sweep_windowed_fused(TH, Bm, Bk, Bf, T0_p, VE_p, T_p, b0,
 
     Returns (probes (nt, PROBE_P, B), state (4, NP, B)).
     """
-    W = Bm.shape[0]
+    W = Bmk.shape[0]
     n_pad = VE_p.shape[2]
     nt, K8, B = TH.shape
     if B % BLANE:
@@ -1194,6 +1288,10 @@ def online_sweep_windowed_fused(TH, Bm, Bk, Bf, T0_p, VE_p, T_p, b0,
     width = widths[0]
     if K8 != km8 + kk8 + kf8 + PROBE_P:
         raise ValueError("merged θ table rows do not match k offsets")
+    if Bmk.shape[1] != km8 + kk8 or BmF.shape[2] != km8 * n_pad \
+            or BkF.shape[2] != kk8 * n_pad:
+        raise ValueError("merged/factored combine tensor shapes do not "
+                         "match the k offsets")
     for k in (km8, kk8, kf8):
         if k % 8:
             raise ValueError("θ table k dims must be 8-aligned")
@@ -1212,7 +1310,7 @@ def online_sweep_windowed_fused(TH, Bm, Bk, Bf, T0_p, VE_p, T_p, b0,
     call = pl.pallas_call(
         kernel,
         grid=(B // BLANE,),
-        in_specs=[hbm, vmem, vmem, vmem, vmem, vmem, vmem,
+        in_specs=[hbm, vmem, vmem, vmem, vmem, vmem, vmem, vmem,
                   pl.BlockSpec((1, BLANE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((4, n_pad, BLANE), lambda i: (0, 0, i),
@@ -1232,4 +1330,4 @@ def online_sweep_windowed_fused(TH, Bm, Bk, Bf, T0_p, VE_p, T_p, b0,
         interpret=interpret,
     )
     with jax.enable_x64(False):
-        return call(TH, Bm, Bk, Bf, T0_p, VE_p, T_p, b0, state0)
+        return call(TH, Bmk, BmF, BkF, Bf, T0_p, VE_p, T_p, b0, state0)

@@ -1128,15 +1128,24 @@ class RomConstructor(Reductor):
         # numerically inert).
         Tp_np = np.zeros((W, NP, NP), np.float32)
         Tp_np[:, :N, :N] = T_np
+        # Fused v3 kernel layouts (all transposed: big axis minor, so the
+        # VMEM-resident tensors waste no 128-lane tile padding):
+        #   Bmk  — merged [Bm | Bk] along k (ONE solve-matrix dot/step),
+        #   BmF/BkF — k-stacked factored tensors for the θ-factored r0
+        #   matvecs (row (k, n) = Bm3[n, :, k]).
+        Bmk_np = np.concatenate([Bm_np, Bk_np], axis=2)
+        BmF_np = (Bm_np.reshape(W, NP, NP, km8).transpose(0, 3, 1, 2)
+                  .reshape(W, km8 * NP, NP))
+        BkF_np = (Bk_np.reshape(W, NP, NP, kk8).transpose(0, 3, 1, 2)
+                  .reshape(W, kk8 * NP, NP))
         tbl = {
             "Bm": jnp.asarray(Bm_np), "Bk": jnp.asarray(Bk_np),
             "Bf": jnp.asarray(Bf_np), "VE": jnp.asarray(VE_np),
             "T0": jnp.asarray(T0_np), "T": jnp.asarray(T_np),
             "Tp": jnp.asarray(Tp_np),
-            # Transposed layouts for the fused v3 kernel: big axis minor,
-            # so the VMEM-resident tensors waste no 128-lane tile padding.
-            "BmT": jnp.asarray(Bm_np.transpose(0, 2, 1)),
-            "BkT": jnp.asarray(Bk_np.transpose(0, 2, 1)),
+            "Bmk": jnp.asarray(Bmk_np.transpose(0, 2, 1)),
+            "BmF": jnp.asarray(BmF_np.transpose(0, 2, 1)),
+            "BkF": jnp.asarray(BkF_np.transpose(0, 2, 1)),
             "BfT": jnp.asarray(Bf_np.transpose(0, 2, 1)),
             "T0T": jnp.asarray(T0_np.transpose(0, 2, 1)),
         }
@@ -1314,17 +1323,18 @@ class RomConstructor(Reductor):
 
         # θ-streaming serving path. ROMTIME_WINDOWED_KERNEL selects the
         # kernel generation:
-        #   "v2" (default) — lax.scan over per-window θ-streaming launches
-        #       with out-of-kernel dd boundary transfers: measured 8,345
-        #       solves/s at the headline point.
-        #   "fused" — v3: the window loop runs INSIDE one pallas launch
-        #       (VMEM-resident per-window constants, ONE merged θ DMA per
-        #       chunk instead of four, in-kernel VPU dd transfers, probes
-        #       DMA'd out per chunk). Measured 7,574 solves/s — the fused
-        #       form is currently ~10% BEHIND v2 (see scripts/
-        #       kernel_ledger.py for the per-component ablation); kept for
-        #       optimization, flip the default when it wins.
-        if os.environ.get("ROMTIME_WINDOWED_KERNEL", "v2") == "fused":
+        #   "fused" (default) — v3: the window loop runs INSIDE one pallas
+        #       launch (VMEM-resident per-window constants, ONE merged θ
+        #       DMA per chunk instead of four, in-kernel VPU dd transfers,
+        #       probes DMA'd out per chunk) with the merged-dot step (one
+        #       solve-matrix dot + θ-factored r0 matvecs,
+        #       _bdf_step_merged). Measured 151 ms/sweep at the headline
+        #       W=30/N=40/B=2048 point — ~13.6k solves/s, 8% ahead of v2
+        #       (scripts/kernel_ledger.py for the per-component ablation).
+        #   "v2" — lax.scan over per-window θ-streaming launches with
+        #       out-of-kernel dd boundary transfers (164 ms/sweep at the
+        #       same point).
+        if os.environ.get("ROMTIME_WINDOWED_KERNEL", "fused") == "fused":
             km8 = tables["Bm"].shape[2]
             kk8 = tables["Bk"].shape[2]
             kf8 = tables["Bf"].shape[2]
@@ -1332,8 +1342,9 @@ class RomConstructor(Reductor):
                 [THm_full, THk_full, THf_full, g_full], axis=1
             )
             probes, state = online_sweep_windowed_fused(
-                TH, tables["BmT"], tables["BkT"], tables["BfT"],
-                tables["T0T"], tables["VE"], tables["Tp"], b0, state,
+                TH, tables["Bmk"], tables["BmF"], tables["BkF"],
+                tables["BfT"], tables["T0T"], tables["VE"], tables["Tp"],
+                b0, state,
                 widths=tuple(int(x) for x in widths), dt=float(fom.dt),
                 bdf2=bdf2, with_trilinear=with_trilinear, n_real=N,
                 km8=km8, kk8=kk8, kf8=kf8, interpret=interpret,

@@ -126,8 +126,9 @@ def main():
         def make_run(ablate, with_trilinear=True):
             def run(state0):
                 return online_sweep_windowed_fused(
-                    TH, tables["BmT"], tables["BkT"], tables["BfT"],
-                    tables["T0T"], tables["VE"], tables["Tp"], b0, state0,
+                    TH, tables["Bmk"], tables["BmF"], tables["BkF"],
+                    tables["BfT"], tables["T0T"], tables["VE"],
+                    tables["Tp"], b0, state0,
                     widths=widths, dt=float(fom.dt), bdf2=bdf2,
                     with_trilinear=with_trilinear, n_real=N,
                     km8=km8, kk8=kk8, kf8=kf8, ablate=ablate,

@@ -435,9 +435,16 @@ def test_windowed_fused_matches_v2_chain(N):
     state_ref = np.asarray(state)
 
     TH = jnp.asarray(np.concatenate([thm, thk, thf, g_p], axis=1))
+    # v3 merged/factored layouts (rom.py _windowed_pallas_tables).
+    Bmk = np.concatenate([Bm, Bk], axis=2)
+    BmF = (Bm.reshape(W, NP, NP, km8).transpose(0, 3, 1, 2)
+           .reshape(W, km8 * NP, NP))
+    BkF = (Bk.reshape(W, NP, NP, kk8).transpose(0, 3, 1, 2)
+           .reshape(W, kk8 * NP, NP))
     probes_f, state_f = online_sweep_windowed_fused(
-        TH, jnp.asarray(Bm.transpose(0, 2, 1)),
-        jnp.asarray(Bk.transpose(0, 2, 1)),
+        TH, jnp.asarray(Bmk.transpose(0, 2, 1)),
+        jnp.asarray(BmF.transpose(0, 2, 1)),
+        jnp.asarray(BkF.transpose(0, 2, 1)),
         jnp.asarray(Bf.transpose(0, 2, 1)),
         jnp.asarray(T0.transpose(0, 2, 1)),
         jnp.asarray(VE), jnp.asarray(Tp), b0j,
@@ -445,13 +452,16 @@ def test_windowed_fused_matches_v2_chain(N):
         widths=(width,) * W, dt=dt, bdf2=True, with_trilinear=True,
         n_real=N, km8=km8, kk8=kk8, kf8=kf8, interpret=True,
     )
+    # The v3 merged step evaluates the same recursion with a different
+    # dot grouping (one merged solve-matrix dot; θ-factored r0 matvecs),
+    # so agreement with the v2 chain is to f32 rounding, not bitwise.
+    scale = np.abs(probes_ref).max()
     np.testing.assert_allclose(np.asarray(probes_f), probes_ref,
-                               rtol=0, atol=0)
-    # hi words bitwise; dd lo words may differ in last-bit reassociation
+                               rtol=0, atol=2e-5 * scale)
+    sscale = np.abs(state_ref[[0, 2]]).max()
     np.testing.assert_allclose(np.asarray(state_f)[[0, 2]],
-                               state_ref[[0, 2]], rtol=0, atol=0)
-    np.testing.assert_allclose(np.asarray(state_f)[[1, 3]],
-                               state_ref[[1, 3]], rtol=0, atol=1e-13)
+                               state_ref[[0, 2]], rtol=0,
+                               atol=2e-5 * sscale)
 
 
 def test_theta_v2_fori_steps_blocked_gj():
