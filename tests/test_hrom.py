@@ -147,9 +147,12 @@ def test_hrom_online_and_estimator(heat_hrom, tmp_path, monkeypatch):
         assert rom_err.shape == srom_err.shape == est.shape
         # The S-ROM (more modes) is at least as accurate on average
         assert srom_err.mean() <= 2.0 * rom_err.mean()
-        # The estimator lives on the same scale as the true ROM error
+        # The estimator tracks the true ROM error tightly at this config:
+        # measured ratio 0.99999x for both online μ (the S-ROM resolves
+        # the manifold nearly exactly here, so the estimator is close to
+        # the true error itself). Band allows for toolchain drift.
         ratio = est.mean() / max(rom_err.mean(), 1e-16)
-        assert 1e-3 < ratio < 1e3
+        assert 0.8 < ratio < 1.25
 
 
 def test_estimate_batch_matches_serial(heat_hrom):
