@@ -315,11 +315,14 @@ class RomConstructor(Reductor):
         than one device, shard_map-ed over the mesh's μ axis
         (parallel/sweep.py). The POD stages stay float64 host-side on the
         fetched snapshots. Probe CSV dumps are skipped on this path."""
-        if num_snapshots:
+        # An explicitly provided μ-space wins over sampling: the drivers
+        # always forward num_snapshots from rom_params, so the opposite
+        # precedence would make mu_space impossible to use through them.
+        if mu_space:
+            space = mu_space
+        elif num_snapshots:
             space = self.build_sampling_space(num=num_snapshots,
                                               rnd=self.random_state)
-        elif mu_space:
-            space = mu_space
         else:
             raise NotImplementedError(
                 "You need to provide a number of mu-snapshots or a space."

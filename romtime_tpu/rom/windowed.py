@@ -134,3 +134,80 @@ def build_windowed_basis(
         [Vs[w + 1].T @ Vs[w] for w in range(n_windows - 1)]
     ) if n_windows > 1 else np.zeros((0, num_basis, num_basis))
     return bounds, Vs, transfers
+
+
+@dataclass
+class MuLocalWindowed:
+    """μ-local windowed serving: K Mach-band cells, each a full
+    :class:`WindowedServing` built from that cell's training trajectories.
+
+    The piston solution manifold is locally low-rank in μ but its global
+    Kolmogorov width decays slowly at high Mach (measured:
+    scripts/multimu_diag.py — a single box-wide basis at W=30/N=40 caps
+    the 16-μ certification max at ~1e-3 regardless of training size).
+    Routing each served μ to a Mach-local basis restores the fast local
+    decay without raising the per-window N the online kernels pay for.
+
+    ``edges`` are piston-Mach bin boundaries (K+1,); a served μ with Mach
+    m goes to cell ``searchsorted(edges, m) - 1`` (clipped — out-of-range
+    μ use the nearest cell). All cells share (W, N), so every cell serves
+    through the SAME compiled kernel with its own tables passed as jit
+    arguments. No reference analog (KikeM/romtime serves one global
+    basis: rom/rom.py:430-555).
+    """
+
+    edges: np.ndarray              # (K+1,) Mach bin edges
+    cells: list                    # K × WindowedServing
+
+    @property
+    def n_cells(self):
+        return len(self.cells)
+
+    @property
+    def n_windows(self):
+        return self.cells[0].n_windows
+
+    @property
+    def N(self):
+        return self.cells[0].N
+
+    def cell_of(self, mach):
+        """Cell index (scalar or array) for piston Mach number(s)."""
+        idx = np.searchsorted(np.asarray(self.edges), np.asarray(mach),
+                              side="right") - 1
+        return np.clip(idx, 0, self.n_cells - 1)
+
+    def dump(self, path):
+        payload = {"edges": np.asarray(self.edges)}
+        for c, win in enumerate(self.cells):
+            payload[f"c{c}_bounds"] = np.asarray(win.bounds)
+            payload[f"c{c}_Vs"] = np.asarray(win.Vs)
+            payload[f"c{c}_transfers"] = np.asarray(win.transfers)
+            for name, C in win.combines.items():
+                payload[f"c{c}_combine_{name}"] = np.asarray(C)
+            if win.trilinear is not None:
+                payload[f"c{c}_trilinear"] = np.asarray(win.trilinear)
+        np.savez(path, **payload)
+
+    @classmethod
+    def load(cls, path):
+        with np.load(path) as data:
+            edges = data["edges"]
+            cells = []
+            for c in range(len(edges) - 1):
+                pre = f"c{c}_"
+                combines = {
+                    k[len(pre) + len("combine_"):]: data[k]
+                    for k in data.files
+                    if k.startswith(pre + "combine_")
+                }
+                cells.append(WindowedServing(
+                    bounds=data[pre + "bounds"],
+                    Vs=data[pre + "Vs"],
+                    transfers=data[pre + "transfers"],
+                    combines=combines,
+                    trilinear=(data[pre + "trilinear"]
+                               if pre + "trilinear" in data.files
+                               else None),
+                ))
+            return cls(edges=edges, cells=cells)
