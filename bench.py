@@ -70,15 +70,20 @@ def main():
         # FOM on the held-out μ (scripts/window_study.py) — NP=40 shrinks
         # the per-step dot/solve/trilinear volume ~0.6-0.7× vs the round-2
         # W=25/N=48 point (6.0e-7) at the same ≤1e-6 certification.
-        defaults = dict(modes=96, truncate=8, nmdeim=48, windows=30,
-                        window_n=40, batch=2048)
+        # 8 training trajectories + N-MDEIM k=96 set the multi-μ
+        # certification at mean 5.5e-4 / max 1.6e-3 over 15 held-out μ
+        # (scripts/multimu_diag.py; 3 trajectories gave max 2.9e-2) —
+        # online cost is unchanged (same W, N).
+        defaults = dict(modes=96, truncate=8, nmdeim=96, windows=30,
+                        window_n=40, batch=2048, offline_mu=8, tri_mu=3)
     else:
         defaults = dict(modes=20, truncate=5, nmdeim=12, windows=0,
-                        window_n=0, batch=2048)
+                        window_n=0, batch=2048, offline_mu=3, tri_mu=2)
 
     nx = int(os.environ.get("BENCH_NX", 1000))
     nt = int(os.environ.get("BENCH_NT", 1500))
-    n_offline = int(os.environ.get("BENCH_OFFLINE_MU", 3))
+    n_offline = int(os.environ.get("BENCH_OFFLINE_MU",
+                                   defaults["offline_mu"]))
     n_online = int(os.environ.get("BENCH_ONLINE_MU", defaults["batch"]))
     n_modes = int(os.environ.get("BENCH_SROM_MODES", defaults["modes"]))
     truncate = int(os.environ.get("BENCH_SROM_TRUNCATE",
@@ -135,7 +140,7 @@ def main():
     mdeim_params = {RomParameters.TS: ts_walk,
                     RomParameters.NUM_SNAPSHOTS: n_offline}
     mdeim_nonlinear_params = {RomParameters.TS: ts_walk[::4],
-                              RomParameters.NUM_SNAPSHOTS: 2}
+                              RomParameters.NUM_SNAPSHOTS: defaults["tri_mu"]}
     models = {
         OperatorType.MASS: True,
         OperatorType.STIFFNESS: True,
@@ -188,12 +193,17 @@ def main():
             hrom.project_reductors()
         else:
             log(f"offline: FOM sweep + POD ({offline_mode})")
-            if offline_mode == "device":
+            if offline_mode in ("device", "device-dd"):
                 from romtime_tpu.dtypes import compute_dtype_scope as _cds
                 import jax.numpy as _jnp
 
+                # device-dd: compensated residual-form f32 stepping
+                # (fom/base.py _solve_impl_dd) — double-f32 state carry,
+                # low words recombined in f64 before POD.
+                hrom.fom.dd_sweep = offline_mode == "device-dd"
                 with jax.default_device(accel), _cds(_jnp.float32):
                     hrom.run_offline_rom(device_sweep=True)
+                hrom.fom.dd_sweep = False
             else:
                 hrom.run_offline_rom()
             log("offline: (M)DEIM training")
@@ -476,6 +486,77 @@ def main():
     solves_per_sec = n_online / online_wall
 
     # ------------------------------------------------------------------
+    # Perf ledger: measured per-component costs of the timed kernel
+    # (chained-marginal ablations — the numbers that justify the next
+    # optimization, as bench outputs instead of ROADMAP prose). Each
+    # ablated variant is a one-time ~3-9s Mosaic compile (persistent
+    # cache); BENCH_LEDGER=0 skips.
+    # ------------------------------------------------------------------
+    ledger = None
+    if (resolved == "windowed-pallas"
+            and os.environ.get("BENCH_LEDGER", "1") == "1"):
+        log("ledger: ablated kernel variants (empty/no_solve/no_boundary)")
+        from romtime_tpu.ops.pallas_online import online_sweep_windowed_fused
+
+        with jax.default_device(accel), compute_dtype_scope(serve_dtype):
+            tables = rom._windowed_pallas_tables()
+            prep = jax.jit(rom._full_precision(rom._windowed_pallas_prep))(
+                batch, tables
+            )
+            TH = jnp.concatenate(
+                [prep["THm"], prep["THk"], prep["THf"], prep["g"]], axis=1
+            )
+            widths = tuple(int(x) for x in np.diff(rom.windows.bounds))
+            NP = tables["Tp"].shape[1]
+
+            def make_run(ablate):
+                def run(state0):
+                    return online_sweep_windowed_fused(
+                        TH, tables["Bmk"], tables["BmF"], tables["BkF"],
+                        tables["BfT"], tables["T0T"], tables["VE"],
+                        tables["Tp"], prep["b0"], state0,
+                        widths=widths, dt=float(fom.dt), bdf2=True,
+                        with_trilinear=True, n_real=rom.windows.N,
+                        km8=tables["Bm"].shape[2], kk8=tables["Bk"].shape[2],
+                        kf8=tables["Bf"].shape[2], ablate=ablate,
+                    )
+                return run
+
+            def chain_abl(run, reps):
+                state = jnp.zeros((4, NP, n_online), jnp.float32)
+                acc = jnp.asarray(0.0, jnp.float32)
+                for _ in range(reps):
+                    _probes, state = run(state * 1e-30 + acc * 1e-30)
+                    acc = jnp.sum(state[0])
+                return float(np.asarray(acc))
+
+            walls = {}
+            for name in ("full", "empty", "no_solve", "no_boundary"):
+                run = make_run(None if name == "full" else name)
+                chain_abl(run, 1)
+                chain_abl(run, n_rep)
+                t0 = time.time()
+                chain_abl(run, 1)
+                w1 = time.time() - t0
+                t0 = time.time()
+                chain_abl(run, n_rep)
+                wk = time.time() - t0
+                walls[name] = (wk - w1) / max(n_rep - 1, 1)
+            us = {k: w / nt * 1e6 for k, w in walls.items()}
+            ledger = {
+                "full_us_per_step": round(us["full"], 2),
+                "solve_us_per_step": round(us["full"] - us["no_solve"], 2),
+                # The empty-kernel sweep is ~9 ms; its chained marginal can
+                # dip below clock resolution — clamp at zero.
+                "overhead_us_per_step": round(max(us["empty"], 0.0), 2),
+                "dd_transfer_frac": round(
+                    (us["full"] - us["no_boundary"]) / max(us["full"], 1e-9),
+                    4,
+                ),
+            }
+            log(f"ledger: {ledger}")
+
+    # ------------------------------------------------------------------
     # Certify the engine actually TIMED, at the scale timed: the fetched
     # headline-batch kernel probes vs a windowed-lanes f64 reference on a
     # sub-batch of the same μ. This pins the numerical fidelity of the
@@ -539,6 +620,7 @@ def main():
             "f32_serving_drift": serve_drift,
             "timesteps_per_sec": round(solves_per_sec * nt, 0),
             "served_engine_probe_err": probe_err,
+            "kernel_ledger": ledger,
             "rel_l2_multi_mu": multi_stats,
             "windowed_estimator": est_stats,
         },

@@ -188,4 +188,5 @@ class StorageNames:
     # offline FOM snapshots that windowed bases are built from.
     WINDOWS = "windowed_serving.npz"
     WINDOWS_SROM = "windowed_serving_srom.npz"
+    WINDOWS_MULOCAL = "windowed_serving_mulocal.npz"
     SNAPSHOTS = "offline_snapshots.npz"

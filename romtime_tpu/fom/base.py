@@ -502,7 +502,13 @@ class OneDimensionalSolver(ABC):
         return {}
 
     def _solve_impl(self, mu):
-        """Full time loop as one scan; returns stacked solution arrays."""
+        """Full time loop as one scan; returns stacked solution arrays.
+
+        With ``self.dd_sweep`` set, runs the compensated residual-form
+        loop instead (``_solve_impl_dd``) — same output contract plus
+        ``uh_lo``."""
+        if getattr(self, "dd_sweep", False):
+            return self._solve_impl_dd(mu)
         nt = int(self.domain[self.NT])
         nh = self.mesh.nh
         bdf2 = self.BDF_SCHEME == BDF.TWO
@@ -553,12 +559,141 @@ class OneDimensionalSolver(ABC):
         _, outs = jax.lax.scan(step, carry0, jnp.arange(nt))
         return outs
 
+    def _solve_impl_dd(self, mu):
+        """Residual-form double-f32 time loop (compensated sweep).
+
+        Same step algebra as ``_solve_impl`` — K·u = M·(2uₙ−½uₙ₋₁)+dt·f_g
+        with K = bdf·M + dt·A — restructured so f32 rounding enters only
+        relative to the per-step increment (ops/compensated.py):
+
+            u_pred = 2uₙ − uₙ₋₁              (dd extrapolation)
+            r0     = M·(uₙ₋₁−uₙ) + dt·f_g − dt·A·u_pred
+            K·δ    = r0,   u = u_pred ⊕ δ    (dd accumulation)
+
+        where dt·A·u_pred is formed as K·u_pred − bdf·M·u_pred (no
+        separate-operator API needed; the subtraction is benign — K is
+        dt·A-dominated at FEM scalings) including the low-word
+        correction dt·A·u_pred_lo. The state is carried as an
+        unevaluated double-f32 sum.
+
+        Measured caveat (ROADMAP.md round-3 findings): because the FOM
+        step is stiffness-dominated, f32 recursion drift never
+        accumulates in the plain loop either — same-μ drift vs f64
+        (~1e-5, piston headline scale) is the response to the f32
+        *representation* of μ/t/coefficients, unchanged by this
+        restructuring. The dd loop is kept for M-dominated regimes
+        (small dt·A/M) and as the exact-algebra reference for the
+        online residual-form engines; it costs no accuracy or speed.
+        TPU-offline analog of the reference's serial f64 PETSc loop
+        (reference: fom/base.py:693-831).
+
+        Extra output ``uh_lo``: low words; ``uh + uh_lo`` recombined in
+        f64 on the host recovers the dd trajectory in full.
+        """
+        from ..ops.compensated import (
+            dd_add_small,
+            dd_bdf2_predict,
+            dd_history_diff,
+        )
+
+        nt = int(self.domain[self.NT])
+        bdf2 = self.BDF_SCHEME == BDF.TWO
+        dtype = compute_dtype()
+        dt = _scalar(self.dt)
+        one_five = _scalar(1.5)
+        one = _scalar(1.0)
+        p = self.mesh.degree
+
+        u0 = self._initial_condition(mu)
+        zeros = jnp.zeros_like(u0)
+
+        def step(carry, k):
+            u_h, u_l, u1_h, u1_l = carry
+            t = (k + 1).astype(dtype) * dt
+            bdf = jnp.where(k > 0, one_five, one) if bdf2 else one
+
+            if bdf2:
+                up_h, up_l = dd_bdf2_predict(u_h, u_l, u1_h, u1_l)
+            else:
+                up_h, up_l = u_h, u_l
+
+            # u*(trilinear) must equal u_pred: passing (u_pred, u_pred)
+            # makes 2uₙ−uₙ₋₁ collapse to u_pred inside assemble_system.
+            Mh, Kh = self.assemble_system(
+                mu, t, bdf, up_h, up_h if bdf2 else None
+            )
+            extras = self._step_extras(mu, t, u_h, u1_h if bdf2 else None)
+            Mb = Mh.band if isinstance(Mh, BandedOperator) else Mh
+            Kb = Kh.band if isinstance(Kh, BandedOperator) else Kh
+
+            # dt·f_g exactly: the M-history terms drop with zeroed states.
+            f_vec = self.assemble_system_rhs(
+                mu, t, Mh, zeros, zeros if bdf2 else None
+            )
+
+            # M·(uₙ₋₁ − uₙ): exactly zero under BDF-1 (u_pred = uₙ) and at
+            # the BDF-2 startup step (bdf=1, zero history ⇒ u_pred = 2uₙ,
+            # M-coefficient 2 − ½·0 − 1·2 = 0).
+            if bdf2:
+                d = dd_history_diff(u_h, u_l, u1_h, u1_l)
+                r_M = jnp.where(k > 0, one, _scalar(0.0)) * band_matvec(
+                    Mb, d, p
+                )
+            else:
+                r_M = jnp.zeros_like(u_h)
+
+            # dt·A·u_pred (hi + lo words) = K·up − bdf·M·up.
+            import os as _os
+            _dbg = _os.environ.get("ROMTIME_DD_DEBUG", "")
+            if "res64" in _dbg:
+                K64 = Kb.astype(jnp.float64)
+                M64 = Mb.astype(jnp.float64)
+                up64 = up_h.astype(jnp.float64) + up_l.astype(jnp.float64)
+                Ku = band_matvec(K64, up64, p)
+                Mu = band_matvec(M64, up64, p)
+                r0 = (r_M.astype(jnp.float64) + f_vec.astype(jnp.float64)
+                      - (Ku - bdf * Mu)).astype(up_h.dtype)
+            else:
+                Ku = band_matvec(Kb, up_h, p) + band_matvec(Kb, up_l, p)
+                Mu = band_matvec(Mb, up_h, p) + band_matvec(Mb, up_l, p)
+                r0 = r_M + f_vec - (Ku - bdf * Mu)
+
+            if "solve64" in _dbg:
+                delta = solve_banded(
+                    Kb.astype(jnp.float64), r0.astype(jnp.float64), p
+                ).astype(up_h.dtype)
+            else:
+                delta = solve_banded(Kb, r0, p)
+            nh_h, nh_l = dd_add_small(up_h, up_l, delta)
+
+            scale = self.scale_factor(mu, t) if self.Lt else 1.0
+            L = self.domain[self.L0] * scale
+            x_phys = _asarray(self.mesh.x_dofs) * scale
+            g = self.create_lifting_operator(mu=mu, t=t, L=L, only_g=True)
+            gh = g(x_phys)
+            uc = nh_h + gh
+
+            outputs = dict(uh=nh_h, uh_lo=nh_l, uc=uc, x=x_phys, t=t)
+            outputs.update(extras)
+            outputs.update(self._step_outputs(mu, t, nh_h, uc, scale))
+
+            if self.exact_solution is not None:
+                ue_h = self._eval_field(self.exact_solution, x_phys, mu, t)
+                outputs["exact"] = ue_h
+                outputs["error"] = norm_L2(uc - ue_h, self.mesh)
+
+            return (nh_h, nh_l, u_h, u_l), outputs
+
+        carry0 = (u0, zeros, zeros, zeros)
+        _, outs = jax.lax.scan(step, carry0, jnp.arange(nt))
+        return outs
+
     def solve(self):
         """Integrate the problem in time (reference: fom/base.py:693-831)."""
         mu = self.mu
         mu_jnp = self._mu_array(mu)
 
-        key = compute_dtype()
+        key = (compute_dtype(), bool(getattr(self, "dd_sweep", False)))
         if not isinstance(self._solve_jit, dict):
             self._solve_jit = {}
         if key not in self._solve_jit:

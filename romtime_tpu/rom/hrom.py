@@ -358,6 +358,90 @@ class HyperReducedOrderModelFixed:
             windows.dump(StorageNames.WINDOWS)
         return windows
 
+    def build_mulocal_serving(self, n_cells, n_windows, num_basis,
+                              snapshots_per_cell=4, overlap=2, dump=True,
+                              rnd=None):
+        """μ-local windowed serving: K piston-Mach cells, each a full
+        per-window local-basis configuration (rom/windowed.py
+        ``MuLocalWindowed``), routed online by
+        ``RomConstructorNonlinear.solve_batch_mulocal``.
+
+        Rationale (measured, scripts/multimu_diag.py): a single box-wide
+        windowed basis trades capacity against μ-diversity — 3 training
+        trajectories serve a center μ at 8.8e-7 but corner μ at 2.9e-2;
+        8 trajectories level the 16-μ max at 1.6e-3 but raise the
+        projection floor to ~1.5e-4 everywhere. Mach-local cells give
+        every served μ a basis trained on 3-4 NEARBY trajectories —
+        restoring ≤1e-6-class local accuracy at unchanged online cost
+        (all cells share (W, N) and the compiled kernels).
+
+        Reuses the retained global offline trajectories (assigned to
+        cells by their training-μ Mach) and tops each cell up to
+        ``snapshots_per_cell`` with fresh f64 FOM solves at μ sampled
+        inside the cell. The (M)DEIM collateral bases stay box-wide —
+        operators are μ-smooth; only the state manifold is μ-local.
+        No reference analog (the reference serves one global basis,
+        rom/rom.py:430-555).
+        """
+        from .windowed import MuLocalWindowed
+        from .rom import RomConstructorNonlinear as RCN
+        from ..parameters import ParameterSampler
+
+        rom = self.rom
+        rnd = rnd if rnd is not None else np.random.RandomState(0)
+        edges = RCN.compute_piston_mach_number_space(
+            self.grid, n_cells,
+            mach_min=getattr(rom, "PISTON_MACH_MIN", None),
+            mach_max=getattr(rom, "PISTON_MACH_MAX", None),
+        )
+
+        def cell_of(m):
+            mach = RCN.compute_piston_mach_number(m)
+            return int(np.clip(
+                np.searchsorted(edges, mach, side="right") - 1,
+                0, n_cells - 1,
+            ))
+
+        cell_snaps = {c: [] for c in range(n_cells)}
+        train_mus = self.srom.mu_space.get(Stage.OFFLINE, [])
+        for m, s in zip(train_mus, self.srom.offline_snapshots):
+            cell_snaps[cell_of(m)].append(np.asarray(s))
+
+        fom = self.fom
+        pool = iter(ParameterSampler(self.grid, n_iter=int(2e4),
+                                     random_state=rnd))
+        wanted = {c: max(0, snapshots_per_cell - len(cell_snaps[c]))
+                  for c in range(n_cells)}
+        while any(wanted.values()):
+            m = dict(next(pool))
+            c = cell_of(m)
+            if wanted.get(c, 0) <= 0:
+                continue
+            fom.setup()
+            fom.update_parametrization(m)
+            fom.solve()
+            cell_snaps[c].append(
+                np.asarray(fom.solutions.snapshots, np.float64)
+            )
+            wanted[c] -= 1
+
+        prev = rom.windows
+        cells = []
+        try:
+            for c in range(n_cells):
+                cells.append(rom.build_windowed_serving(
+                    n_windows=n_windows, num_basis=num_basis,
+                    snapshots=cell_snaps[c], overlap=overlap,
+                ))
+        finally:
+            rom._set_serving_windows(prev)
+
+        ml = MuLocalWindowed(edges=np.asarray(edges), cells=cells)
+        rom.mulocal = ml
+        if dump:
+            ml.dump(StorageNames.WINDOWS_MULOCAL)
+        return ml
+
     def build_windowed_srom(self, n_windows, num_basis, snapshots=None,
                             overlap=2, dump=True):
         """Build ONLY the sacrificial windowed configuration (estimator
@@ -419,6 +503,12 @@ class HyperReducedOrderModelFixed:
 
             self.windows_srom = WindowedServing.load(
                 StorageNames.WINDOWS_SROM
+            )
+        if os.path.exists(StorageNames.WINDOWS_MULOCAL):
+            from .windowed import MuLocalWindowed
+
+            self.rom.mulocal = MuLocalWindowed.load(
+                StorageNames.WINDOWS_MULOCAL
             )
         # Retained FOM snapshots (for re-building windowed bases at a
         # different (W, N) without the FOM sweep).

@@ -92,6 +92,10 @@ class RomConstructor(Reductor):
         # Time-windowed local serving bases (rom/windowed.py); built on
         # demand by build_windowed_serving from the offline snapshots.
         self.windows = None
+        # μ-local serving container (rom/windowed.py MuLocalWindowed):
+        # K parameter-band cells, each a full WindowedServing sharing
+        # (W, N) — attached by the drivers, routed by solve_batch_mulocal.
+        self.mulocal = None
         self.offline_snapshots = []
 
         self.deim_fh = None
@@ -390,10 +394,19 @@ class RomConstructor(Reductor):
             else:
                 outs = solve_fom_batch(fom, mus)
             for b, (mu_idx, _mu) in enumerate(registered):
+                uh = np.asarray(outs["uh"][b], np.float64).T
+                uc = np.asarray(outs["uc"][b], np.float64).T
+                if "uh_lo" in outs:
+                    # Compensated sweep (fom._solve_impl_dd): recombine the
+                    # double-f32 words in float64 — the dd trajectory, not
+                    # its f32 rounding, reaches the POD stage.
+                    lo = np.asarray(outs["uh_lo"][b], np.float64).T
+                    uh = uh + lo
+                    uc = uc + lo
                 ingest(
                     mu_idx,
-                    np.asarray(outs["uh"][b], np.float64).T,
-                    np.asarray(outs["uc"][b], np.float64).T,
+                    uh,
+                    uc,
                     np.asarray(outs["nonlinear_data"][b], np.float64)
                     if collect_nonlinear else None,
                 )
@@ -1052,6 +1065,17 @@ class RomConstructor(Reductor):
         self._windowed_pallas_tbl = None
         self._windowed_lanes_tbl = {}
         return self.windows
+
+    def _set_serving_windows(self, win):
+        """Swap the ACTIVE windowed serving tables. Cells of a μ-local
+        configuration share (W, N), so the compiled engines
+        (``self._online_fns``) are reused across swaps — only the table
+        VALUES change, and those enter the jitted sweeps as runtime
+        arguments (``_get_online_fn``); the host-side table caches are
+        invalidated here."""
+        self.windows = win
+        self._windowed_pallas_tbl = None
+        self._windowed_lanes_tbl = {}
 
     def load_windowed_serving(self, path=None):
         """Attach a serving configuration persisted by
@@ -2225,3 +2249,54 @@ class RomConstructorNonlinear(RomConstructorMoving):
             NN = self.assemble_trilinear(mu=mu, t=t, uh=u_star)
 
         return MN, self.fom.dt * (AN + CN + NN + NhatN)
+
+    # ------------------------------------------------------------------
+    # μ-local windowed serving (no reference analog — the reference
+    # serves one global basis for the whole μ-box, rom/rom.py:430-555)
+    # ------------------------------------------------------------------
+    def solve_batch_mulocal(self, mus, step=Stage.ONLINE, mode="probes",
+                            engine=None):
+        """Route each μ to its Mach cell's windowed tables and sweep.
+
+        The piston manifold's Kolmogorov width decays slowly across the
+        full Mach range (measured: one box-wide W=30/N=40 basis built
+        from 8 trajectories has a ~1.5e-4 projection floor everywhere,
+        scripts/multimu_diag.py); Mach-local bases restore the fast local
+        decay at UNCHANGED online cost — every cell shares (W, N), so
+        every sub-batch runs through the SAME compiled engine with its
+        cell's tables passed as runtime arguments.
+
+        Each cell's sub-batch is padded (by cycling its own μ) to the
+        full batch length so one compiled shape serves all cells; outputs
+        are merged back in input order, batch-first. Costs K× the
+        arithmetic of a single sweep at certification batch sizes —
+        production serving would batch per cell instead.
+        """
+        ml = self.mulocal
+        if ml is None:
+            raise ValueError("no μ-local serving attached — build it with "
+                             "HyperReducedPiston.build_mulocal_serving")
+        mach = np.array(
+            [self.compute_piston_mach_number(mu) for mu in mus]
+        )
+        cells = np.asarray(ml.cell_of(mach))
+        n = len(mus)
+        prev = self.windows
+        merged = None
+        try:
+            for c in sorted(set(cells.tolist())):
+                idx = np.nonzero(cells == c)[0]
+                sub = [dict(mus[int(i)]) for i in idx]
+                sub = (sub * -(-n // len(sub)))[:n]
+                self._set_serving_windows(ml.cells[int(c)])
+                outs = self.solve_batch(sub, step=step, mode=mode,
+                                        engine=engine)
+                if merged is None:
+                    merged = {k: np.copy(v) for k, v in outs.items()}
+                for j, i in enumerate(idx):
+                    for k, v in outs.items():
+                        if np.ndim(v) >= 1 and len(v) == n:
+                            merged[k][i] = v[j]
+        finally:
+            self._set_serving_windows(prev)
+        return merged

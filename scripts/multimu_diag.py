@@ -183,6 +183,9 @@ def main():
                                         rnd=np.random.RandomState(7)))[:n_mu]
     for m in mus:
         m.pop(PistonParameters.MACH_PISTON, None)
+    # Last row: the bench's single-μ certification point (bench.py mu_val)
+    # so the scan reads the joint (single-μ, multi-μ) trade-off directly.
+    mus.append(dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4))
     key = np.array([[float(m[k]) for k in sorted(m)] for m in mus])
 
     refs = None

@@ -394,3 +394,103 @@ def test_piston_hrom_fast_smoke(piston_windowed):
     est = np.asarray(out[Errors.ESTIMATOR][0])
     assert est.shape == (uh_fom.shape[1],)
     assert np.all(est >= 0) and np.all(np.isfinite(est))
+
+
+# ---------------------------------------------------------------------------
+# μ-local (Mach-cell) windowed serving — rom/windowed.py MuLocalWindowed,
+# hrom.build_mulocal_serving, rom.solve_batch_mulocal. No reference analog
+# (the reference serves one global basis, rom/rom.py:430-555).
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def piston_mulocal(piston_windowed, tmp_path_factory):
+    import os
+
+    hrom, mu_val, uh_fom, _dir = piston_windowed
+    cwd = os.getcwd()
+    workdir = tmp_path_factory.mktemp("piston_mulocal")
+    os.chdir(workdir)
+    try:
+        ml = hrom.build_mulocal_serving(
+            n_cells=2, n_windows=4, num_basis=12, snapshots_per_cell=2,
+            rnd=np.random.RandomState(1),
+        )
+    finally:
+        os.chdir(cwd)
+    return hrom, ml, mu_val, uh_fom, workdir
+
+
+def test_mulocal_build_invariants(piston_mulocal):
+    hrom, ml, _mu, _uh, _dir = piston_mulocal
+    assert ml.n_cells == 2
+    assert len(ml.edges) == 3
+    assert all(w.n_windows == 4 and w.N == 12 for w in ml.cells)
+    # Routing covers the whole admissible range, clipped outside.
+    assert ml.cell_of(0.0) == 0 and ml.cell_of(99.0) == 1
+    assert hrom.rom.mulocal is ml
+
+
+def test_mulocal_routing_matches_direct_cell_solve(piston_mulocal):
+    """Routed sweep ≡ manually attaching each μ's cell tables: the same
+    compiled engine, the same numbers."""
+    hrom, ml, mu_val, _uh, _dir = piston_mulocal
+    rom = hrom.rom
+    from romtime_tpu.rom.rom import RomConstructorNonlinear as RCN
+
+    # Two μ in different Mach cells.
+    mu_lo = dict(a0=9.8, omega=15.5, delta=0.10, alpha=1e-6, gamma=1.4)
+    mu_hi = dict(a0=8.1, omega=19.5, delta=0.148, alpha=1e-6, gamma=1.4)
+    cells = [int(ml.cell_of(RCN.compute_piston_mach_number(m)))
+             for m in (mu_lo, mu_hi)]
+    assert cells == [0, 1], cells
+
+    routed = rom.solve_batch_mulocal([dict(mu_lo), dict(mu_hi)],
+                                     step=Stage.VALIDATION, mode="full",
+                                     engine="windowed")
+    prev = rom.windows
+    try:
+        direct = []
+        for m, c in zip((mu_lo, mu_hi), cells):
+            rom._set_serving_windows(ml.cells[c])
+            outs = rom.solve_batch([dict(m), dict(m)],
+                                   step=Stage.VALIDATION, mode="full",
+                                   engine="windowed")
+            direct.append(np.asarray(outs["uc"][0]))
+    finally:
+        rom._set_serving_windows(prev)
+
+    for i in range(2):
+        np.testing.assert_allclose(routed["uc"][i], direct[i],
+                                   rtol=0, atol=0)
+    # The pre-routing global configuration is restored.
+    assert rom.windows is prev
+
+
+def test_mulocal_tracks_fom(piston_mulocal):
+    hrom, ml, mu_val, uh_fom, _dir = piston_mulocal
+    outs = hrom.rom.solve_batch_mulocal([dict(mu_val)],
+                                        step=Stage.VALIDATION,
+                                        mode="full", engine="windowed")
+    u = np.asarray(outs["uc"][0]).T
+    rel = np.linalg.norm(u - uh_fom) / np.linalg.norm(uh_fom)
+    assert rel < 1e-3, rel
+
+
+def test_mulocal_npz_roundtrip_and_resume(piston_mulocal):
+    import os
+
+    from romtime_tpu.conventions import StorageNames
+    from romtime_tpu.rom.windowed import MuLocalWindowed
+
+    hrom, ml, _mu, _uh, workdir = piston_mulocal
+    path = os.path.join(workdir, StorageNames.WINDOWS_MULOCAL)
+    assert os.path.exists(path)
+    loaded = MuLocalWindowed.load(path)
+    np.testing.assert_array_equal(loaded.edges, ml.edges)
+    assert loaded.n_cells == ml.n_cells
+    for a, b in zip(loaded.cells, ml.cells):
+        np.testing.assert_array_equal(a.Vs, b.Vs)
+        np.testing.assert_array_equal(a.transfers, b.transfers)
+        assert sorted(a.combines) == sorted(b.combines)
+        for k in a.combines:
+            np.testing.assert_array_equal(a.combines[k], b.combines[k])
+        np.testing.assert_array_equal(a.trilinear, b.trilinear)
