@@ -74,11 +74,17 @@ def main():
         # certification at mean 5.5e-4 / max 1.6e-3 over 15 held-out μ
         # (scripts/multimu_diag.py; 3 trajectories gave max 2.9e-2) —
         # online cost is unchanged (same W, N).
+        # μ-local Mach-cell serving (BENCH_MULOCAL cells): every served μ
+        # gets a basis trained on per-cell trajectories at the SAME
+        # (W, N) — the compiled kernel and its cost are cell-independent,
+        # so the timed sweep equals per-cell production serving.
         defaults = dict(modes=96, truncate=8, nmdeim=96, windows=30,
-                        window_n=40, batch=2048, offline_mu=8, tri_mu=3)
+                        window_n=40, batch=2048, offline_mu=8, tri_mu=3,
+                        mulocal=3, per_cell=4)
     else:
         defaults = dict(modes=20, truncate=5, nmdeim=12, windows=0,
-                        window_n=0, batch=2048, offline_mu=3, tri_mu=2)
+                        window_n=0, batch=2048, offline_mu=3, tri_mu=2,
+                        mulocal=0, per_cell=0)
 
     nx = int(os.environ.get("BENCH_NX", 1000))
     nt = int(os.environ.get("BENCH_NT", 1500))
@@ -246,6 +252,31 @@ def main():
                 hrom.build_windowed_srom(
                     n_windows=n_windows, num_basis=window_n + srom_extra
                 )
+    # μ-local Mach-cell serving: per-cell local bases at the same (W, N).
+    # The ACTIVE cell (the one holding the held-out certification μ) is
+    # attached as rom.windows for the timed phase — routing swaps only the
+    # table VALUES, never the compiled kernel, so the timed number IS the
+    # per-cell production serving rate.
+    n_cells = int(os.environ.get("BENCH_MULOCAL", defaults["mulocal"]))
+    mu_val = dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4)
+    if n_cells > 0 and n_windows > 0:
+        ml = rom.mulocal
+        if (ml is None or ml.n_cells != n_cells
+                or ml.n_windows != n_windows or ml.N != window_n):
+            log(f"offline: mu-local serving build (K={n_cells} Mach cells)")
+            with jax.default_device(offline_device):
+                ml = hrom.build_mulocal_serving(
+                    n_cells=n_cells, n_windows=n_windows,
+                    num_basis=window_n,
+                    snapshots_per_cell=int(os.environ.get(
+                        "BENCH_PER_CELL", defaults["per_cell"])),
+                )
+        from romtime_tpu.rom.rom import RomConstructorNonlinear as _RCN
+
+        active = int(ml.cell_of(_RCN.compute_piston_mach_number(mu_val)))
+        rom._set_serving_windows(ml.cells[active])
+        log(f"offline: active serving cell {active} "
+            f"(edges {np.round(ml.edges, 3).tolist()})")
     offline_wall = time.time() - t_offline_start
 
     # ------------------------------------------------------------------
@@ -332,11 +363,18 @@ def main():
             fom_refs = np.stack(refs)
             np.savez(cache, uh=fom_refs, nx=nx, nt=nt, mu=key)
 
-        log(f"accuracy: {len(mus_val)}-mu windowed validation sweep")
+        log(f"accuracy: {len(mus_val)}-mu windowed validation sweep"
+            + (" (mu-local routed)" if rom.mulocal is not None else ""))
         with jax.default_device(offline_device):
-            outs_m = rom.solve_batch([dict(m) for m in mus_val],
-                                     step=Stage.VALIDATION, mode="full",
-                                     engine="windowed")
+            if rom.mulocal is not None:
+                outs_m = rom.solve_batch_mulocal(
+                    [dict(m) for m in mus_val], step=Stage.VALIDATION,
+                    mode="full", engine="windowed",
+                )
+            else:
+                outs_m = rom.solve_batch([dict(m) for m in mus_val],
+                                         step=Stage.VALIDATION, mode="full",
+                                         engine="windowed")
             rom._online_fns = {}
         rels = [
             float(np.linalg.norm(np.asarray(outs_m["uc"][i]).T
@@ -635,12 +673,19 @@ if __name__ == "__main__":
     # there let subsequent runs WARM-resume and skip the offline phase.
     repo = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, repo)
+    # Default to a persistent repo-local working directory: offline
+    # artifacts (basis pickles, windowed/mu-local npz, FOM validation
+    # caches) dumped there let every subsequent run WARM-resume and skip
+    # the multi-minute offline phase (driver-level resume semantics,
+    # reference rom/hrom.py:344-417). BENCH_DIR overrides; BENCH_DIR=tmp
+    # forces a throwaway cold run.
     bench_dir = os.environ.get("BENCH_DIR")
-    if bench_dir:
-        os.makedirs(bench_dir, exist_ok=True)
-        os.chdir(bench_dir)
-        main()
-    else:
+    if bench_dir == "tmp":
         with tempfile.TemporaryDirectory() as tmp:
             os.chdir(tmp)
             main()
+    else:
+        bench_dir = bench_dir or os.path.join(repo, ".bench_warm")
+        os.makedirs(bench_dir, exist_ok=True)
+        os.chdir(bench_dir)
+        main()

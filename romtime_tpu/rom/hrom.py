@@ -360,7 +360,8 @@ class HyperReducedOrderModelFixed:
 
     def build_mulocal_serving(self, n_cells, n_windows, num_basis,
                               snapshots_per_cell=4, overlap=2, dump=True,
-                              rnd=None):
+                              rnd=None, local_nmdeim=True,
+                              augment_global=True, augment_weight=1.0):
         """μ-local windowed serving: K piston-Mach cells, each a full
         per-window local-basis configuration (rom/windowed.py
         ``MuLocalWindowed``), routed online by
@@ -375,14 +376,21 @@ class HyperReducedOrderModelFixed:
         restoring ≤1e-6-class local accuracy at unchanged online cost
         (all cells share (W, N) and the compiled kernels).
 
-        Reuses the retained global offline trajectories (assigned to
-        cells by their training-μ Mach) and tops each cell up to
-        ``snapshots_per_cell`` with fresh f64 FOM solves at μ sampled
-        inside the cell. The (M)DEIM collateral bases stay box-wide —
-        operators are μ-smooth; only the state manifold is μ-local.
-        No reference analog (the reference serves one global basis,
-        rom/rom.py:430-555).
+        Each cell trains ``snapshots_per_cell`` fresh f64 FOM solves at μ
+        sampled inside the cell (with nonlinear-operator snapshot
+        capture). Linear (M)DEIM collateral bases stay box-wide — those
+        operator manifolds are μ-smooth (reference anchors reconstruct
+        at 1e-11…1e-18, BASELINE.md) — but the TRILINEAR N-MDEIM is
+        retrained per cell from the cell's captured nonlinear snapshots
+        (``local_nmdeim``): measured, a box-wide k=96 trilinear basis
+        saturates at ~2e-5 served error even at the μ-box center, while
+        3-4-trajectory-local training reaches ≤1e-6-class. The cell
+        N-MDEIM exists only during the build — it is fully folded into
+        the per-window T0 serving table, so routing swaps tables, never
+        reductors. No reference analog (the reference serves one global
+        basis, rom/rom.py:430-555).
         """
+        from .pod import orth
         from .windowed import MuLocalWindowed
         from .rom import RomConstructorNonlinear as RCN
         from ..parameters import ParameterSampler
@@ -402,16 +410,15 @@ class HyperReducedOrderModelFixed:
                 0, n_cells - 1,
             ))
 
-        cell_snaps = {c: [] for c in range(n_cells)}
-        train_mus = self.srom.mu_space.get(Stage.OFFLINE, [])
-        for m, s in zip(train_mus, self.srom.offline_snapshots):
-            cell_snaps[cell_of(m)].append(np.asarray(s))
-
         fom = self.fom
+        tri = getattr(self, "mdeim_trilinear", None)
+        local_tri = bool(local_nmdeim) and tri is not None \
+            and rom.mdeim_Nh is not None
         pool = iter(ParameterSampler(self.grid, n_iter=int(2e4),
                                      random_state=rnd))
-        wanted = {c: max(0, snapshots_per_cell - len(cell_snaps[c]))
-                  for c in range(n_cells)}
+        cell_snaps = {c: [] for c in range(n_cells)}
+        cell_nl = {c: [] for c in range(n_cells)}
+        wanted = {c: snapshots_per_cell for c in range(n_cells)}
         while any(wanted.values()):
             m = dict(next(pool))
             c = cell_of(m)
@@ -423,18 +430,66 @@ class HyperReducedOrderModelFixed:
             cell_snaps[c].append(
                 np.asarray(fom.solutions.snapshots, np.float64)
             )
+            if local_tri:
+                cell_nl[c].append(list(fom.nonlinear_snapshots))
             wanted[c] -= 1
 
+        # Diversity augmentation: append the retained box-wide offline
+        # trajectories to every cell's window-POD stack. Measured
+        # (scripts/multimu_diag.py): cell-only training drives the
+        # projection floor to ~1e-8 but the Galerkin in-span error
+        # stalls at ~1e-5 — the narrow band lacks the closure-relevant
+        # mode diversity a box-wide stack provides (box-wide-3 training
+        # reaches 8.8e-7 in-span at the box center with a 10× WORSE
+        # floor). Mixing both recovers the diversity while the local
+        # trajectories keep the floor low.
+        aug = []
+        if augment_global:
+            pool_snaps = self.srom.offline_snapshots
+            m = len(pool_snaps) if augment_global is True \
+                else min(int(augment_global), len(pool_snaps))
+            # Mach-spread subset: the retained trajectories are
+            # Mach-stratified (build_sampling_space sorts by Mach), so an
+            # even index stride keeps the spread.
+            idx = np.unique(np.linspace(0, len(pool_snaps) - 1, m)
+                            .round().astype(int)) if m else []
+            aug = [augment_weight * np.asarray(pool_snaps[i], np.float64)
+                   for i in idx]
+
+        keep_tri = self.rom_params.get(RomParameters.NMDEIM_SIZE)
         prev = rom.windows
         cells = []
         try:
             for c in range(n_cells):
+                if local_tri:
+                    # Hierarchical POD of the cell's nonlinear-operator
+                    # rows (same recipe as build_reduced_basis: per-μ
+                    # σ-weighted time stage, then the μ stage).
+                    stages = []
+                    for nl_rows in cell_nl[c]:
+                        nl = np.array(nl_rows[1:], np.float64).T
+                        b, s, _e = orth(nl)
+                        stages.append(b * s[: b.shape[1]])
+                    basis_nl, _s, _e = orth(np.hstack(stages),
+                                            normalize=False)
+                    tri.load_fom_basis(basis=basis_nl, keep=keep_tri)
+                    if hasattr(rom, "_trilinear_table_cache"):
+                        rom._trilinear_table_cache = None
                 cells.append(rom.build_windowed_serving(
                     n_windows=n_windows, num_basis=num_basis,
-                    snapshots=cell_snaps[c], overlap=overlap,
+                    snapshots=cell_snaps[c] + aug, overlap=overlap,
                 ))
         finally:
             rom._set_serving_windows(prev)
+            if local_tri:
+                # Restore the box-wide trilinear collateral basis (its
+                # dump is authoritative — _run_mdeim_nonlinear persists
+                # it) and its projection onto the global basis.
+                tri.load_fom_basis(keep=keep_tri)
+                if rom.basis is not None:
+                    tri.project_basis(V=rom.basis)
+                if hasattr(rom, "_trilinear_table_cache"):
+                    rom._trilinear_table_cache = None
 
         ml = MuLocalWindowed(edges=np.asarray(edges), cells=cells)
         rom.mulocal = ml

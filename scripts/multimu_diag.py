@@ -56,6 +56,16 @@ def main():
                     help="with --train-box: train at the 8 sub-box corners "
                          "+ center (deterministic hull coverage) instead "
                          "of random samples")
+    ap.add_argument("--mulocal", type=int, default=0,
+                    help="build K Mach-cell mu-local serving (warm resume "
+                         "+ per-cell top-up FOM solves) and validate "
+                         "through solve_batch_mulocal")
+    ap.add_argument("--per-cell", type=int, default=4,
+                    help="training trajectories per mu-local cell")
+    ap.add_argument("--aug", type=int, default=-1,
+                    help="box-wide trajectories appended to every cell "
+                         "stack (-1 = all retained)")
+    ap.add_argument("--aug-weight", type=float, default=1.0)
     args = ap.parse_args()
 
     import jax
@@ -175,7 +185,19 @@ def main():
                                         num_basis=args.window_n)
         print(f"[diag] warm resume {time.time()-t0:.1f}s", flush=True)
     rom = hrom.rom
-    win = rom.windows
+    ml = None
+    if args.mulocal:
+        t1 = time.time()
+        ml = hrom.build_mulocal_serving(
+            n_cells=args.mulocal, n_windows=args.windows,
+            num_basis=args.window_n, snapshots_per_cell=args.per_cell,
+            rnd=np.random.RandomState(11),
+            augment_global=(True if args.aug < 0 else args.aug),
+            augment_weight=args.aug_weight,
+        )
+        print(f"[diag] mulocal K={ml.n_cells} edges={np.round(ml.edges, 3)}"
+              f" built in {time.time()-t1:.1f}s", flush=True)
+    win = ml.cells[0] if ml is not None else rom.windows
     assert win is not None, "dir has no windowed serving configuration"
     print(f"[diag] W={win.n_windows} N={win.N}", flush=True)
 
@@ -206,8 +228,13 @@ def main():
         np.savez("fom_validation_multi.npz", uh=refs, nx=nx, nt=nt, mu=key)
 
     t0 = time.time()
-    outs = rom.solve_batch([dict(m) for m in mus], step=Stage.VALIDATION,
-                           mode="full", engine="windowed")
+    if ml is not None:
+        outs = rom.solve_batch_mulocal([dict(m) for m in mus],
+                                       step=Stage.VALIDATION,
+                                       mode="full", engine="windowed")
+    else:
+        outs = rom.solve_batch([dict(m) for m in mus], step=Stage.VALIDATION,
+                               mode="full", engine="windowed")
     print(f"[diag] windowed validation sweep {time.time()-t0:.1f}s",
           flush=True)
 
@@ -215,6 +242,12 @@ def main():
           f"{'rel':>9} {'floor':>9} {'inspace':>9}", flush=True)
     rows = []
     for i, m in enumerate(mus):
+        if ml is not None:
+            from romtime_tpu.rom.rom import RomConstructorNonlinear as RCN
+
+            win = ml.cells[int(ml.cell_of(
+                RCN.compute_piston_mach_number(m)
+            ))]
         u = np.asarray(outs["uc"][i]).T          # (nh, nt)
         err = u - refs[i]
         nrm = np.linalg.norm(refs[i])

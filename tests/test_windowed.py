@@ -402,12 +402,14 @@ def test_piston_hrom_fast_smoke(piston_windowed):
 # (the reference serves one global basis, rom/rom.py:430-555).
 # ---------------------------------------------------------------------------
 @pytest.fixture(scope="module")
-def piston_mulocal(piston_windowed, tmp_path_factory):
+def piston_mulocal(piston_windowed):
     import os
 
-    hrom, mu_val, uh_fom, _dir = piston_windowed
+    hrom, mu_val, uh_fom, workdir = piston_windowed
     cwd = os.getcwd()
-    workdir = tmp_path_factory.mktemp("piston_mulocal")
+    # Build in the pipeline's own artifact directory: the per-cell
+    # N-MDEIM retrain restores the box-wide collateral basis from its
+    # pickle there, and the mu-local npz persists next to the basis.
     os.chdir(workdir)
     try:
         ml = hrom.build_mulocal_serving(
