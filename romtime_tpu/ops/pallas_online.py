@@ -669,9 +669,68 @@ def _lanes_solve(KN, r0, n_real, NP, skip_solve=False):
     return delta
 
 
+def _lanes_invert(K, NP):
+    """In-register inversion of a (NP, NP, BLANE) lane-batched block:
+    unrolled pivot-free Gauss-Jordan on the augmented [K | I] block.
+
+    Runs ONCE PER WINDOW (not per step) to seed the Richardson solve —
+    the reduced step matrix K = bdf·MN + dt·S(+tri) is superbly
+    conditioned (measured cond ∈ [3.1, 9.3] at the headline W=30/N=40
+    point) and varies ≤ 4% within a window, so K̄⁻¹ of the window-mean
+    matrix preconditions every step of the window. No pivoting: same
+    diagonal-dominance argument as the blocked LU below; the padded
+    diagonal is exactly identity, so the padded block inverts to I."""
+    i32 = jnp.int32
+    one = jnp.float32(1.0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (NP, 1), 0)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 1)
+           ).astype(jnp.float32)
+    A = jnp.concatenate(
+        [K, jnp.broadcast_to(eye[:, :, None], K.shape)], axis=1
+    )                                            # (NP, 2·NP, BLANE)
+    for k in range(NP):
+        is_k = row_ids == i32(k)
+        inv = one / A[k, k, :]
+        row = A[k] * inv[None, :]
+        colk = A[:, k, :]
+        A = jnp.where(is_k[:, :, None],
+                      row[None, :, :],
+                      A - colk[:, None, :] * row[None, :, :])
+    return A[:, NP:, :]
+
+
+def _lanes_matvec(A, x):
+    """(NP, NP, BLANE) · (NP, BLANE) lane-batched matvec on the VPU."""
+    return jnp.sum(A * x[None, :, :], axis=1)
+
+
+def _richardson_solve(KN, Kinv, r0, iters, delta0=None):
+    """Solve KN·δ = r0 by preconditioned Richardson iteration with the
+    per-window mean-matrix inverse K̄⁻¹ (see _lanes_invert). Convergence
+    factor ρ = ‖I − K̄⁻¹KN‖ ≤ ~0.04 within a window (measured at the
+    headline W=30/N=40 point), and the iteration warm-starts from the
+    PREVIOUS step's delta (`delta0` — δ changes ~1%/step at serving dt),
+    so the start residual is already ~1e-2·‖δ‖. The BDF-1 start steps
+    (bdf 1.0 vs the 1.5 folded into K̄) converge at ρ ≈ 0.33 and rely on
+    the extra iterations + the dissipative decay of the tiny start-up
+    deltas. Cost: 2·iters matvecs ≈ 40 wide FMAs each — ~3-4× cheaper
+    than the per-step blocked LU at NP=40."""
+    if delta0 is None:
+        delta = _lanes_matvec(Kinv, r0)
+    else:
+        delta = delta0 + _lanes_matvec(Kinv,
+                                       r0 - _lanes_matvec(KN, delta0))
+    for _ in range(iters - 1):
+        resid = r0 - _lanes_matvec(KN, delta)
+        delta = delta + _lanes_matvec(Kinv, resid)
+    return delta
+
+
 def _bdf_step_merged(tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1, step,
                      T0, VE, b0, dt_c, bdf2, with_trilinear, n_real, NP,
-                     km8, kk8, kf8, skip_solve=False):
+                     km8, kk8, kf8, skip_solve=False, Kinv=None,
+                     solve_iters=None, dprev=None):
     """Merged-dot residual-form BDF step (v3 fused kernel).
 
     The v2 step materialized MN and KL with two K=8 MXU dots, then ran
@@ -718,10 +777,16 @@ def _bdf_step_merged(tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1, step,
     KLp = jnp.sum(t1k * tts[km8:kmk8][:, None, :], axis=0)
     r0 = MNd + fN - KLp - trip
 
-    delta = _lanes_solve(KN, r0, n_real, NP, skip_solve=skip_solve)
+    if skip_solve:
+        delta = r0
+    elif solve_iters is not None and Kinv is not None:
+        delta = _richardson_solve(KN, Kinv, r0, solve_iters,
+                                  delta0=dprev)
+    else:
+        delta = _lanes_solve(KN, r0, n_real, NP)
     uN_new, lo_new = dd_add_small(pred_hi, pred_lo, delta)
     probes = jax.lax.dot(VE, uN_new, precision=hi) + g
-    return uN_new, lo_new, probes
+    return uN_new, lo_new, probes, delta
 
 
 def _sweep_kernel_v2(step0_ref, MN_ref, KL_ref, fN_ref, g_ref, T0_ref,
@@ -1066,10 +1131,11 @@ def online_sweep_theta_pallas_v2(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p,
 
 
 def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
-                           T0_ref, VE_ref, T_ref, b0_ref, state0_ref,
-                           probes_ref, state_ref,
+                           T0_ref, VE_ref, T_ref, b0_ref, THb_ref,
+                           state0_ref, probes_ref, state_ref,
                            *, W, width, chunk, km8, kk8, kf8, dt, bdf2,
-                           with_trilinear, n_real, n_pad, ablate=None):
+                           with_trilinear, n_real, n_pad, ablate=None,
+                           solve_iters=None):
     NP = n_pad
     i = pl.program_id(0)
     nt = W * width
@@ -1100,7 +1166,7 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
 
         def window_body(w, carry):
             i32 = jnp.int32
-            uN, lo, uN1, lo1 = carry
+            uN, lo, uN1, lo1, dprev = carry
 
             # Boundary transfer of the dd carry through T_w on the VPU
             # (T[0] is the identity; its dd renormalization is a no-op on
@@ -1110,6 +1176,12 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                 T = T_ref[w]
                 uN, lo = dd_matvec(T, uN, lo)
                 uN1, lo1 = dd_matvec(T, uN1, lo1)
+                if solve_iters is not None:
+                    # Re-express the Richardson warm-start guess too (a
+                    # plain f32 matvec — it seeds an iteration, so eps
+                    # here is harmless).
+                    dprev = jax.lax.dot(T, dprev,
+                                        precision=jax.lax.Precision.HIGHEST)
 
             # Constants live TRANSPOSED — (k, NP·NP) with the big axis
             # minor — so their VMEM residency wastes no 128-lane padding
@@ -1124,6 +1196,25 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
             VE = VE_ref[w]
             T0 = T0_ref[w].T if with_trilinear else None  # (NP·NP, NP)
             hi = jax.lax.Precision.HIGHEST
+
+            Kinv = None
+            if solve_iters is not None and ablate != "empty":
+                # Per-window Richardson preconditioner: K̄ from the
+                # window-MEAN θ rows (bdf folded in prep) + the
+                # trilinear contribution at the window-entry state,
+                # inverted once per window (amortized over `width`
+                # steps — the per-step solve becomes 2·iters−1 VPU
+                # matvecs instead of a blocked LU).
+                thb = THb_ref[w]                     # (kmk8, BLANE)
+                Kb = jax.lax.dot(Bmk, thb, precision=hi).reshape(
+                    NP, NP, BLANE
+                )
+                if with_trilinear:
+                    NNb = jax.lax.dot(T0, uN, precision=hi).reshape(
+                        NP, NP, BLANE
+                    )
+                    Kb = Kb + NNb * (dt_c * b0)[None, None, :]
+                Kinv = _lanes_invert(Kb, NP)
             if ablate == "no_dots":
                 # Perf-ledger probe: a per-window constant solve matrix
                 # stands in for the per-step θ-combine MXU dots.
@@ -1151,7 +1242,7 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                     pr_dma(slot, c - i32(2)).wait()
 
                 def step_body(s, carry3):
-                    uN, lo, uN1, lo1 = carry3
+                    uN, lo, uN1, lo1, dprev = carry3
                     step = c * i32(chunk) + s
                     tts = th_s[slot, s]            # (K8, BLANE)
                     g = tts[off_g:off_g + PROBE_P]
@@ -1159,7 +1250,7 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                         # Floor probe: loop + θ DMA + probe store only.
                         pr_s[slot, s] = g
                         uN_new = uN * jnp.float32(0.99) + tts[0][None, :]
-                        return (uN_new, lo, uN, lo1)
+                        return (uN_new, lo, uN, lo1, dprev)
                     if ablate == "no_dots":
                         # Skip every per-step table dot (merged KNl, fN,
                         # factored r0 matvecs); keep predictor, trilinear,
@@ -1179,7 +1270,14 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                         else:
                             KN = KN0
                             trip = jnp.zeros_like(pred_hi)
-                        delta = _lanes_solve(KN, fN0 - trip, n_real, NP)
+                        if solve_iters is not None:
+                            delta = _richardson_solve(
+                                KN, Kinv, fN0 - trip, solve_iters,
+                                delta0=dprev,
+                            )
+                        else:
+                            delta = _lanes_solve(KN, fN0 - trip, n_real,
+                                                 NP)
                         uN_new, lo_new = dd_add_small(
                             pred_hi, pred_lo, delta
                         )
@@ -1187,14 +1285,16 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                             VE, uN_new, precision=hi
                         ) + g
                     else:
-                        uN_new, lo_new, probes = _bdf_step_merged(
+                        uN_new, lo_new, probes, delta = _bdf_step_merged(
                             tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1,
                             step, T0, VE, b0, dt_c, bdf2, with_trilinear,
                             n_real, NP, km8, kk8, kf8,
                             skip_solve=(ablate == "no_solve"),
+                            Kinv=Kinv, solve_iters=solve_iters,
+                            dprev=dprev,
                         )
                     pr_s[slot, s] = probes
-                    return (uN_new, lo_new, uN, lo)
+                    return (uN_new, lo_new, uN, lo, delta)
 
                 carry2 = jax.lax.fori_loop(i32(0), i32(chunk), step_body,
                                            carry2)
@@ -1202,11 +1302,11 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                 return carry2
 
             return jax.lax.fori_loop(i32(0), i32(cpw), chunk_body,
-                                     (uN, lo, uN1, lo1))
+                                     (uN, lo, uN1, lo1, dprev))
 
         carry0 = (state0_ref[0], state0_ref[1], state0_ref[2],
-                  state0_ref[3])
-        uN, lo, uN1, lo1 = jax.lax.fori_loop(
+                  state0_ref[3], jnp.zeros_like(state0_ref[0]))
+        uN, lo, uN1, lo1, _dlast = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(W), window_body, carry0
         )
         i32 = jnp.int32
@@ -1248,12 +1348,13 @@ def _fused_chunk(width, K8, n_real):
 
 @partial(jax.jit, static_argnames=("widths", "dt", "bdf2",
                                    "with_trilinear", "n_real", "km8",
-                                   "kk8", "kf8", "interpret", "ablate"))
+                                   "kk8", "kf8", "interpret", "ablate",
+                                   "solve_iters"))
 def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, T0_p, VE_p, T_p,
                                 b0, state0, *, widths, dt, bdf2=True,
                                 with_trilinear=True, n_real=15, km8=None,
                                 kk8=None, kf8=None, interpret=False,
-                                ablate=None):
+                                ablate=None, solve_iters=None):
     """Whole-trajectory windowed serving sweep in ONE pallas launch.
 
     TH     : (nt, K8, B) merged θ table — [θ_mass | θ_stiff+1 | θ_rhs | g]
@@ -1301,7 +1402,17 @@ def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, T0_p, VE_p, T_p,
     kernel = partial(_windowed_fused_kernel, W=W, width=width, chunk=chunk,
                      km8=km8, kk8=kk8, kf8=kf8, dt=dt, bdf2=bdf2,
                      with_trilinear=with_trilinear, n_real=n_real,
-                     n_pad=n_pad, ablate=ablate)
+                     n_pad=n_pad, ablate=ablate, solve_iters=solve_iters)
+    # Per-window mean θ rows for the Richardson preconditioner: K̄_w is
+    # built in-kernel from these (one dot per window) and inverted once.
+    # The bdf factor (1.5 for BDF-2 — the value at every step but the
+    # two BDF-1 start steps) is folded into the mass rows here.
+    kmk8 = km8 + kk8
+    THbar = TH.reshape(W, width, K8, B)[:, :, :kmk8, :].mean(axis=1)
+    bdf_bar = jnp.float32(1.5 if bdf2 else 1.0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (kmk8, 1), 0)
+    THbar = THbar * jnp.where(k_iota < km8, bdf_bar,
+                              jnp.float32(1.0))[None]
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     # Per-window constants are whole-array VMEM residents: ~20 MB at the
     # headline W=25/NP=48, loaded once per lane-block program (their minor
@@ -1312,6 +1423,8 @@ def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, T0_p, VE_p, T_p,
         grid=(B // BLANE,),
         in_specs=[hbm, vmem, vmem, vmem, vmem, vmem, vmem, vmem,
                   pl.BlockSpec((1, BLANE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((W, kmk8, BLANE), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((4, n_pad, BLANE), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM)],
@@ -1330,4 +1443,5 @@ def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, T0_p, VE_p, T_p,
         interpret=interpret,
     )
     with jax.enable_x64(False):
-        return call(TH, Bmk, BmF, BkF, Bf, T0_p, VE_p, T_p, b0, state0)
+        return call(TH, Bmk, BmF, BkF, Bf, T0_p, VE_p, T_p, b0, THbar,
+                    state0)

@@ -15,6 +15,7 @@ src/romtime/rom/rom.py:34-974) designed around the TPU execution model:
   step, SURVEY.md §3.4).
 """
 
+import os
 from copy import deepcopy
 from functools import partial
 
@@ -75,6 +76,109 @@ class RomConstructor(Reductor):
     # it exactly when serving in float32; f64 offline runs stay on the
     # plain path (bit-compatible with the goldens).
     COMPENSATED = "auto"
+
+    # Richardson iterations for the fused windowed kernel's per-step
+    # solve (ops/pallas_online._richardson_solve): one per-window
+    # inversion of the mean step matrix + this many refinements per step
+    # replace the per-step blocked LU. "auto" measures the within-window
+    # contraction factor ρ = ‖I − K̄_w⁻¹K(t)‖ at the μ-box corners once
+    # per serving configuration and picks the iteration count that
+    # reaches the f32 band — or falls back to the LU when Richardson
+    # would need too many iterations to win (ρ too large: short-horizon
+    # configs where dt·S varies strongly within a window). None = LU.
+    # Override with ROMTIME_SOLVE_ITERS (0 → LU).
+    WINDOWED_SOLVE_ITERS = "auto"
+    WINDOWED_SOLVE_ITERS_CAP = 12
+
+    def _windowed_solve_iters(self):
+        env = os.environ.get("ROMTIME_SOLVE_ITERS")
+        if env is not None and env != "":
+            n = int(env)
+            return n if n > 0 else None
+        setting = self.WINDOWED_SOLVE_ITERS
+        if setting == "auto":
+            return self._auto_solve_iters()
+        return setting
+
+    def _auto_solve_iters(self):
+        """Measured Richardson viability for the CURRENT serving windows:
+        estimate ρ = ‖I − K̄_w⁻¹K(μ,t)‖₂ over the window ends and the
+        μ-box corners (the strongest within-window θ variation), then
+        size the iteration count to reach the f32 serving band with a
+        ×1.3+0.02 margin for the state-dependent trilinear term the
+        linear probe omits. Returns None (→ blocked LU) when the capped
+        count cannot reach the band — measured: ρ ≈ 0.01-0.04 at the
+        headline W=30/N=40/nt=1500 point (→ 5-7 iterations), but ≈ 0.5+
+        at short-horizon toy configs (W=4/nt=96), which correctly fall
+        back to the LU. Cached per serving configuration."""
+        win = self.windows
+        if win is None:
+            return None
+        cached = getattr(self, "_auto_iters_cache", None)
+        if cached is not None and cached[0] is win:
+            return cached[1]
+        try:
+            # The θ-entry probes below must run eagerly; under an active
+            # trace (cache not primed by _windowed_pallas_tables — e.g. a
+            # direct jit of the sweep) fall back to the LU.
+            if not jax.core.trace_state_clean():
+                return None
+        except AttributeError:
+            pass
+
+        import itertools
+
+        fom = self.fom
+        nt = int(fom.domain[fom.NT])
+        W = win.n_windows
+        N = win.N
+        dt = float(fom.dt)
+        sources = self._theta_sources()
+        stiff = [n for n in sources if n not in ("mass", "rhs_vec")]
+
+        corners = []
+        for vals in itertools.product(*[
+            (float(min(d.support())), float(max(d.support())))
+            for d in self.grid.values()
+        ]):
+            mu = dict(zip(self.grid.keys(), vals))
+            if mu not in corners:
+                corners.append(mu)
+
+        bounds = np.asarray(win.bounds)
+        rho = 0.0
+        for mu_c in corners[:8]:
+            mu_b = {k: jnp.asarray(np.array([v]), jnp.float64)
+                    for k, v in mu_c.items()}
+
+            def K_at(w, step):
+                t = jnp.asarray((step + 1) * dt, jnp.float64)
+                K = 1.5 * np.asarray(
+                    sources["mass"][0]._entries_traced(mu_b, t)
+                )[:, 0] @ np.asarray(win.combines["mass"][w]).T
+                for nm in stiff:
+                    K = K + dt * (
+                        np.asarray(
+                            sources[nm][0]._entries_traced(mu_b, t)
+                        )[:, 0]
+                        @ np.asarray(win.combines[nm][w]).T
+                    )
+                return K.reshape(N, N)
+
+            for w in range(0, W, max(1, W // 4)):
+                a, b = int(bounds[w]), int(bounds[w + 1]) - 1
+                Kbar = 0.5 * (K_at(w, a) + K_at(w, b))
+                Kinv = np.linalg.inv(Kbar)
+                for s in (a, b):
+                    M = np.eye(N) - Kinv @ K_at(w, s)
+                    rho = max(rho, float(
+                        np.linalg.norm(M, 2)
+                    ))
+        rho_eff = min(rho * 1.3 + 0.02, 0.999)
+        iters = int(np.ceil(np.log(3e-8) / np.log(rho_eff)))
+        result = iters if iters <= self.WINDOWED_SOLVE_ITERS_CAP else None
+        self._auto_iters_cache = (win, result)
+        return result
 
     def __init__(self, fom, grid: dict, name=None) -> None:
         super().__init__(grid=grid)
@@ -1177,6 +1281,10 @@ class RomConstructor(Reductor):
             "T0T": jnp.asarray(T0_np.transpose(0, 2, 1)),
         }
         self._windowed_pallas_tbl = tbl
+        # Prime the Richardson auto-iteration estimate HERE (host-side,
+        # eager): _windowed_solve_iters is consulted inside the traced
+        # sweep, where the θ-entry probes would leak tracers.
+        self._windowed_solve_iters()
         return tbl
 
     def _windowed_pallas_prep(self, mu, tables):
@@ -1375,6 +1483,7 @@ class RomConstructor(Reductor):
                 widths=tuple(int(x) for x in widths), dt=float(fom.dt),
                 bdf2=bdf2, with_trilinear=with_trilinear, n_real=N,
                 km8=km8, kk8=kk8, kf8=kf8, interpret=interpret,
+                solve_iters=self._windowed_solve_iters(),
             )
             return {
                 "t": ts_grid,

@@ -132,6 +132,7 @@ def main():
                     widths=widths, dt=float(fom.dt), bdf2=bdf2,
                     with_trilinear=with_trilinear, n_real=N,
                     km8=km8, kk8=kk8, kf8=kf8, ablate=ablate,
+                    solve_iters=rom._windowed_solve_iters(),
                 )
             return run
 
