@@ -66,21 +66,22 @@ def main():
     # "throughput" = round-1 small-N global-basis point (fastest).
     profile = os.environ.get("BENCH_PROFILE", "joint")
     if profile == "joint":
-        # W=30/N=40 windowed point: measured 8.8e-7 (f64) rel-L2 vs the
-        # FOM on the held-out μ (scripts/window_study.py) — NP=40 shrinks
-        # the per-step dot/solve/trilinear volume ~0.6-0.7× vs the round-2
-        # W=25/N=48 point (6.0e-7) at the same ≤1e-6 certification.
-        # 8 training trajectories + N-MDEIM k=96 set the multi-μ
-        # certification at mean 5.5e-4 / max 1.6e-3 over 15 held-out μ
-        # (scripts/multimu_diag.py; 3 trajectories gave max 2.9e-2) —
-        # online cost is unchanged (same W, N).
+        # W=30/N=40 windowed point, served μ-locally: K=4 Mach cells,
+        # 10 in-cell training trajectories each, per-cell trilinear
+        # N-MDEIM (k=96) folded into the serving tables. Measured
+        # (scripts/multimu_diag.py, f64 CPU): center-μ certification
+        # 7.4e-8 rel-L2, 15 held-out μ mean 5.7e-5 / max 6.0e-4 (the max
+        # is the extreme high-Mach corner's projection floor). per_cell
+        # must be ~10: 4 near-parallel in-cell trajectories leave the
+        # σ-tail window modes noise-like and the Galerkin in-span error
+        # stalls ~1e-5 despite 1e-8 floors.
         # μ-local Mach-cell serving (BENCH_MULOCAL cells): every served μ
         # gets a basis trained on per-cell trajectories at the SAME
         # (W, N) — the compiled kernel and its cost are cell-independent,
         # so the timed sweep equals per-cell production serving.
         defaults = dict(modes=96, truncate=8, nmdeim=96, windows=30,
                         window_n=40, batch=2048, offline_mu=8, tri_mu=3,
-                        mulocal=3, per_cell=4)
+                        mulocal=4, per_cell=10)
     else:
         defaults = dict(modes=20, truncate=5, nmdeim=12, windows=0,
                         window_n=0, batch=2048, offline_mu=3, tri_mu=2,
@@ -262,7 +263,8 @@ def main():
     if n_cells > 0 and n_windows > 0:
         ml = rom.mulocal
         if (ml is None or ml.n_cells != n_cells
-                or ml.n_windows != n_windows or ml.N != window_n):
+                or ml.n_windows != n_windows or ml.N != window_n
+                or (srom_extra and ml.cells_srom is None)):
             log(f"offline: mu-local serving build (K={n_cells} Mach cells)")
             with jax.default_device(offline_device):
                 ml = hrom.build_mulocal_serving(
@@ -270,6 +272,7 @@ def main():
                     num_basis=window_n,
                     snapshots_per_cell=int(os.environ.get(
                         "BENCH_PER_CELL", defaults["per_cell"])),
+                    srom_extra=srom_extra or None,
                 )
         from romtime_tpu.rom.rom import RomConstructorNonlinear as _RCN
 
@@ -390,12 +393,20 @@ def main():
         log(f"accuracy: rel-L2 over {len(mus_val)} mu: "
             f"mean {multi_stats['mean']:.3e} max {multi_stats['max']:.3e}")
 
-        if hrom.windows_srom is not None:
-            log("certify: windowed S-ROM estimator on the same batch")
+        ml_est = rom.mulocal is not None and rom.mulocal.cells_srom \
+            is not None
+        if ml_est or hrom.windows_srom is not None:
+            log("certify: windowed S-ROM estimator on the same batch"
+                + (" (mu-local routed)" if ml_est else ""))
             with jax.default_device(offline_device):
-                est = hrom.estimate_batch([dict(m) for m in mus_val],
-                                          step=Stage.VALIDATION,
-                                          engine="windowed")
+                if ml_est:
+                    est = hrom.estimate_batch_mulocal(
+                        [dict(m) for m in mus_val], step=Stage.VALIDATION
+                    )
+                else:
+                    est = hrom.estimate_batch([dict(m) for m in mus_val],
+                                              step=Stage.VALIDATION,
+                                              engine="windowed")
             # Per-μ: time-averaged estimator vs the true time-RMS error.
             ratios = []
             for i in range(len(mus_val)):
@@ -557,6 +568,7 @@ def main():
                         with_trilinear=True, n_real=rom.windows.N,
                         km8=tables["Bm"].shape[2], kk8=tables["Bk"].shape[2],
                         kf8=tables["Bf"].shape[2], ablate=ablate,
+                        solve_iters=rom._windowed_solve_iters(),
                     )
                 return run
 
@@ -650,6 +662,8 @@ def main():
             "batch": n_online,
             "mode": serve_mode,
             "engine": resolved,
+            "solve_iters": (rom._windowed_solve_iters()
+                            if n_windows > 0 else None),
             "host_fetch_wall_s": round(fetch_wall, 4),
             "single_sweep_plus_sync_wall_s": round(wall_1, 4),
             "online_sweep_wall_s": round(online_wall, 4),

@@ -46,6 +46,11 @@ class MatrixDiscreteEmpiricalInterpolation(DiscreteEmpiricalInterpolation):
             new.rows = deepcopy(self.rows)
         if self.cols is not None:
             new.cols = deepcopy(self.cols)
+        if getattr(self, "_boundary_positions", None) is not None:
+            # Needed to RETRAIN the copy (load_fom_basis → greedy mesh):
+            # rom.mdeim_Nh is a copy (add_hyper_reductor), and the μ-local
+            # per-cell N-MDEIM retrains exactly that object.
+            new._boundary_positions = deepcopy(self._boundary_positions)
         return new
 
     # ------------------------------------------------------------------

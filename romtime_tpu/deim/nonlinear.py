@@ -48,6 +48,12 @@ class MatrixDiscreteEmpiricalInterpolationNonlinear(
     # ------------------------------------------------------------------
     # Truncation into the sacrificial variant
     # ------------------------------------------------------------------
+    def copy(self):
+        new = super().copy()
+        if self.u_n is not None:
+            new.u_n = self.u_n
+        return new
+
     def truncate(self, n):
         """Remove n modes, rebuilding the interpolation mesh; shares the
         matrix topology (reference: nonlinear.py:49-104)."""

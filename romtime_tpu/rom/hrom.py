@@ -335,33 +335,43 @@ class HyperReducedOrderModelFixed:
         configuration without repaying the offline phase (TPU-era
         extension; resume semantics follow reference rom/hrom.py:344-417).
 
-        ``srom_extra``: also build a SACRIFICIAL windowed configuration
-        with ``num_basis + srom_extra`` modes per window from the same
-        snapshots (stored as ``self.windows_srom``). Per-window POD bases
-        nest — the first ``num_basis`` columns of the enriched basis ARE
-        the serving basis — so the reference's S-ROM online estimator
-        (reference rom/hrom.py:563-574, utils.py:173-212) carries over to
-        the windowed engine verbatim: see ``estimate_batch``.
+        ``srom_extra``: also keep a SACRIFICIAL windowed configuration
+        with ``num_basis + srom_extra`` modes per window (stored as
+        ``self.windows_srom``). Per-window POD bases nest — the first
+        ``num_basis`` columns of the enriched basis ARE the serving
+        basis — so ONE (N+Δ)-mode projection loop yields both
+        (WindowedServing.truncate), and the reference's S-ROM online
+        estimator (reference rom/hrom.py:563-574, utils.py:173-212)
+        carries over to the windowed engine verbatim: see
+        ``estimate_batch``.
         """
         if snapshots is None:
             snapshots = self.srom.offline_snapshots
         if srom_extra:
-            self.build_windowed_srom(
+            enriched = self.rom.build_windowed_serving(
                 n_windows=n_windows, num_basis=num_basis + srom_extra,
-                snapshots=snapshots, overlap=overlap, dump=dump,
+                snapshots=snapshots, overlap=overlap,
             )
-        windows = self.rom.build_windowed_serving(
-            n_windows=n_windows, num_basis=num_basis,
-            snapshots=snapshots, overlap=overlap,
-        )
+            self.windows_srom = enriched
+            windows = enriched.truncate(num_basis)
+            self.rom._set_serving_windows(windows)
+            self.rom._online_fns = {}
+            if dump:
+                enriched.dump(StorageNames.WINDOWS_SROM)
+        else:
+            windows = self.rom.build_windowed_serving(
+                n_windows=n_windows, num_basis=num_basis,
+                snapshots=snapshots, overlap=overlap,
+            )
         if dump:
             windows.dump(StorageNames.WINDOWS)
         return windows
 
     def build_mulocal_serving(self, n_cells, n_windows, num_basis,
-                              snapshots_per_cell=4, overlap=2, dump=True,
+                              snapshots_per_cell=10, overlap=2, dump=True,
                               rnd=None, local_nmdeim=True,
-                              augment_global=True, augment_weight=1.0):
+                              augment_global=False, augment_weight=1.0,
+                              srom_extra=None):
         """μ-local windowed serving: K piston-Mach cells, each a full
         per-window local-basis configuration (rom/windowed.py
         ``MuLocalWindowed``), routed online by
@@ -372,9 +382,21 @@ class HyperReducedOrderModelFixed:
         trajectories serve a center μ at 8.8e-7 but corner μ at 2.9e-2;
         8 trajectories level the 16-μ max at 1.6e-3 but raise the
         projection floor to ~1.5e-4 everywhere. Mach-local cells give
-        every served μ a basis trained on 3-4 NEARBY trajectories —
+        every served μ a basis trained on NEARBY trajectories —
         restoring ≤1e-6-class local accuracy at unchanged online cost
         (all cells share (W, N) and the compiled kernels).
+
+        ``snapshots_per_cell`` must be large enough that every per-window
+        POD mode is meaningful: 4 near-parallel in-cell trajectories
+        drive the projection floor to ~1e-8 but the Galerkin in-span
+        error STALLS at ~1e-5 (the σ-tail modes of a near-degenerate
+        stack carry hyper-reduced dynamics noise), while 10 in-cell
+        trajectories restore floor-tracking — measured center-μ 5.2e-7,
+        low/mid-Mach rows 1.5e-7…4e-6 at W=30/N=40 (K=3-4 Mach cells).
+        ``augment_global`` (appending the retained box-wide trajectories
+        to every cell stack) is the legacy mitigation for under-trained
+        cells — it dilutes the N=40 capacity (center-μ regresses to
+        4.2e-5) and is off by default.
 
         Each cell trains ``snapshots_per_cell`` fresh f64 FOM solves at μ
         sampled inside the cell (with nonlinear-operator snapshot
@@ -382,13 +404,20 @@ class HyperReducedOrderModelFixed:
         operator manifolds are μ-smooth (reference anchors reconstruct
         at 1e-11…1e-18, BASELINE.md) — but the TRILINEAR N-MDEIM is
         retrained per cell from the cell's captured nonlinear snapshots
-        (``local_nmdeim``): measured, a box-wide k=96 trilinear basis
-        saturates at ~2e-5 served error even at the μ-box center, while
-        3-4-trajectory-local training reaches ≤1e-6-class. The cell
-        N-MDEIM exists only during the build — it is fully folded into
-        the per-window T0 serving table, so routing swaps tables, never
-        reductors. No reference analog (the reference serves one global
-        basis, rom/rom.py:430-555).
+        (``local_nmdeim``). The cell N-MDEIM exists only during the
+        build — it is fully folded into the per-window T0 serving table,
+        so routing swaps tables, never reductors.
+
+        ``srom_extra``: build each cell at ``num_basis + srom_extra``
+        modes and derive the serving cell by nested truncation
+        (WindowedServing.truncate — per-window POD bases nest, so the
+        slice IS the N-mode build at no extra projection cost). The
+        enriched builds are kept as per-cell SACRIFICIAL estimator
+        references (``MuLocalWindowed.cells_srom``) for
+        ``estimate_batch_mulocal`` — the reference's S-ROM online
+        certification (rom/hrom.py:563-574) applied per cell. No
+        reference analog for the routing itself (the reference serves
+        one global basis, rom/rom.py:430-555).
         """
         from .pod import orth
         from .windowed import MuLocalWindowed
@@ -411,9 +440,15 @@ class HyperReducedOrderModelFixed:
             ))
 
         fom = self.fom
-        tri = getattr(self, "mdeim_trilinear", None)
+        # Retrain the SERVING N-MDEIM object: rom.mdeim_Nh is a COPY of
+        # self.mdeim_trilinear (add_hyper_reductor copies, reference
+        # rom/rom.py:213-251) — mutating the hrom-level original would be
+        # a silent no-op for the serving tables (measured: the round-3
+        # "local N-MDEIM" builds were bit-identical with k=48 and k=96
+        # because of exactly that).
+        tri = rom.mdeim_Nh
         local_tri = bool(local_nmdeim) and tri is not None \
-            and rom.mdeim_Nh is not None
+            and getattr(self, "mdeim_trilinear", None) is not None
         pool = iter(ParameterSampler(self.grid, n_iter=int(2e4),
                                      random_state=rnd))
         cell_snaps = {c: [] for c in range(n_cells)}
@@ -459,6 +494,8 @@ class HyperReducedOrderModelFixed:
         keep_tri = self.rom_params.get(RomParameters.NMDEIM_SIZE)
         prev = rom.windows
         cells = []
+        cells_srom = [] if srom_extra else None
+        n_build = num_basis + (srom_extra or 0)
         try:
             for c in range(n_cells):
                 if local_tri:
@@ -475,10 +512,14 @@ class HyperReducedOrderModelFixed:
                     tri.load_fom_basis(basis=basis_nl, keep=keep_tri)
                     if hasattr(rom, "_trilinear_table_cache"):
                         rom._trilinear_table_cache = None
-                cells.append(rom.build_windowed_serving(
-                    n_windows=n_windows, num_basis=num_basis,
+                win = rom.build_windowed_serving(
+                    n_windows=n_windows, num_basis=n_build,
                     snapshots=cell_snaps[c] + aug, overlap=overlap,
-                ))
+                )
+                if srom_extra:
+                    cells_srom.append(win)
+                    win = win.truncate(num_basis)
+                cells.append(win)
         finally:
             rom._set_serving_windows(prev)
             if local_tri:
@@ -491,7 +532,8 @@ class HyperReducedOrderModelFixed:
                 if hasattr(rom, "_trilinear_table_cache"):
                     rom._trilinear_table_cache = None
 
-        ml = MuLocalWindowed(edges=np.asarray(edges), cells=cells)
+        ml = MuLocalWindowed(edges=np.asarray(edges), cells=cells,
+                             cells_srom=cells_srom)
         rom.mulocal = ml
         if dump:
             ml.dump(StorageNames.WINDOWS_MULOCAL)
@@ -738,6 +780,61 @@ class HyperReducedOrderModelFixed:
             "rom": out_rom,
             "srom": out_srom,
         }
+
+    def estimate_batch_mulocal(self, mus, step=Stage.ONLINE):
+        """S-ROM certification of the μ-local windowed serving: each μ is
+        routed to its Mach cell and estimated against that CELL's nested
+        sacrificial configuration (``MuLocalWindowed.cells_srom``, built
+        by ``build_mulocal_serving(srom_extra=...)``). Reference online
+        certification semantics (rom/hrom.py:563-574) applied per cell —
+        a box-wide sacrificial reference would dominate the estimate with
+        basis mismatch rather than ROM error once serving is cell-local.
+
+        Returns the ``estimate_batch`` payload with per-μ rows merged
+        back in input order."""
+        rom = self.rom
+        ml = rom.mulocal
+        if ml is None or ml.cells_srom is None:
+            raise ValueError(
+                "μ-local estimation needs build_mulocal_serving("
+                "..., srom_extra=N) first"
+            )
+        mach = np.array(
+            [rom.compute_piston_mach_number(mu) for mu in mus]
+        )
+        cells = np.asarray(ml.cell_of(mach))
+        n = len(mus)
+        prev_win = rom.windows
+        prev_srom = self.windows_srom
+        merged = None
+        try:
+            for c in sorted(set(cells.tolist())):
+                idx = np.nonzero(cells == c)[0]
+                sub = [dict(mus[int(i)]) for i in idx]
+                sub = (sub * -(-n // len(sub)))[:n]
+                rom._set_serving_windows(ml.cells[int(c)])
+                self.windows_srom = ml.cells_srom[int(c)]
+                out = self.estimate_batch(sub, step=step,
+                                          engine="windowed")
+                if merged is None:
+                    merged = {
+                        Errors.ESTIMATOR: np.copy(out[Errors.ESTIMATOR]),
+                        Errors.AVERAGE_ESTIMATOR: np.copy(
+                            out[Errors.AVERAGE_ESTIMATOR]),
+                    }
+                for j, i in enumerate(idx):
+                    merged[Errors.ESTIMATOR][i] = out[Errors.ESTIMATOR][j]
+                    merged[Errors.AVERAGE_ESTIMATOR][i] = (
+                        out[Errors.AVERAGE_ESTIMATOR][j]
+                    )
+        finally:
+            rom._set_serving_windows(prev_win)
+            self.windows_srom = prev_srom
+            rom._online_fns = {}
+        self.errors[f"{step}-estimator"] = {
+            idx: merged[Errors.ESTIMATOR][idx] for idx in range(n)
+        }
+        return merged
 
     # ------------------------------------------------------------------
     # DEIM evaluation

@@ -72,6 +72,48 @@ class WindowedServing:
             payload["trilinear"] = np.asarray(self.trilinear)
         np.savez(path, **payload)
 
+    def truncate(self, N):
+        """Derive the nested N-mode serving configuration from an
+        (N+Δ)-mode build by pure slicing — per-window POD bases nest, so
+        the first N columns of every artifact ARE the N-mode build:
+        V[:, :N] is the same SVD prefix, (V̂ᵀBV̂)[:N,:N] = VᵀBV, and the
+        trilinear/transfer tensors slice likewise. This makes one
+        (N+Δ)-mode projection loop yield BOTH the serving configuration
+        and its sacrificial estimator reference (reference S-ROM
+        semantics: rom/hrom.py:563-574) at no extra projection cost."""
+        Nh = self.N
+        if N > Nh:
+            raise ValueError(f"cannot truncate N={Nh} to {N}")
+        if N == Nh:
+            return self
+        combines = {}
+        for name, C in self.combines.items():
+            C = np.asarray(C)
+            W, n_out, k = C.shape
+            if n_out == Nh * Nh:
+                combines[name] = np.ascontiguousarray(
+                    C.reshape(W, Nh, Nh, k)[:, :N, :N].reshape(
+                        W, N * N, k)
+                )
+            else:
+                combines[name] = np.ascontiguousarray(C[:, :N])
+        tri = None
+        if self.trilinear is not None:
+            T = np.asarray(self.trilinear)
+            W = T.shape[0]
+            tri = np.ascontiguousarray(
+                T.reshape(W, Nh, Nh, Nh)[:, :N, :N, :N].reshape(
+                    W, N * N, N)
+            )
+        return WindowedServing(
+            bounds=np.asarray(self.bounds),
+            Vs=np.ascontiguousarray(np.asarray(self.Vs)[:, :, :N]),
+            transfers=np.ascontiguousarray(
+                np.asarray(self.transfers)[:, :N, :N]),
+            combines=combines,
+            trilinear=tri,
+        )
+
     @classmethod
     def load(cls, path):
         """Rebuild a serving-ready instance from :meth:`dump` output."""
@@ -158,6 +200,9 @@ class MuLocalWindowed:
 
     edges: np.ndarray              # (K+1,) Mach bin edges
     cells: list                    # K × WindowedServing
+    cells_srom: list = None        # K × WindowedServing at N+Δ (nested
+    #                                sacrificial estimator references) or
+    #                                None when built without srom_extra
 
     @property
     def n_cells(self):
@@ -179,7 +224,14 @@ class MuLocalWindowed:
 
     def dump(self, path):
         payload = {"edges": np.asarray(self.edges)}
-        for c, win in enumerate(self.cells):
+        if self.cells_srom is not None:
+            # Nested: persist only the (N+Δ) builds + the serving N; the
+            # serving cells reconstruct by slicing (truncate) on load.
+            payload["serving_n"] = np.asarray(self.cells[0].N)
+            store = self.cells_srom
+        else:
+            store = self.cells
+        for c, win in enumerate(store):
             payload[f"c{c}_bounds"] = np.asarray(win.bounds)
             payload[f"c{c}_Vs"] = np.asarray(win.Vs)
             payload[f"c{c}_transfers"] = np.asarray(win.transfers)
@@ -210,4 +262,9 @@ class MuLocalWindowed:
                                if pre + "trilinear" in data.files
                                else None),
                 ))
+            if "serving_n" in data.files:
+                n = int(data["serving_n"])
+                return cls(edges=edges,
+                           cells=[w.truncate(n) for w in cells],
+                           cells_srom=cells)
             return cls(edges=edges, cells=cells)

@@ -60,11 +60,14 @@ def main():
                     help="build K Mach-cell mu-local serving (warm resume "
                          "+ per-cell top-up FOM solves) and validate "
                          "through solve_batch_mulocal")
-    ap.add_argument("--per-cell", type=int, default=4,
-                    help="training trajectories per mu-local cell")
-    ap.add_argument("--aug", type=int, default=-1,
+    ap.add_argument("--per-cell", type=int, default=10,
+                    help="training trajectories per mu-local cell (>=10 "
+                         "keeps every per-window POD mode meaningful — "
+                         "see build_mulocal_serving docstring)")
+    ap.add_argument("--aug", type=int, default=0,
                     help="box-wide trajectories appended to every cell "
-                         "stack (-1 = all retained)")
+                         "stack (-1 = all retained; legacy mitigation, "
+                         "dilutes capacity)")
     ap.add_argument("--aug-weight", type=float, default=1.0)
     args = ap.parse_args()
 

@@ -496,3 +496,75 @@ def test_mulocal_npz_roundtrip_and_resume(piston_mulocal):
         for k in a.combines:
             np.testing.assert_array_equal(a.combines[k], b.combines[k])
         np.testing.assert_array_equal(a.trilinear, b.trilinear)
+
+
+def test_windowed_truncate_nested(piston_windowed):
+    """WindowedServing.truncate(N) of an (N+Δ)-mode build must equal the
+    direct N-mode build: per-window POD bases nest, so every serving
+    artifact is a pure slice (this is what lets one projection loop yield
+    both the serving configuration and its sacrificial S-ROM reference)."""
+    hrom, _mu, _uh, _dir = piston_windowed
+    rom = hrom.rom
+    enriched = hrom.windows_srom
+    assert enriched is not None and enriched.N == 16
+    sliced = enriched.truncate(12)
+
+    prev = rom.windows
+    try:
+        direct = rom.build_windowed_serving(
+            n_windows=4, num_basis=12,
+            snapshots=hrom.srom.offline_snapshots,
+        )
+    finally:
+        rom._set_serving_windows(prev)
+
+    np.testing.assert_allclose(sliced.Vs, direct.Vs, atol=1e-12)
+    np.testing.assert_allclose(sliced.transfers, direct.transfers,
+                               atol=1e-12)
+    for k in direct.combines:
+        np.testing.assert_allclose(sliced.combines[k], direct.combines[k],
+                                   atol=1e-10)
+    np.testing.assert_allclose(sliced.trilinear, direct.trilinear,
+                               atol=1e-10)
+
+
+def test_mulocal_estimator_tracks_error(piston_windowed):
+    """estimate_batch_mulocal: per-cell nested sacrificial references —
+    the windowed S-ROM estimator routed like the serving itself. The
+    estimator must land within two orders of the true error (reference
+    certification semantics, rom/hrom.py:563-574)."""
+    import os
+
+    from romtime_tpu.conventions import Errors
+
+    hrom, mu_val, uh_fom, workdir = piston_windowed
+    rom = hrom.rom
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        ml = hrom.build_mulocal_serving(
+            n_cells=2, n_windows=4, num_basis=12, snapshots_per_cell=2,
+            rnd=np.random.RandomState(1), srom_extra=4, dump=False,
+        )
+    finally:
+        os.chdir(cwd)
+    assert ml.cells_srom is not None
+    assert all(w.N == 16 for w in ml.cells_srom)
+    assert all(w.N == 12 for w in ml.cells)
+
+    mu_lo = dict(a0=9.8, omega=15.5, delta=0.10, alpha=1e-6, gamma=1.4)
+    mus = [dict(mu_val), mu_lo]
+    est = hrom.estimate_batch_mulocal(mus, step=Stage.VALIDATION)
+    avg = np.asarray(est[Errors.AVERAGE_ESTIMATOR])
+    assert avg.shape == (2,)
+    assert np.all(np.isfinite(avg)) and np.all(avg > 0)
+
+    # True error of the routed serving on the validation parameter.
+    outs = rom.solve_batch_mulocal([dict(mu_val)], step=Stage.VALIDATION,
+                                   mode="full", engine="windowed")
+    u = np.asarray(outs["uc"][0]).T
+    true_rms = np.linalg.norm(u - uh_fom) / np.sqrt(u.size)
+    est_rms = float(np.sqrt(np.mean(
+        np.asarray(est[Errors.ESTIMATOR][0]) ** 2)))
+    ratio = est_rms / max(true_rms, 1e-300)
+    assert 1e-2 < ratio < 1e2, (est_rms, true_rms)
