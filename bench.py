@@ -266,6 +266,7 @@ def main():
                 or ml.n_windows != n_windows or ml.N != window_n
                 or (srom_extra and ml.cells_srom is None)):
             log(f"offline: mu-local serving build (K={n_cells} Mach cells)")
+            edges_env = os.environ.get("BENCH_MULOCAL_EDGES")
             with jax.default_device(offline_device):
                 ml = hrom.build_mulocal_serving(
                     n_cells=n_cells, n_windows=n_windows,
@@ -273,6 +274,8 @@ def main():
                     snapshots_per_cell=int(os.environ.get(
                         "BENCH_PER_CELL", defaults["per_cell"])),
                     srom_extra=srom_extra or None,
+                    edges=([float(x) for x in edges_env.split(",")]
+                           if edges_env else None),
                 )
         from romtime_tpu.rom.rom import RomConstructorNonlinear as _RCN
 

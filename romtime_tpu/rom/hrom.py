@@ -371,7 +371,7 @@ class HyperReducedOrderModelFixed:
                               snapshots_per_cell=10, overlap=2, dump=True,
                               rnd=None, local_nmdeim=True,
                               augment_global=False, augment_weight=1.0,
-                              srom_extra=None):
+                              srom_extra=None, edges=None):
         """μ-local windowed serving: K piston-Mach cells, each a full
         per-window local-basis configuration (rom/windowed.py
         ``MuLocalWindowed``), routed online by
@@ -426,11 +426,18 @@ class HyperReducedOrderModelFixed:
 
         rom = self.rom
         rnd = rnd if rnd is not None else np.random.RandomState(0)
-        edges = RCN.compute_piston_mach_number_space(
-            self.grid, n_cells,
-            mach_min=getattr(rom, "PISTON_MACH_MIN", None),
-            mach_max=getattr(rom, "PISTON_MACH_MAX", None),
-        )
+        if edges is not None:
+            # Custom Mach bin boundaries (e.g. finer cells at high Mach
+            # where the Kolmogorov width decays slowly); must cover the
+            # grid's admissible Mach range.
+            edges = np.asarray(edges, np.float64)
+            n_cells = len(edges) - 1
+        else:
+            edges = RCN.compute_piston_mach_number_space(
+                self.grid, n_cells,
+                mach_min=getattr(rom, "PISTON_MACH_MIN", None),
+                mach_max=getattr(rom, "PISTON_MACH_MAX", None),
+            )
 
         def cell_of(m):
             mach = RCN.compute_piston_mach_number(m)
@@ -449,13 +456,46 @@ class HyperReducedOrderModelFixed:
         tri = rom.mdeim_Nh
         local_tri = bool(local_nmdeim) and tri is not None \
             and getattr(self, "mdeim_trilinear", None) is not None
-        pool = iter(ParameterSampler(self.grid, n_iter=int(2e4),
-                                     random_state=rnd))
         cell_snaps = {c: [] for c in range(n_cells)}
         cell_nl = {c: [] for c in range(n_cells)}
-        wanted = {c: snapshots_per_cell for c in range(n_cells)}
+        per_cell = (list(snapshots_per_cell)
+                    if np.ndim(snapshots_per_cell) else
+                    [snapshots_per_cell] * n_cells)
+        if len(per_cell) != n_cells:
+            raise ValueError(
+                f"snapshots_per_cell list ({len(per_cell)}) must match "
+                f"n_cells ({n_cells})"
+            )
+        wanted = {c: int(per_cell[c]) for c in range(n_cells)}
+        # Narrow high-Mach cells have a tiny preimage under the uniform
+        # μ sampler — grow the candidate pool geometrically rather than
+        # fixing one budget.
+        pool_size, attempts = int(2e4), 0
+        pool = iter(ParameterSampler(self.grid, n_iter=pool_size,
+                                     random_state=rnd))
         while any(wanted.values()):
-            m = dict(next(pool))
+            try:
+                m = dict(next(pool))
+            except StopIteration:
+                attempts += 1
+                if attempts > 4:
+                    empty = [c for c, n in wanted.items() if n > 0]
+                    raise ValueError(
+                        f"could not fill Mach cells {empty} (edges "
+                        f"{np.round(edges, 4).tolist()}) from the μ grid "
+                        f"— cells too narrow for the admissible range?"
+                    )
+                # Fresh draws (attempt-derived seed), larger pool — a
+                # restart from the SAME state would re-offer already-used
+                # candidates as duplicates.
+                pool_size *= 10
+                pool = iter(ParameterSampler(
+                    self.grid, n_iter=pool_size,
+                    random_state=np.random.RandomState(
+                        rnd.randint(2**31 - 1)
+                    ),
+                ))
+                continue
             c = cell_of(m)
             if wanted.get(c, 0) <= 0:
                 continue

@@ -69,6 +69,11 @@ def main():
                          "stack (-1 = all retained; legacy mitigation, "
                          "dilutes capacity)")
     ap.add_argument("--aug-weight", type=float, default=1.0)
+    ap.add_argument("--edges", default=None,
+                    help="custom Mach cell edges, e.g. '0.15,0.25,0.33,0.4'"
+                         " (overrides --mulocal count)")
+    ap.add_argument("--srom-extra", type=int, default=0,
+                    help="per-cell sacrificial estimator modes (N+extra)")
     args = ap.parse_args()
 
     import jax
@@ -197,6 +202,9 @@ def main():
             rnd=np.random.RandomState(11),
             augment_global=(True if args.aug < 0 else args.aug),
             augment_weight=args.aug_weight,
+            edges=([float(x) for x in args.edges.split(",")]
+                   if args.edges else None),
+            srom_extra=args.srom_extra or None,
         )
         print(f"[diag] mulocal K={ml.n_cells} edges={np.round(ml.edges, 3)}"
               f" built in {time.time()-t1:.1f}s", flush=True)

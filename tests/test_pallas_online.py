@@ -552,3 +552,51 @@ def test_theta_v2_fori_steps_blocked_gj():
     )
     err = np.abs(np.asarray(p1[:, :2, :]) - probes_ref).max()
     assert err < 2e-5, err
+
+
+def test_lanes_invert_and_richardson():
+    """_lanes_invert: exact inverse of a lane-batched well-conditioned
+    block (identity on the padded diagonal). _richardson_solve: converges
+    to the direct solve at the measured headline contraction (~4% matrix
+    perturbation), warm-started and cold."""
+    from romtime_tpu.ops.pallas_online import (
+        _lanes_invert,
+        _lanes_matvec,
+        _richardson_solve,
+    )
+
+    rng = np.random.default_rng(3)
+    NP, BL = 16, 128
+    N = 12  # padded tail carries the identity
+    K = np.zeros((NP, NP, BL), np.float32)
+    K[np.arange(NP), np.arange(NP)] = 1.0
+    K[:N, :N] += 0.15 * rng.normal(size=(N, N, BL)).astype(np.float32)
+    Kinv = np.asarray(_lanes_invert(jnp.asarray(K), NP))
+    for b in (0, 17, BL - 1):
+        np.testing.assert_allclose(
+            Kinv[:, :, b] @ K[:, :, b], np.eye(NP), atol=5e-5
+        )
+
+    # K_t = a within-window perturbation of the inverted mean matrix
+    # sized to the measured headline contraction (ρ ≈ 0.04-0.09 spectral;
+    # 0.01 entrywise noise on a 12×12 block ≈ 0.07 spectral).
+    Kt = K.copy()
+    Kt[:N, :N] += 0.01 * rng.normal(size=(N, N, BL)).astype(np.float32)
+    r = rng.normal(size=(NP, BL)).astype(np.float32)
+    r[N:] = 0.0
+    exact = np.stack(
+        [np.linalg.solve(Kt[:, :, b], r[:, b]) for b in range(BL)], axis=1
+    )
+    delta = np.asarray(_richardson_solve(
+        jnp.asarray(Kt), jnp.asarray(Kinv), jnp.asarray(r), 8
+    ))
+    np.testing.assert_allclose(delta, exact, atol=2e-6 * np.abs(exact).max())
+
+    # Warm start from a nearby guess converges at least as tightly.
+    warm = np.asarray(_richardson_solve(
+        jnp.asarray(Kt), jnp.asarray(Kinv), jnp.asarray(r), 8,
+        delta0=jnp.asarray(exact * 0.99),
+    ))
+    np.testing.assert_allclose(warm, exact, atol=2e-6 * np.abs(exact).max())
+    # Padded coordinates stay exactly zero.
+    assert np.all(delta[N:] == 0.0)
