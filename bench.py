@@ -265,18 +265,30 @@ def main():
         if (ml is None or ml.n_cells != n_cells
                 or ml.n_windows != n_windows or ml.N != window_n
                 or (srom_extra and ml.cells_srom is None)):
-            log(f"offline: mu-local serving build (K={n_cells} Mach cells)")
+            log(f"offline: mu-local serving build (K={n_cells} Mach cells"
+                + (", device sweep" if offline_mode.startswith("device")
+                   else "") + ")")
             edges_env = os.environ.get("BENCH_MULOCAL_EDGES")
-            with jax.default_device(offline_device):
-                ml = hrom.build_mulocal_serving(
-                    n_cells=n_cells, n_windows=n_windows,
-                    num_basis=window_n,
-                    snapshots_per_cell=int(os.environ.get(
-                        "BENCH_PER_CELL", defaults["per_cell"])),
-                    srom_extra=srom_extra or None,
-                    edges=([float(x) for x in edges_env.split(",")]
-                           if edges_env else None),
-                )
+            kwargs = dict(
+                n_cells=n_cells, n_windows=n_windows,
+                num_basis=window_n,
+                snapshots_per_cell=int(os.environ.get(
+                    "BENCH_PER_CELL", defaults["per_cell"])),
+                srom_extra=srom_extra or None,
+                edges=([float(x) for x in edges_env.split(",")]
+                       if edges_env else None),
+            )
+            if offline_mode in ("device", "device-dd"):
+                # The builder scopes the accelerator/f32 context to the
+                # FOM sweep only; POD/projections stay host f64.
+                hrom.fom.dd_sweep = offline_mode == "device-dd"
+                with jax.default_device(offline_device):
+                    ml = hrom.build_mulocal_serving(device_sweep=True,
+                                                    **kwargs)
+                hrom.fom.dd_sweep = False
+            else:
+                with jax.default_device(offline_device):
+                    ml = hrom.build_mulocal_serving(**kwargs)
         from romtime_tpu.rom.rom import RomConstructorNonlinear as _RCN
 
         active = int(ml.cell_of(_RCN.compute_piston_mach_number(mu_val)))

@@ -371,7 +371,8 @@ class HyperReducedOrderModelFixed:
                               snapshots_per_cell=10, overlap=2, dump=True,
                               rnd=None, local_nmdeim=True,
                               augment_global=False, augment_weight=1.0,
-                              srom_extra=None, edges=None):
+                              srom_extra=None, edges=None,
+                              device_sweep=False, mesh=None):
         """μ-local windowed serving: K piston-Mach cells, each a full
         per-window local-basis configuration (rom/windowed.py
         ``MuLocalWindowed``), routed online by
@@ -499,15 +500,57 @@ class HyperReducedOrderModelFixed:
             c = cell_of(m)
             if wanted.get(c, 0) <= 0:
                 continue
-            fom.setup()
-            fom.update_parametrization(m)
-            fom.solve()
-            cell_snaps[c].append(
-                np.asarray(fom.solutions.snapshots, np.float64)
-            )
-            if local_tri:
-                cell_nl[c].append(list(fom.nonlinear_snapshots))
+            if device_sweep:
+                # Defer: collect the cell's μ, solve the whole fleet in
+                # ONE vmapped/sharded launch below (parallel/sweep.py —
+                # the same path as build_reduced_basis(device_sweep=True);
+                # cells are embarrassingly parallel over the mesh's μ
+                # axis).
+                cell_snaps[c].append(dict(m))
+            else:
+                fom.setup()
+                fom.update_parametrization(m)
+                fom.solve()
+                cell_snaps[c].append(
+                    np.asarray(fom.solutions.snapshots, np.float64)
+                )
+                if local_tri:
+                    cell_nl[c].append(list(fom.nonlinear_snapshots))
             wanted[c] -= 1
+
+        if device_sweep:
+            import jax
+            import jax.numpy as jnp
+
+            from ..dtypes import compute_dtype_scope
+            from ..parallel.sweep import solve_fom_batch, solve_fom_sharded
+
+            order = [(c, j) for c in range(n_cells)
+                     for j in range(len(cell_snaps[c]))]
+            mus_flat = [cell_snaps[c][j] for c, j in order]
+            if fom.is_setup is False:
+                fom.setup()
+            # Only the SWEEP runs on the accelerator in f32 — the
+            # per-window POD/projection stages below must stay host f64
+            # (certification precision; f64 on TPU is emulated).
+            accel = jax.devices()[0]
+            sweep_dtype = (jnp.float32 if accel.platform != "cpu"
+                           else None)
+            with jax.default_device(accel), compute_dtype_scope(
+                    sweep_dtype):
+                if mesh is not None and mesh.devices.size > 1:
+                    outs = solve_fom_sharded(fom, mus_flat, mesh=mesh)
+                else:
+                    outs = solve_fom_batch(fom, mus_flat)
+            for b, (c, j) in enumerate(order):
+                uh = np.asarray(outs["uh"][b], np.float64).T
+                if "uh_lo" in outs:
+                    uh = uh + np.asarray(outs["uh_lo"][b], np.float64).T
+                cell_snaps[c][j] = uh
+                if local_tri:
+                    cell_nl[c].append(
+                        np.asarray(outs["nonlinear_data"][b], np.float64)
+                    )
 
         # Diversity augmentation: append the retained box-wide offline
         # trajectories to every cell's window-POD stack. Measured

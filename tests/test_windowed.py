@@ -568,3 +568,31 @@ def test_mulocal_estimator_tracks_error(piston_windowed):
         np.asarray(est[Errors.ESTIMATOR][0]) ** 2)))
     ratio = est_rms / max(true_rms, 1e-300)
     assert 1e-2 < ratio < 1e2, (est_rms, true_rms)
+
+
+def test_mulocal_device_sweep_matches_serial(piston_windowed):
+    """build_mulocal_serving(device_sweep=True) — the cells' FOM fleet in
+    ONE vmapped launch (parallel/sweep.py) — must reproduce the serial
+    per-μ loop's cells (f64 on the CPU backend: same arithmetic path as
+    the build_reduced_basis device-sweep equivalence, tests/test_parallel)."""
+    import os
+
+    hrom, _mu, _uh, workdir = piston_windowed
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        serial = hrom.build_mulocal_serving(
+            n_cells=2, n_windows=4, num_basis=12, snapshots_per_cell=2,
+            rnd=np.random.RandomState(5), dump=False,
+        )
+        batched = hrom.build_mulocal_serving(
+            n_cells=2, n_windows=4, num_basis=12, snapshots_per_cell=2,
+            rnd=np.random.RandomState(5), dump=False, device_sweep=True,
+        )
+    finally:
+        os.chdir(cwd)
+    for a, b in zip(serial.cells, batched.cells):
+        scale = np.abs(a.Vs).max()
+        np.testing.assert_allclose(b.Vs, a.Vs, atol=1e-8 * scale)
+        np.testing.assert_allclose(b.trilinear, a.trilinear,
+                                   atol=1e-6 * np.abs(a.trilinear).max())
