@@ -146,8 +146,31 @@ class RomConstructor(Reductor):
                 corners.append(mu)
 
         bounds = np.asarray(win.bounds)
+        # Pin the tiny eager θ-entry probes to the CPU backend: on the
+        # axon TPU each np.asarray is a lazy-runtime fetch over the
+        # tunnel (~100 ms), and this probe runs a few hundred of them.
+        try:
+            _cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            _cpu = None
+        import contextlib
+
+        ctx = (jax.default_device(_cpu) if _cpu is not None
+               else contextlib.nullcontext())
         rho = 0.0
-        for mu_c in corners[:8]:
+        with ctx:
+            rho = self._auto_iters_rho(corners[:8], bounds, sources,
+                                       stiff, dt, W, N, win)
+        rho_eff = min(rho * 1.3 + 0.02, 0.999)
+        iters = int(np.ceil(np.log(3e-8) / np.log(rho_eff)))
+        result = iters if iters <= self.WINDOWED_SOLVE_ITERS_CAP else None
+        self._auto_iters_cache = (win, result)
+        return result
+
+    def _auto_iters_rho(self, corners, bounds, sources, stiff, dt, W, N,
+                        win):
+        rho = 0.0
+        for mu_c in corners:
             mu_b = {k: jnp.asarray(np.array([v]), jnp.float64)
                     for k, v in mu_c.items()}
 
@@ -174,11 +197,7 @@ class RomConstructor(Reductor):
                     rho = max(rho, float(
                         np.linalg.norm(M, 2)
                     ))
-        rho_eff = min(rho * 1.3 + 0.02, 0.999)
-        iters = int(np.ceil(np.log(3e-8) / np.log(rho_eff)))
-        result = iters if iters <= self.WINDOWED_SOLVE_ITERS_CAP else None
-        self._auto_iters_cache = (win, result)
-        return result
+        return rho
 
     def __init__(self, fom, grid: dict, name=None) -> None:
         super().__init__(grid=grid)
