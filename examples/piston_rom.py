@@ -37,13 +37,14 @@ from romtime_tpu.problems import define_piston_problem
 from romtime_tpu.rom.hrom import HyperReducedPiston
 
 
-def main():
+def build_pipeline(nx=300, nt=300):
+    """Construct the small piston HROM in a throwaway artifact dir."""
     # Keep pipeline artifacts (probe CSVs, pickles) out of the repo.
     os.chdir(tempfile.mkdtemp(prefix="piston_rom_"))
 
     # ------------------------------------------------------------------
     # Problem: isentropic gas in a cylinder closed by an oscillating piston
-    nx, nt, tf = 300, 300, 1.0
+    tf = 1.0
     domain, bcs, forcing, u0, Lt, dLt_dt = define_piston_problem(
         L=1.0, nx=nx, tf=tf, nt=nt
     )
@@ -86,6 +87,11 @@ def main():
         },
         rnd=np.random.RandomState(0),
     )
+    return hrom
+
+
+def main():
+    hrom = build_pipeline()
 
     # ------------------------------------------------------------------
     print("offline: FOM sweep + POD + (M)DEIM training ...")
@@ -123,5 +129,59 @@ def main():
     print(f"  median {np.median(avg):.2e}   worst {avg.max():.2e}")
 
 
+
+
+def windowed_mulocal_serving():
+    """The flagship serving configuration (smaller scale for a laptop):
+    time-windowed local bases + μ-local Mach cells + per-cell S-ROM
+    certification. See bench.py for the full headline pipeline."""
+    import time
+
+    import numpy as np
+
+    from romtime_tpu.conventions import Errors, PistonParameters, Stage
+
+    hrom = build_pipeline(nx=300, nt=300)
+    print("offline: FOM sweep + POD + (M)DEIM training ...")
+    hrom.setup()
+    hrom.setup_hyperreduction()
+    hrom.run_offline_rom()
+    hrom.run_offline_hyperreduction(mu_space=hrom.mu_space[Stage.OFFLINE],
+                                    evaluate=False)
+    hrom.project_reductors()
+
+    # Time-windowed local bases: W windows × N modes each; one
+    # (N+Δ)-mode projection loop yields the serving configuration AND its
+    # sacrificial estimator reference (nested PODs).
+    hrom.build_windowed_serving(n_windows=6, num_basis=16, srom_extra=4)
+
+    # μ-local Mach cells: every served μ routed to a basis trained on
+    # nearby trajectories; all cells share (W, N) and the compiled kernel.
+    t0 = time.time()
+    ml = hrom.build_mulocal_serving(
+        n_cells=2, n_windows=6, num_basis=16, snapshots_per_cell=4,
+        srom_extra=4,
+    )
+    print(f"mu-local build ({ml.n_cells} cells) in {time.time()-t0:.1f}s")
+
+    mus = list(hrom.rom.build_sampling_space(num=16,
+                                             rnd=np.random.RandomState(5)))
+    for mu in mus:
+        mu.pop(PistonParameters.MACH_PISTON, None)
+
+    served = hrom.rom.solve_batch_mulocal(mus, step=Stage.ONLINE,
+                                          mode="probes", engine="windowed")
+    print(f"served {len(mus)} μ through routed windowed bases; "
+          f"piston-face v, μ₀, final step: "
+          f"{np.asarray(served['probes'])[0, -1, 1]:+.4f}")
+
+    est = hrom.estimate_batch_mulocal(mus, step=Stage.ONLINE)
+    avg = np.asarray(est[Errors.AVERAGE_ESTIMATOR])
+    print("per-cell S-ROM certification (time-averaged estimator):")
+    print(f"  median {np.median(avg):.2e}   worst {avg.max():.2e}")
+
+
 if __name__ == "__main__":
     main()
+    if "--windowed" in sys.argv:
+        windowed_mulocal_serving()
