@@ -472,6 +472,21 @@ def main():
         log(f"online: compiling batched sweep (batch={n_online}, "
             f"mode={serve_mode}) on {accel.platform}")
         engine = os.environ.get("BENCH_ENGINE") or None
+        # Matrices-vs-θ crossover: BENCH_AUTOTUNE=1 measures both table
+        # variants (one extra kernel compile) and pins the winner; the
+        # default reuses a previously measured decision from the warm dir
+        # (.romtime_autotune.json) when one exists, else the byte budget.
+        if os.environ.get("BENCH_AUTOTUNE", "0") == "1":
+            log("online: autotuning matrices-vs-theta (two compiles)")
+            tune = rom.autotune_online_precompute(
+                mus, mode=serve_mode, engine=engine, n_rep=n_rep
+            )
+            log(f"online: autotune -> {tune}")
+        else:
+            tune = rom.load_autotune(n_online, mode=serve_mode,
+                                     engine=engine)
+            if tune:
+                log(f"online: autotune table pins '{tune['winner']}'")
         # Compile + warm-up
         outs = rom.solve_batch(mus, step=Stage.ONLINE, mode=serve_mode,
                                engine=engine, host=False)
@@ -690,6 +705,7 @@ def main():
             "kernel_ledger": ledger,
             "rel_l2_multi_mu": multi_stats,
             "windowed_estimator": est_stats,
+            "precompute_autotune": tune,
         },
     }
     print(json.dumps(payload))

@@ -14,7 +14,12 @@ All entry points degrade gracefully to a single device.
 
 from .mesh import device_mesh, mu_sharding
 from .tsqr import tsqr_svd, orth_distributed
-from .sweep import solve_fom_batch, solve_fom_sharded, solve_online_sharded
+from .sweep import (
+    solve_fom_batch,
+    solve_fom_sharded,
+    solve_online_sharded,
+    solve_online_windowed_sharded,
+)
 
 __all__ = [
     "device_mesh",
@@ -24,4 +29,5 @@ __all__ = [
     "solve_fom_batch",
     "solve_fom_sharded",
     "solve_online_sharded",
+    "solve_online_windowed_sharded",
 ]

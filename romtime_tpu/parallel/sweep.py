@@ -76,6 +76,72 @@ def solve_fom_sharded(solver, mus, mesh=None, axis=MU_AXIS):
     return outs
 
 
+def solve_online_windowed_sharded(rom, mus, mesh=None, axis=MU_AXIS,
+                                  mode="probes"):
+    """Windowed local-basis μ-sweep sharded over the device mesh.
+
+    The flagship serving configuration (time-windowed bases,
+    rom/windowed.py) scaled across chips: the per-window tables are
+    replicated (they are μ-independent, ~MBs) and the μ-batch is split
+    over the mesh's ``mu`` axis — embarrassingly parallel, no collectives,
+    linear scaling over ICI. Per-chip execution is the same lane-batched
+    scan-over-windows engine ``solve_batch(engine="windowed")`` compiles
+    on one chip.
+
+    Returns host arrays in ``solve_batch`` layout (batch axis first;
+    ``t`` is the shared (nt,) time grid).
+    """
+    win = rom.windows
+    assert win is not None, "call build_windowed_serving first"
+    widths = set(np.diff(win.bounds).tolist())
+    assert len(widths) == 1, (
+        "sharded windowed serving needs equal window widths (the "
+        "unequal-width chained fallback traces W scan bodies — a compile "
+        f"hazard inside shard_map); got widths {sorted(widths)}"
+    )
+    if mesh is None:
+        mesh = device_mesh()
+
+    batch = _mu_batch_dict(mus)
+    batch, n_true = _pad_batch(batch, mesh.devices.size)
+    tables = rom._windowed_lanes_tables(mode)
+
+    # Compiled-sweep cache on the ROM: μ-local cell routing swaps table
+    # VALUES only (same (W, N) shapes), so one executable serves every
+    # cell — without this, each per-cell call would build a fresh closure
+    # and recompile.
+    key = (axis, mesh, mode, tuple(sorted(batch)),
+           str(next(iter(batch.values())).dtype))
+    cache = getattr(rom, "_sharded_windowed_fns", None)
+    if cache is None:
+        cache = rom._sharded_windowed_fns = {}
+    fn = cache.get(key)
+    if fn is None:
+
+        def inner(mu, tables):
+            outs = rom._online_sweep_windowed(mu, tables, mode=mode)
+            # Batch-last → batch-first so one prefix spec covers every
+            # leaf; the batch-free time grid is rebuilt on the host below.
+            outs.pop("t", None)
+            return {k: jnp.moveaxis(v, -1, 0) for k, v in outs.items()}
+
+        fn = cache[key] = jax.jit(
+            jax.shard_map(
+                inner,
+                mesh=mesh,
+                in_specs=({k: P(axis) for k in batch}, P()),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+        )
+    outs = fn(batch, tables)
+    outs = jax.tree_util.tree_map(lambda a: np.asarray(a)[:n_true], outs)
+    fom = rom.fom
+    nt = int(fom.domain[fom.NT])
+    outs["t"] = (np.arange(nt) + 1) * float(fom.dt)
+    return outs
+
+
 def solve_online_sharded(rom, mus, mesh=None, axis=MU_AXIS, mode="reduced"):
     """Online ROM μ-sweep sharded over the device mesh.
 

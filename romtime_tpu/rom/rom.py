@@ -15,6 +15,7 @@ src/romtime/rom/rom.py:34-974) designed around the TPU execution model:
   step, SURVEY.md §3.4).
 """
 
+import json
 import os
 from copy import deepcopy
 from functools import partial
@@ -66,9 +67,22 @@ class RomConstructor(Reductor):
     ONLINE_UNROLL = 8
 
     # "matrices" materializes the reduced-operator time tables outside the
-    # scan (fastest body, more HBM); "thetas" recombines per step.
+    # scan (fastest body, more HBM); "thetas" recombines per step. The
+    # static byte budget approximates the HBM crossover; a MEASURED
+    # decision (autotune_online_precompute) overrides it per serving
+    # configuration.
     ONLINE_PRECOMPUTE = "matrices"
     ONLINE_PRECOMPUTE_BUDGET = 6 * 1024**3  # bytes
+
+    def _precompute_choice(self, mat_bytes):
+        """True → materialize the operator time tables. The measured
+        autotune override wins when present; otherwise the static policy
+        (materialize when configured AND the tables fit the byte budget)."""
+        override = getattr(self, "_precompute_override", None)
+        if override is not None:
+            return override == "matrices"
+        return (self.ONLINE_PRECOMPUTE == "matrices"
+                and mat_bytes <= self.ONLINE_PRECOMPUTE_BUDGET)
 
     # Residual-form compensated stepping (ops/compensated.py): solve for
     # the step increment δ against a double-f32 carried state, which keeps
@@ -798,10 +812,7 @@ class RomConstructor(Reductor):
         mat_bytes = 2 * nt * N * N * B * np.dtype(
             np.float32 if dtype == jnp.float32 else np.float64
         ).itemsize
-        precompute_mats = (
-            self.ONLINE_PRECOMPUTE == "matrices"
-            and mat_bytes < self.ONLINE_PRECOMPUTE_BUDGET
-        )
+        precompute_mats = self._precompute_choice(mat_bytes)
 
         if precompute_mats:
             def combined(name):
@@ -1083,7 +1094,7 @@ class RomConstructor(Reductor):
         # per step on the MXU with ~15× less HBM traffic and is the only
         # option at large N·B.
         mat_bytes = 2 * nt * NP * NP * B * 4
-        if mat_bytes <= self.ONLINE_PRECOMPUTE_BUDGET:
+        if self._precompute_choice(mat_bytes):
             MN_p = jnp.einsum("nk,tkB->tnB", Bm, THm).reshape(nt, NP, NP, B)
             KL_p = jnp.einsum("nk,tkB->tnB", Bk, THk).reshape(nt, NP, NP, B)
             fN_p = jnp.einsum("nk,tkB->tnB", Bf, THf)
@@ -1421,7 +1432,7 @@ class RomConstructor(Reductor):
 
         # Materialized tables only when every window's fit the budget.
         mat_bytes = 2 * nt * NP * NP * B * 4
-        use_matrices = mat_bytes <= self.ONLINE_PRECOMPUTE_BUDGET
+        use_matrices = self._precompute_choice(mat_bytes)
 
         def transfer_state(state, T_np):
             """Window-boundary dd carry transfer in pure f32
@@ -2042,15 +2053,9 @@ class RomConstructor(Reductor):
             self.add_mu(mu=mu, step=step)
 
         if engine is None:
-            B = len(mus)
-            if self.windows is not None and mode == "probes":
-                # Windowed local-basis serving (the accuracy-at-speed
-                # configuration) — serve through the fused v2 path.
-                engine = "windowed-pallas"
-            elif mode == "probes" and self._pallas_supported(B):
-                engine = "pallas"
-            else:
-                engine = "lanes" if self._lanes_supported() else "vmap"
+            # Windowed local-basis serving (the accuracy-at-speed
+            # configuration) serves through the fused pallas path.
+            engine = self._resolve_engine(mode, len(mus))
 
         # Host-side precomputations (e.g. the trilinear state table) must
         # happen before tracing: inside jit even concrete-input jnp ops are
@@ -2068,6 +2073,139 @@ class RomConstructor(Reductor):
                 for k, v in outs.items()
             }
         return outs
+
+    AUTOTUNE_PATH = ".romtime_autotune.json"
+
+    def _resolve_engine(self, mode, B):
+        if self.windows is not None and mode == "probes":
+            return "windowed-pallas"
+        if mode == "probes" and self._pallas_supported(B):
+            return "pallas"
+        return "lanes" if self._lanes_supported() else "vmap"
+
+    def _autotune_key(self, engine, mode, B):
+        N = (self.windows.N if self.windows is not None
+             and engine.startswith("windowed") else self.N)
+        fom = self.fom
+        nt = int(fom.domain[fom.NT])
+        return (f"{jax.default_backend()}|{engine}|{mode}|N{N}|B{B}"
+                f"|nt{nt}|{np.dtype(compute_dtype()).name}")
+
+    def autotune_online_precompute(self, mus, mode="probes", engine=None,
+                                   n_rep=3, path=None, store=True):
+        """Measure the matrices-vs-θ crossover at the CURRENT serving
+        configuration and pin the faster variant.
+
+        The static ``ONLINE_PRECOMPUTE_BUDGET`` only approximates the HBM
+        crossover between materializing the reduced-operator time tables
+        (bandwidth-bound, fastest scan body when it fits) and per-step
+        θ-recombination on the MXU (~15× less HBM traffic). This times one
+        batched sweep per variant — chained through data dependencies so
+        the timing is honest on lazy backends (docs/tpu_notes.md) — sets
+        the measured winner as the override consulted by
+        ``_precompute_choice``, and persists the measurement keyed by
+        (platform, engine, mode, N, B, nt, dtype) so later processes can
+        ``load_autotune`` instead of paying the double compile.
+
+        Returns the measurement record. Each variant costs one extra
+        compile of the online sweep (seconds on XLA, up to minutes for the
+        Mosaic serving kernels) — run once per deployment configuration.
+        """
+        import time as _time
+
+        names = sorted(mus[0].keys())
+        batch = {
+            k: _asarray(np.array([float(mu[k]) for mu in mus]))
+            for k in names
+        }
+        B = len(mus)
+        if engine is None:
+            engine = self._resolve_engine(mode, B)
+        if engine == "vmap":
+            raise ValueError(
+                "autotune applies to the table-driven batched engines "
+                "(lanes/pallas/windowed*) — the vmap fallback has no "
+                "matrices-vs-θ choice"
+            )
+        key = self._autotune_key(engine, mode, B)
+        self._prime_online_tables()
+
+        @jax.jit
+        def _perturb(v, acc, k):
+            return v + acc * 1e-30 + k * 1e-9
+
+        name0 = names[0]
+        prev_override = getattr(self, "_precompute_override", None)
+        walls = {}
+        try:
+            for variant in ("matrices", "thetas"):
+                self._precompute_override = variant
+                self._online_fns = {}
+                self._windowed_pallas_tbl = None
+                sweep = self._get_online_fn(batched=True, mode=mode,
+                                            engine=engine)
+
+                def chain(reps):
+                    acc = jnp.asarray(0.0, batch[name0].dtype)
+                    for k in range(reps):
+                        b2 = dict(batch)
+                        b2[name0] = _perturb(b2[name0], acc, float(k))
+                        o = sweep(b2)
+                        # Chain through every μ-dependent output (never
+                        # the batch-free time grid) so each sweep must
+                        # fully execute before the next dispatches.
+                        acc = sum(
+                            (jnp.sum(v).astype(acc.dtype)
+                             for k, v in o.items() if k != "t"),
+                            start=jnp.zeros_like(acc),
+                        )
+                    return float(np.asarray(acc))
+
+                chain(1)  # compile + execute
+                chain(n_rep)  # warm
+                t0 = _time.perf_counter()
+                chain(1)
+                w1 = _time.perf_counter() - t0
+                t0 = _time.perf_counter()
+                chain(n_rep)
+                wk = _time.perf_counter() - t0
+                wall = (wk - w1) / max(n_rep - 1, 1)
+                if wall < 0.05 * wk / n_rep:  # below clock resolution
+                    wall = wk / n_rep
+                walls[variant] = wall
+        finally:
+            self._precompute_override = prev_override
+            self._online_fns = {}
+            self._windowed_pallas_tbl = None
+        winner = min(walls, key=walls.get)
+        self._precompute_override = winner
+        record = {"winner": winner, "wall_s": walls}
+        if store:
+            path = path or self.AUTOTUNE_PATH
+            table = {}
+            if os.path.exists(path):
+                with open(path) as f:
+                    table = json.load(f)
+            table[key] = record
+            with open(path, "w") as f:
+                json.dump(table, f, indent=1, sort_keys=True)
+        return dict(record, key=key)
+
+    def load_autotune(self, B, mode="probes", engine=None, path=None):
+        """Pin a previously measured matrices-vs-θ winner for the current
+        serving configuration (see autotune_online_precompute). Returns
+        the record, or None when this configuration was never measured."""
+        path = path or self.AUTOTUNE_PATH
+        if not os.path.exists(path):
+            return None
+        if engine is None:
+            engine = self._resolve_engine(mode, B)
+        with open(path) as f:
+            table = json.load(f)
+        record = table.get(self._autotune_key(engine, mode, B))
+        if record is not None:
+            self._precompute_override = record["winner"]
+        return record
 
 
 class RomConstructorMoving(RomConstructor):
@@ -2383,7 +2521,7 @@ class RomConstructorNonlinear(RomConstructorMoving):
     # serves one global basis for the whole μ-box, rom/rom.py:430-555)
     # ------------------------------------------------------------------
     def solve_batch_mulocal(self, mus, step=Stage.ONLINE, mode="probes",
-                            engine=None):
+                            engine=None, sweep_fn=None):
         """Route each μ to its Mach cell's windowed tables and sweep.
 
         The piston manifold's Kolmogorov width decays slowly across the
@@ -2399,6 +2537,11 @@ class RomConstructorNonlinear(RomConstructorMoving):
         are merged back in input order, batch-first. Costs K× the
         arithmetic of a single sweep at certification batch sizes —
         production serving would batch per cell instead.
+
+        ``sweep_fn(mus) -> outs`` overrides the per-cell sweep (default:
+        ``solve_batch`` with the given step/mode/engine) — e.g.
+        ``parallel.sweep.solve_online_windowed_sharded`` to run each
+        cell's sub-batch sharded over a device mesh.
         """
         ml = self.mulocal
         if ml is None:
@@ -2417,8 +2560,11 @@ class RomConstructorNonlinear(RomConstructorMoving):
                 sub = [dict(mus[int(i)]) for i in idx]
                 sub = (sub * -(-n // len(sub)))[:n]
                 self._set_serving_windows(ml.cells[int(c)])
-                outs = self.solve_batch(sub, step=step, mode=mode,
-                                        engine=engine)
+                if sweep_fn is not None:
+                    outs = sweep_fn(sub)
+                else:
+                    outs = self.solve_batch(sub, step=step, mode=mode,
+                                            engine=engine)
                 if merged is None:
                     merged = {k: np.copy(v) for k, v in outs.items()}
                 for j, i in enumerate(idx):

@@ -286,3 +286,37 @@ def test_add_mu_duplicate_gets_fresh_slot():
     assert i0 == 0
     assert i1 == 1
     assert len(red.mu_space[Stage.ONLINE]) == 2
+
+
+def test_autotune_online_precompute(trained_rom, tmp_path):
+    """Measured matrices-vs-θ decision (replaces the static byte budget):
+    both variants compile and time, the winner persists to the autotune
+    table, and load_autotune pins it for a fresh process."""
+    rom = trained_rom
+    mus = list(rom.build_sampling_space(num=8, rnd=np.random.RandomState(4)))
+    mus = (mus * 8)[:8]
+    path = str(tmp_path / "autotune.json")
+
+    try:
+        rec = rom.autotune_online_precompute(
+            mus, mode="probes", engine="lanes", n_rep=2, path=path
+        )
+        assert rec["winner"] in ("matrices", "thetas")
+        assert set(rec["wall_s"]) == {"matrices", "thetas"}
+        assert all(w > 0 for w in rec["wall_s"].values())
+        assert rom._precompute_override == rec["winner"]
+
+        # Fresh state: the persisted record restores the decision.
+        rom._precompute_override = None
+        rec2 = rom.load_autotune(8, mode="probes", engine="lanes",
+                                 path=path)
+        assert rec2 is not None and rec2["winner"] == rec["winner"]
+        assert rom._precompute_override == rec["winner"]
+        # An unmeasured configuration stays on the static policy.
+        rom._precompute_override = None
+        assert rom.load_autotune(99, mode="probes", engine="lanes",
+                                 path=path) is None
+        assert rom._precompute_override is None
+    finally:
+        rom._precompute_override = None
+        rom._online_fns = {}

@@ -596,3 +596,72 @@ def test_mulocal_device_sweep_matches_serial(piston_windowed):
         np.testing.assert_allclose(b.Vs, a.Vs, atol=1e-8 * scale)
         np.testing.assert_allclose(b.trilinear, a.trilinear,
                                    atol=1e-6 * np.abs(a.trilinear).max())
+
+
+def test_windowed_sharded_matches_single_device(piston_windowed):
+    """solve_online_windowed_sharded (flagship serving sharded over the
+    8-virtual-device mesh, parallel/sweep.py) must reproduce the
+    single-device windowed engine bitwise-closely in f64 — same compiled
+    window body, μ-batch split over the mesh (9 μ exercises padding)."""
+    from romtime_tpu.parallel import device_mesh, solve_online_windowed_sharded
+
+    hrom, mu_val, _uh, _dir = piston_windowed
+    rom = hrom.rom
+    mesh = device_mesh(8)
+
+    mus = list(rom.build_sampling_space(num=11,
+                                        rnd=np.random.RandomState(11)))
+    for m in mus:
+        m.pop(PistonParameters.MACH_PISTON, None)
+    if len(mus) % 8 == 0:  # force padding (stratified sampler yields ≤num)
+        mus = mus[:-1]
+    n = len(mus)
+
+    ref = rom.solve_batch([dict(m) for m in mus], step=Stage.ONLINE,
+                          mode="probes", engine="windowed")
+    rom._online_fns = {}
+    outs = solve_online_windowed_sharded(rom, [dict(m) for m in mus],
+                                         mesh=mesh, mode="probes")
+
+    assert outs["probes"].shape == ref["probes"].shape == (n,) + ref["probes"].shape[1:]
+    scale = np.abs(ref["probes"]).max()
+    np.testing.assert_allclose(outs["probes"], ref["probes"],
+                               atol=1e-12 * scale)
+    np.testing.assert_allclose(outs["uN_final"], ref["uN_final"],
+                               atol=1e-12 * np.abs(ref["uN_final"]).max())
+    np.testing.assert_allclose(outs["t"], ref["t"], rtol=1e-12)
+
+
+def test_mulocal_sharded_composition(piston_mulocal):
+    """μ-local cell routing composed with the mesh-sharded windowed sweep
+    (sweep_fn hook): identical numbers to the single-device routed sweep
+    in f64 — per-cell table swaps reuse one compiled sharded executable."""
+    from romtime_tpu.parallel import (
+        device_mesh,
+        solve_online_windowed_sharded,
+    )
+
+    hrom, ml, mu_val, _uh, _dir = piston_mulocal
+    rom = hrom.rom
+    mesh = device_mesh(8)
+
+    mu_lo = dict(a0=9.8, omega=15.5, delta=0.10, alpha=1e-6, gamma=1.4)
+    mu_hi = dict(a0=8.1, omega=19.5, delta=0.148, alpha=1e-6, gamma=1.4)
+    mus = [dict(mu_lo), dict(mu_hi), dict(mu_val)]
+
+    ref = rom.solve_batch_mulocal([dict(m) for m in mus],
+                                  step=Stage.VALIDATION, mode="probes",
+                                  engine="windowed")
+    rom._online_fns = {}
+    outs = rom.solve_batch_mulocal(
+        [dict(m) for m in mus], step=Stage.VALIDATION,
+        sweep_fn=lambda sub: solve_online_windowed_sharded(
+            rom, sub, mesh=mesh, mode="probes"
+        ),
+    )
+    # One executable serves both cells (values swapped, shapes shared).
+    assert len(rom._sharded_windowed_fns) == 1
+
+    scale = np.abs(ref["probes"]).max()
+    np.testing.assert_allclose(outs["probes"], ref["probes"],
+                               atol=1e-12 * scale)
