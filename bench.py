@@ -168,7 +168,7 @@ def main():
     # rom/hrom.py:344-417). A warm BENCH_DIR skips the whole FOM sweep +
     # POD + (M)DEIM training + windowed projection loop.
     # ------------------------------------------------------------------
-    from romtime_tpu.conventions import RomParameters as _RP, StorageNames
+    from romtime_tpu.conventions import StorageNames
 
     t_offline_start = time.time()
 
@@ -303,7 +303,9 @@ def main():
     # (scan-over-windows lanes == the fused v2 kernels, tests/test_windowed).
     # ------------------------------------------------------------------
     fom = hrom.fom
-    mu_val = dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4)
+    # mu_val (the held-out certification point) is defined once, above the
+    # mu-local routing — the active serving cell and the accuracy section
+    # must certify the SAME parameter.
 
     fom_cache = "fom_validation.npz"
     uh_fom = None

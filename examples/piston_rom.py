@@ -182,6 +182,7 @@ def windowed_mulocal_serving():
 
 
 if __name__ == "__main__":
-    main()
     if "--windowed" in sys.argv:
         windowed_mulocal_serving()
+    else:
+        main()

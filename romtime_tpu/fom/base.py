@@ -704,6 +704,14 @@ class OneDimensionalSolver(ABC):
         ts = outs["t"]
         snapshots = outs["uh"].T  # (nh, nt)
         fom = outs["uc"].T
+        if "uh_lo" in outs:
+            # dd sweep: recombine hi + low words in f64 on the host — the
+            # sub-f32 correction is the point of the compensated path
+            # (same contract as the batched device sweeps,
+            # rom/rom.py build_reduced_basis device path).
+            lo = outs["uh_lo"].T.astype(np.float64)
+            snapshots = snapshots.astype(np.float64) + lo
+            fom = fom.astype(np.float64) + lo
         domain_x = outs["x"].T
 
         self.solutions = SolutionsStorage(

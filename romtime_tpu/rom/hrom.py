@@ -882,36 +882,20 @@ class HyperReducedOrderModelFixed:
                 "μ-local estimation needs build_mulocal_serving("
                 "..., srom_extra=N) first"
             )
-        mach = np.array(
-            [rom.compute_piston_mach_number(mu) for mu in mus]
-        )
-        cells = np.asarray(ml.cell_of(mach))
         n = len(mus)
-        prev_win = rom.windows
         prev_srom = self.windows_srom
-        merged = None
+
+        def run_cell(c, sub):
+            self.windows_srom = ml.cells_srom[c]
+            out = self.estimate_batch(sub, step=step, engine="windowed")
+            return {
+                Errors.ESTIMATOR: out[Errors.ESTIMATOR],
+                Errors.AVERAGE_ESTIMATOR: out[Errors.AVERAGE_ESTIMATOR],
+            }
+
         try:
-            for c in sorted(set(cells.tolist())):
-                idx = np.nonzero(cells == c)[0]
-                sub = [dict(mus[int(i)]) for i in idx]
-                sub = (sub * -(-n // len(sub)))[:n]
-                rom._set_serving_windows(ml.cells[int(c)])
-                self.windows_srom = ml.cells_srom[int(c)]
-                out = self.estimate_batch(sub, step=step,
-                                          engine="windowed")
-                if merged is None:
-                    merged = {
-                        Errors.ESTIMATOR: np.copy(out[Errors.ESTIMATOR]),
-                        Errors.AVERAGE_ESTIMATOR: np.copy(
-                            out[Errors.AVERAGE_ESTIMATOR]),
-                    }
-                for j, i in enumerate(idx):
-                    merged[Errors.ESTIMATOR][i] = out[Errors.ESTIMATOR][j]
-                    merged[Errors.AVERAGE_ESTIMATOR][i] = (
-                        out[Errors.AVERAGE_ESTIMATOR][j]
-                    )
+            merged = rom.route_mulocal(mus, run_cell)
         finally:
-            rom._set_serving_windows(prev_win)
             self.windows_srom = prev_srom
             rom._online_fns = {}
         self.errors[f"{step}-estimator"] = {

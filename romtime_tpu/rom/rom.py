@@ -115,7 +115,7 @@ class RomConstructor(Reductor):
         return setting
 
     def _auto_solve_iters(self):
-        """Measured Richardson viability for the CURRENT serving windows:
+        """Measured Richardson viability for the serving windows:
         estimate ρ = ‖I − K̄_w⁻¹K(μ,t)‖₂ over the window ends and the
         μ-box corners (the strongest within-window θ variation), then
         size the iteration count to reach the f32 serving band with a
@@ -124,13 +124,38 @@ class RomConstructor(Reductor):
         count cannot reach the band — measured: ρ ≈ 0.01-0.04 at the
         headline W=30/N=40/nt=1500 point (→ 5-7 iterations), but ≈ 0.5+
         at short-horizon toy configs (W=4/nt=96), which correctly fall
-        back to the LU. Cached per serving configuration."""
+        back to the LU. Cached per serving configuration.
+
+        With a μ-local fleet attached whose cells include the active
+        windows, the WORST CASE across all cells decides (LU if any cell
+        needs it): the fleet shares ONE compiled kernel — the iteration
+        count is baked in at trace time and `_set_serving_windows`
+        deliberately keeps the compiled engines across cell swaps — so
+        the baked count must be valid for every cell it will serve."""
         win = self.windows
         if win is None:
             return None
-        cached = getattr(self, "_auto_iters_cache", None)
-        if cached is not None and cached[0] is win:
-            return cached[1]
+        ml = getattr(self, "mulocal", None)
+        if ml is not None and any(win is c for c in ml.cells):
+            cached = getattr(self, "_auto_iters_cache_ml", None)
+            if cached is not None and cached[0] is ml:
+                return cached[1]
+            per_cell = [self._auto_iters_for(c) for c in ml.cells]
+            result = (None if any(r is None for r in per_cell)
+                      else max(per_cell))
+            self._auto_iters_cache_ml = (ml, result)
+            return result
+        return self._auto_iters_for(win)
+
+    def _auto_iters_for(self, win):
+        """Per-windows-configuration iteration estimate (see
+        _auto_solve_iters)."""
+        cache = getattr(self, "_auto_iters_cache", None)
+        if cache is None:
+            cache = self._auto_iters_cache = {}
+        for w_ref, result in cache.values():
+            if w_ref is win:
+                return result
         try:
             # The θ-entry probes below must run eagerly; under an active
             # trace (cache not primed by _windowed_pallas_tables — e.g. a
@@ -178,7 +203,7 @@ class RomConstructor(Reductor):
         rho_eff = min(rho * 1.3 + 0.02, 0.999)
         iters = int(np.ceil(np.log(3e-8) / np.log(rho_eff)))
         result = iters if iters <= self.WINDOWED_SOLVE_ITERS_CAP else None
-        self._auto_iters_cache = (win, result)
+        cache[len(cache)] = (win, result)
         return result
 
     def _auto_iters_rho(self, corners, bounds, sources, stiff, dt, W, N,
@@ -2543,6 +2568,22 @@ class RomConstructorNonlinear(RomConstructorMoving):
         ``parallel.sweep.solve_online_windowed_sharded`` to run each
         cell's sub-batch sharded over a device mesh.
         """
+        def run_cell(_c, sub):
+            if sweep_fn is not None:
+                return sweep_fn(sub)
+            return self.solve_batch(sub, step=step, mode=mode,
+                                    engine=engine)
+
+        return self.route_mulocal(mus, run_cell)
+
+    def route_mulocal(self, mus, run_cell):
+        """Shared μ-local router: group the μs by Mach cell, run
+        ``run_cell(cell_index, sub_mus)`` with that cell's serving tables
+        attached (sub-batch padded to the full batch length by cycling its
+        own μ, so one compiled shape serves all cells), and merge the
+        batch-first output rows back in input order. Restores the
+        pre-routing serving windows. Backbone of ``solve_batch_mulocal``
+        and ``HyperReducedPiston.estimate_batch_mulocal``."""
         ml = self.mulocal
         if ml is None:
             raise ValueError("no μ-local serving attached — build it with "
@@ -2560,11 +2601,7 @@ class RomConstructorNonlinear(RomConstructorMoving):
                 sub = [dict(mus[int(i)]) for i in idx]
                 sub = (sub * -(-n // len(sub)))[:n]
                 self._set_serving_windows(ml.cells[int(c)])
-                if sweep_fn is not None:
-                    outs = sweep_fn(sub)
-                else:
-                    outs = self.solve_batch(sub, step=step, mode=mode,
-                                            engine=engine)
+                outs = run_cell(int(c), sub)
                 if merged is None:
                     merged = {k: np.copy(v) for k, v in outs.items()}
                 for j, i in enumerate(idx):

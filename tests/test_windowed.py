@@ -665,3 +665,34 @@ def test_mulocal_sharded_composition(piston_mulocal):
     scale = np.abs(ref["probes"]).max()
     np.testing.assert_allclose(outs["probes"], ref["probes"],
                                atol=1e-12 * scale)
+
+
+def test_auto_solve_iters_worst_case_over_cells(piston_mulocal, monkeypatch):
+    """With a μ-local fleet attached, the Richardson auto-iteration count
+    must be the worst case over ALL cells (LU if any cell needs it): one
+    compiled kernel serves every cell, and the count is baked at trace
+    time — a per-active-cell estimate would silently under-iterate the
+    other cells after a table swap."""
+    hrom, ml, _mu, _uh, _dir = piston_mulocal
+    rom = hrom.rom
+    monkeypatch.delenv("ROMTIME_SOLVE_ITERS", raising=False)
+
+    fake = {id(ml.cells[0]): 4, id(ml.cells[1]): 9}
+    monkeypatch.setattr(type(rom), "_auto_iters_for",
+                        lambda self, w: fake[id(w)])
+    prev, prev_ml = rom.windows, rom.mulocal
+    try:
+        # Later build_mulocal_serving calls may have attached another
+        # fleet; the aggregation keys on the ACTIVE fleet's cells.
+        rom.mulocal = ml
+        rom._auto_iters_cache_ml = None
+        rom._set_serving_windows(ml.cells[0])
+        assert rom._windowed_solve_iters() == 9  # not the active cell's 4
+
+        rom._auto_iters_cache_ml = None
+        fake[id(ml.cells[1])] = None  # one cell needs the LU
+        assert rom._windowed_solve_iters() is None  # whole fleet → LU
+    finally:
+        rom._auto_iters_cache_ml = None
+        rom.mulocal = prev_ml
+        rom._set_serving_windows(prev)
