@@ -11,6 +11,8 @@
 #   b4096       batch 4096 at the joint point
 #   autotune    measured matrices-vs-theta at headline scale
 #   throughput  the small-N global-basis profile
+#   device      COLD build with BENCH_OFFLINE=device (offline wall on chip;
+#               run only if the CPU device-f32 accuracy experiment passed)
 set -u
 cd "$(dirname "$0")/.."
 OUT="${OUT:-/tmp/tpu_campaign.jsonl}"
@@ -39,6 +41,8 @@ for p in ${phases[@]}; do
     b4096)      run b4096 BENCH_ONLINE_MU=4096 ;;
     autotune)   run autotune BENCH_AUTOTUNE=1 ;;
     throughput) run throughput BENCH_PROFILE=throughput BENCH_DIR=tmp ;;
+    device)     run device BENCH_OFFLINE=device BENCH_COLD=1 \
+                    BENCH_DIR=.bench_device ;;
     *) echo "unknown phase $p" >&2 ;;
   esac
 done
