@@ -600,3 +600,60 @@ def test_lanes_invert_and_richardson():
     np.testing.assert_allclose(warm, exact, atol=2e-6 * np.abs(exact).max())
     # Padded coordinates stay exactly zero.
     assert np.all(delta[N:] == 0.0)
+
+
+@pytest.mark.parametrize("solve_iters", [None, 6])
+def test_windowed_fused_ablate_variants_run(solve_iters):
+    """Every perf-ledger ablation (bench.py kernel ledger) must compile
+    and run against both solve modes (blocked LU and per-window
+    Richardson) — a broken ablate×solve combination would crash the
+    benchmark AFTER the timed phase. For the full kernel, Richardson
+    must also agree with the LU at damped within-window θ variation."""
+    from romtime_tpu.ops.pallas_online import online_sweep_windowed_fused
+
+    N, W, width, B = 12, 3, 8, 128
+    (thm, thk, thf, g, Bm, Bk, Bf, T0, VE, Tp, b0, dt,
+     (km8, kk8, kf8)) = _windowed_synthetic(N, W, width, B, seed=7)
+    # Damp the within-window θ variation so the per-window mean-matrix
+    # Richardson contraction is strong (ρ ≪ 1) — the regime the
+    # auto-selector admits it in.
+    for th in (thm, thk, thf):
+        m = th.mean(axis=0, keepdims=True)
+        th[:] = m + 0.05 * (th - m)
+    NP = pad_dim(N)
+    NT = W * width
+    g_p = np.zeros((NT, PROBE_P, B), np.float32)
+    g_p[:, :2, :] = g
+    TH = jnp.asarray(np.concatenate([thm, thk, thf, g_p], axis=1))
+    Bmk = np.concatenate([Bm, Bk], axis=2)
+    BmF = (Bm.reshape(W, NP, NP, km8).transpose(0, 3, 1, 2)
+           .reshape(W, km8 * NP, NP))
+    BkF = (Bk.reshape(W, NP, NP, kk8).transpose(0, 3, 1, 2)
+           .reshape(W, kk8 * NP, NP))
+    args = (TH, jnp.asarray(Bmk.transpose(0, 2, 1)),
+            jnp.asarray(BmF.transpose(0, 2, 1)),
+            jnp.asarray(BkF.transpose(0, 2, 1)),
+            jnp.asarray(Bf.transpose(0, 2, 1)),
+            jnp.asarray(T0.transpose(0, 2, 1)),
+            jnp.asarray(VE), jnp.asarray(Tp),
+            jnp.asarray(b0)[None, :],
+            jnp.zeros((4, NP, B), jnp.float32))
+    kw = dict(widths=(width,) * W, dt=dt, bdf2=True, with_trilinear=True,
+              n_real=N, km8=km8, kk8=kk8, kf8=kf8, interpret=True)
+
+    outs = {}
+    for ablate in (None, "empty", "no_solve", "no_boundary", "no_dots"):
+        probes, state = online_sweep_windowed_fused(
+            *args, ablate=ablate, solve_iters=solve_iters, **kw
+        )
+        probes, state = np.asarray(probes), np.asarray(state)
+        assert np.isfinite(probes).all(), (ablate, solve_iters)
+        assert np.isfinite(state).all(), (ablate, solve_iters)
+        outs[ablate] = probes
+    if solve_iters is not None:
+        ref, _ = online_sweep_windowed_fused(*args, ablate=None,
+                                             solve_iters=None, **kw)
+        ref = np.asarray(ref)
+        scale = max(np.abs(ref).max(), 1e-6)
+        np.testing.assert_allclose(outs[None], ref, rtol=0,
+                                   atol=1e-3 * scale)
