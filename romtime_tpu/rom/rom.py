@@ -53,6 +53,16 @@ from ..ops.linalg import gauss_solve, gauss_solve_lanes
 from ..rom.pod import orth
 from .base import Reductor
 
+_UNSET = object()
+
+
+def _trace_state_clean():
+    """True when no JAX trace is active (eager probes are safe)."""
+    try:
+        return jax.core.trace_state_clean()
+    except AttributeError:
+        return True
+
 
 class RomConstructor(Reductor):
     """Reduced solver for the fixed-domain heat path
@@ -70,17 +80,22 @@ class RomConstructor(Reductor):
     # scan (fastest body, more HBM); "thetas" recombines per step. The
     # static byte budget approximates the HBM crossover; a MEASURED
     # decision (autotune_online_precompute) overrides it per serving
-    # configuration.
+    # configuration. The hard cap is an HBM-fit safety ceiling the
+    # override cannot exceed (a winner measured at one (N, B, nt) must
+    # not materialize past-HBM tables at a larger one).
     ONLINE_PRECOMPUTE = "matrices"
     ONLINE_PRECOMPUTE_BUDGET = 6 * 1024**3  # bytes
+    ONLINE_PRECOMPUTE_HARD_CAP = 12 * 1024**3  # bytes (v5e HBM is 16 GB)
 
     def _precompute_choice(self, mat_bytes):
         """True → materialize the operator time tables. The measured
-        autotune override wins when present; otherwise the static policy
-        (materialize when configured AND the tables fit the byte budget)."""
+        autotune override wins when present (still guarded by the
+        HBM-fit hard cap); otherwise the static policy (materialize when
+        configured AND the tables fit the byte budget)."""
         override = getattr(self, "_precompute_override", None)
         if override is not None:
-            return override == "matrices"
+            return (override == "matrices"
+                    and mat_bytes <= self.ONLINE_PRECOMPUTE_HARD_CAP)
         return (self.ONLINE_PRECOMPUTE == "matrices"
                 and mat_bytes <= self.ONLINE_PRECOMPUTE_BUDGET)
 
@@ -140,6 +155,11 @@ class RomConstructor(Reductor):
             cached = getattr(self, "_auto_iters_cache_ml", None)
             if cached is not None and cached[0] is ml:
                 return cached[1]
+            if not _trace_state_clean():
+                # Probes need eager execution: fall back to the LU for
+                # THIS consult only — never cache the trace-time
+                # fallback as the fleet's permanent decision.
+                return None
             per_cell = [self._auto_iters_for(c) for c in ml.cells]
             result = (None if any(r is None for r in per_cell)
                       else max(per_cell))
@@ -149,21 +169,17 @@ class RomConstructor(Reductor):
 
     def _auto_iters_for(self, win):
         """Per-windows-configuration iteration estimate (see
-        _auto_solve_iters)."""
-        cache = getattr(self, "_auto_iters_cache", None)
-        if cache is None:
-            cache = self._auto_iters_cache = {}
-        for w_ref, result in cache.values():
-            if w_ref is win:
-                return result
-        try:
-            # The θ-entry probes below must run eagerly; under an active
-            # trace (cache not primed by _windowed_pallas_tables — e.g. a
-            # direct jit of the sweep) fall back to the LU.
-            if not jax.core.trace_state_clean():
-                return None
-        except AttributeError:
-            pass
+        _auto_solve_iters). Memoized on the WindowedServing object
+        itself (its lifetime IS the cache lifetime — no retained refs
+        to dead configurations)."""
+        memo = getattr(win, "_auto_iters_memo", _UNSET)
+        if memo is not _UNSET:
+            return memo
+        # The θ-entry probes below must run eagerly; under an active
+        # trace (not primed by _windowed_pallas_tables — e.g. a direct
+        # jit of the sweep) fall back to the LU for this consult only.
+        if not _trace_state_clean():
+            return None
 
         import itertools
 
@@ -203,7 +219,7 @@ class RomConstructor(Reductor):
         rho_eff = min(rho * 1.3 + 0.02, 0.999)
         iters = int(np.ceil(np.log(3e-8) / np.log(rho_eff)))
         result = iters if iters <= self.WINDOWED_SOLVE_ITERS_CAP else None
-        cache[len(cache)] = (win, result)
+        win._auto_iters_memo = result
         return result
 
     def _auto_iters_rho(self, corners, bounds, sources, stiff, dt, W, N,
@@ -2198,12 +2214,22 @@ class RomConstructor(Reductor):
                 if wall < 0.05 * wk / n_rep:  # below clock resolution
                     wall = wk / n_rep
                 walls[variant] = wall
-        finally:
+        except BaseException:
+            # Compiled entries embody the forced variant; with the
+            # override restored they would serve the wrong structure.
             self._precompute_override = prev_override
             self._online_fns = {}
             self._windowed_pallas_tbl = None
+            raise
         winner = min(walls, key=walls.get)
         self._precompute_override = winner
+        if winner != "thetas":
+            # The caches hold the last-timed variant ("thetas"); drop
+            # them so the next solve recompiles the winner. When the
+            # winner IS the last-timed variant, keep its compiled sweep
+            # — a Mosaic serving-kernel compile costs minutes.
+            self._online_fns = {}
+            self._windowed_pallas_tbl = None
         record = {"winner": winner, "wall_s": walls}
         if store:
             path = path or self.AUTOTUNE_PATH
@@ -2228,8 +2254,12 @@ class RomConstructor(Reductor):
         with open(path) as f:
             table = json.load(f)
         record = table.get(self._autotune_key(engine, mode, B))
-        if record is not None:
+        if record is not None and (getattr(self, "_precompute_override",
+                                           None) != record["winner"]):
             self._precompute_override = record["winner"]
+            # Already-compiled sweeps have the previous choice baked in.
+            self._online_fns = {}
+            self._windowed_pallas_tbl = None
         return record
 
 

@@ -16,7 +16,7 @@
 set -u
 cd "$(dirname "$0")/.."
 OUT="${OUT:-/tmp/tpu_campaign.jsonl}"
-phases=("${@:-default lu b4096 autotune throughput}")
+phases=("$@")
 [ $# -eq 0 ] && phases=(default lu b4096 autotune throughput)
 
 run() {
