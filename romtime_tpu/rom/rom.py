@@ -118,6 +118,14 @@ class RomConstructor(Reductor):
     # Override with ROMTIME_SOLVE_ITERS (0 → LU).
     WINDOWED_SOLVE_ITERS = "auto"
     WINDOWED_SOLVE_ITERS_CAP = 12
+    # Measured on-chip crossover (v5e, W=30/N=40/B=2048 headline point,
+    # TPU campaign 2026-08-18): Richardson at 8 iterations spends
+    # 70.5 µs/step in the solve vs the blocked LU's 61.7 µs — the
+    # per-iteration matvec pair costs ~7-9 µs, so Richardson only wins
+    # when the contraction reaches the f32 band in ≤5 iterations. Above
+    # this the auto-selector prefers the LU even though Richardson would
+    # still be ACCURATE (the 12-iter cap above is the accuracy bound).
+    WINDOWED_SOLVE_ITERS_PERF_CAP = 5
 
     def _windowed_solve_iters(self):
         env = os.environ.get("ROMTIME_SOLVE_ITERS")
@@ -135,11 +143,15 @@ class RomConstructor(Reductor):
         μ-box corners (the strongest within-window θ variation), then
         size the iteration count to reach the f32 serving band with a
         ×1.3+0.02 margin for the state-dependent trilinear term the
-        linear probe omits. Returns None (→ blocked LU) when the capped
-        count cannot reach the band — measured: ρ ≈ 0.01-0.04 at the
-        headline W=30/N=40/nt=1500 point (→ 5-7 iterations), but ≈ 0.5+
-        at short-horizon toy configs (W=4/nt=96), which correctly fall
-        back to the LU. Cached per serving configuration.
+        linear probe omits. Returns None (→ blocked LU) when the count
+        exceeds the accuracy cap (12) or the measured perf crossover
+        (WINDOWED_SOLVE_ITERS_PERF_CAP = 5: on the chip, 8 Richardson
+        iterations measured SLOWER than the blocked LU — 70.5 vs
+        61.7 µs/step solve at the headline W=30/N=40 point). Measured ρ:
+        ≈ 0.01-0.04 at the headline point (→ 8 iterations → LU via the
+        perf cap), ≈ 0.5+ at short-horizon toy configs (W=4/nt=96),
+        which fall back via the accuracy cap. Cached per serving
+        configuration.
 
         With a μ-local fleet attached whose cells include the active
         windows, the WORST CASE across all cells decides (LU if any cell
@@ -218,7 +230,9 @@ class RomConstructor(Reductor):
                                        stiff, dt, W, N, win)
         rho_eff = min(rho * 1.3 + 0.02, 0.999)
         iters = int(np.ceil(np.log(3e-8) / np.log(rho_eff)))
-        result = iters if iters <= self.WINDOWED_SOLVE_ITERS_CAP else None
+        cap = min(self.WINDOWED_SOLVE_ITERS_CAP,
+                  self.WINDOWED_SOLVE_ITERS_PERF_CAP)
+        result = iters if iters <= cap else None
         win._auto_iters_memo = result
         return result
 
