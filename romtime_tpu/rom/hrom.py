@@ -372,7 +372,8 @@ class HyperReducedOrderModelFixed:
                               rnd=None, local_nmdeim=True,
                               augment_global=False, augment_weight=1.0,
                               srom_extra=None, edges=None,
-                              device_sweep=False, mesh=None):
+                              device_sweep=False, mesh=None,
+                              cell_wn=None):
         """μ-local windowed serving: K piston-Mach cells, each a full
         per-window local-basis configuration (rom/windowed.py
         ``MuLocalWindowed``), routed online by
@@ -408,6 +409,18 @@ class HyperReducedOrderModelFixed:
         (``local_nmdeim``). The cell N-MDEIM exists only during the
         build — it is fully folded into the per-window T0 serving table,
         so routing swaps tables, never reductors.
+
+        ``cell_wn``: optional per-cell ``[(W, N), ...]`` overriding the
+        uniform ``n_windows``/``num_basis`` — a MIXED fleet. Measured
+        rationale: the high-Mach corner's projection floor is a
+        per-window CAPACITY limit (N=40 → ~5e-4, N=32 → ~1.1e-3 — even
+        training AT the corner does not move it), while low/mid-Mach
+        cells track 1e-7…1e-5 floors already at N=32, which serves
+        ~1.4× faster (4 vs 5 LU panels, ×0.64 θ-dots). Keeping N=40
+        only in the top Mach cell recovers the 15-μ certification tail
+        at near-N=32 fleet throughput. Each distinct (W, N) group
+        compiles its own kernel (tables are runtime jit arguments);
+        routing is unchanged.
 
         ``srom_extra``: build each cell at ``num_basis + srom_extra``
         modes and derive the serving cell by nested truncation
@@ -578,9 +591,16 @@ class HyperReducedOrderModelFixed:
         prev = rom.windows
         cells = []
         cells_srom = [] if srom_extra else None
-        n_build = num_basis + (srom_extra or 0)
+        wn = (list(cell_wn) if cell_wn is not None
+              else [(n_windows, num_basis)] * n_cells)
+        if len(wn) != n_cells:
+            raise ValueError(
+                f"cell_wn ({len(wn)}) must match n_cells ({n_cells})"
+            )
         try:
             for c in range(n_cells):
+                w_c, n_c = int(wn[c][0]), int(wn[c][1])
+                n_build = n_c + (srom_extra or 0)
                 if local_tri:
                     # Hierarchical POD of the cell's nonlinear-operator
                     # rows (same recipe as build_reduced_basis: per-μ
@@ -596,12 +616,12 @@ class HyperReducedOrderModelFixed:
                     if hasattr(rom, "_trilinear_table_cache"):
                         rom._trilinear_table_cache = None
                 win = rom.build_windowed_serving(
-                    n_windows=n_windows, num_basis=n_build,
+                    n_windows=w_c, num_basis=n_build,
                     snapshots=cell_snaps[c] + aug, overlap=overlap,
                 )
                 if srom_extra:
                     cells_srom.append(win)
-                    win = win.truncate(num_basis)
+                    win = win.truncate(n_c)
                 cells.append(win)
         finally:
             rom._set_serving_windows(prev)

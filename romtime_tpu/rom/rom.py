@@ -2638,7 +2638,8 @@ class RomConstructorNonlinear(RomConstructorMoving):
         cells = np.asarray(ml.cell_of(mach))
         n = len(mus)
         prev = self.windows
-        merged = None
+        rows = {}      # batch-first keys: per-index rows, merged below
+        passthru = {}  # non-batch keys: first cell's value
         try:
             for c in sorted(set(cells.tolist())):
                 idx = np.nonzero(cells == c)[0]
@@ -2646,12 +2647,20 @@ class RomConstructorNonlinear(RomConstructorMoving):
                 sub = (sub * -(-n // len(sub)))[:n]
                 self._set_serving_windows(ml.cells[int(c)])
                 outs = run_cell(int(c), sub)
-                if merged is None:
-                    merged = {k: np.copy(v) for k, v in outs.items()}
-                for j, i in enumerate(idx):
-                    for k, v in outs.items():
-                        if np.ndim(v) >= 1 and len(v) == n:
-                            merged[k][i] = v[j]
+                for k, v in outs.items():
+                    if np.ndim(v) >= 1 and len(v) == n:
+                        slot = rows.setdefault(k, [None] * n)
+                        for j, i in enumerate(idx):
+                            slot[int(i)] = np.asarray(v[j])
+                    elif k not in passthru:
+                        passthru[k] = np.copy(v)
         finally:
             self._set_serving_windows(prev)
+        merged = dict(passthru)
+        for k, lst in rows.items():
+            # Mixed-(W, N) fleets: per-row shapes can differ across
+            # cells (e.g. reduced coordinates at per-cell N) — keep a
+            # list of rows then; stack only when shapes agree.
+            shapes = {r.shape for r in lst}
+            merged[k] = np.stack(lst) if len(shapes) == 1 else lst
         return merged

@@ -192,10 +192,14 @@ class MuLocalWindowed:
 
     ``edges`` are piston-Mach bin boundaries (K+1,); a served μ with Mach
     m goes to cell ``searchsorted(edges, m) - 1`` (clipped — out-of-range
-    μ use the nearest cell). All cells share (W, N), so every cell serves
-    through the SAME compiled kernel with its own tables passed as jit
-    arguments. No reference analog (KikeM/romtime serves one global
-    basis: rom/rom.py:430-555).
+    μ use the nearest cell). Cells normally share (W, N) so every cell
+    serves through the SAME compiled kernel with its own tables passed
+    as jit arguments; cells MAY differ in (W, N) — e.g. a wider top
+    Mach cell where the Kolmogorov width decays slowly — in which case
+    each distinct shape group compiles its own kernel once (tables are
+    runtime jit arguments, so jax retraces per table shape
+    automatically). No reference analog (KikeM/romtime serves one
+    global basis: rom/rom.py:430-555).
     """
 
     edges: np.ndarray              # (K+1,) Mach bin edges
@@ -216,6 +220,15 @@ class MuLocalWindowed:
     def N(self):
         return self.cells[0].N
 
+    @property
+    def cell_wn(self):
+        """Per-cell (n_windows, N) pairs — equal for a uniform fleet."""
+        return [(w.n_windows, w.N) for w in self.cells]
+
+    @property
+    def is_uniform(self):
+        return len(set(self.cell_wn)) == 1
+
     def cell_of(self, mach):
         """Cell index (scalar or array) for piston Mach number(s)."""
         idx = np.searchsorted(np.asarray(self.edges), np.asarray(mach),
@@ -225,9 +238,13 @@ class MuLocalWindowed:
     def dump(self, path):
         payload = {"edges": np.asarray(self.edges)}
         if self.cells_srom is not None:
-            # Nested: persist only the (N+Δ) builds + the serving N; the
-            # serving cells reconstruct by slicing (truncate) on load.
-            payload["serving_n"] = np.asarray(self.cells[0].N)
+            # Nested: persist only the (N+Δ) builds + the per-cell
+            # serving N; the serving cells reconstruct by slicing
+            # (truncate) on load. Per-cell Ns support mixed-(W, N)
+            # fleets (a scalar "serving_n" is the legacy uniform form).
+            payload["serving_ns"] = np.asarray(
+                [w.N for w in self.cells]
+            )
             store = self.cells_srom
         else:
             store = self.cells
@@ -262,7 +279,13 @@ class MuLocalWindowed:
                                if pre + "trilinear" in data.files
                                else None),
                 ))
-            if "serving_n" in data.files:
+            if "serving_ns" in data.files:
+                ns = [int(n) for n in data["serving_ns"]]
+                return cls(edges=edges,
+                           cells=[w.truncate(n)
+                                  for w, n in zip(cells, ns)],
+                           cells_srom=cells)
+            if "serving_n" in data.files:  # legacy uniform dumps
                 n = int(data["serving_n"])
                 return cls(edges=edges,
                            cells=[w.truncate(n) for w in cells],

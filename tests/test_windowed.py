@@ -498,6 +498,94 @@ def test_mulocal_npz_roundtrip_and_resume(piston_mulocal):
         np.testing.assert_array_equal(a.trilinear, b.trilinear)
 
 
+def test_mulocal_mixed_cell_wn(piston_windowed, tmp_path):
+    """Mixed-(W, N) μ-local fleet: per-cell serving shapes (cell_wn) —
+    the high-Mach cell can carry more per-window capacity (its projection
+    floor is N-bound) while the rest of the box serves at a cheaper N.
+    Routing, the per-cell S-ROM estimator, and the npz round-trip must
+    all preserve the per-cell shapes. No reference analog (the reference
+    serves one global basis, rom/rom.py:430-555)."""
+    import os
+
+    from romtime_tpu.conventions import Errors
+    from romtime_tpu.rom.rom import RomConstructorNonlinear as RCN
+    from romtime_tpu.rom.windowed import MuLocalWindowed
+
+    hrom, mu_val, uh_fom, workdir = piston_windowed
+    rom = hrom.rom
+    prev_ml = rom.mulocal
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        ml = hrom.build_mulocal_serving(
+            n_cells=2, n_windows=4, num_basis=12, snapshots_per_cell=2,
+            rnd=np.random.RandomState(5), cell_wn=[(4, 12), (2, 16)],
+            srom_extra=4, dump=False,
+        )
+    finally:
+        os.chdir(cwd)
+    try:
+        assert ml.cell_wn == [(4, 12), (2, 16)]
+        assert not ml.is_uniform
+        assert [(w.n_windows, w.N) for w in ml.cells_srom] \
+            == [(4, 16), (2, 20)]
+
+        # Routed sweep ≡ manually attaching each μ's cell tables, at
+        # per-cell shapes (each distinct (W, N) group retraces its own
+        # engine — tables are runtime jit arguments).
+        mu_lo = dict(a0=9.8, omega=15.5, delta=0.10, alpha=1e-6,
+                     gamma=1.4)
+        mu_hi = dict(a0=8.1, omega=19.5, delta=0.148, alpha=1e-6,
+                     gamma=1.4)
+        cells = [int(ml.cell_of(RCN.compute_piston_mach_number(m)))
+                 for m in (mu_lo, mu_hi)]
+        assert cells == [0, 1], cells
+        routed = rom.solve_batch_mulocal(
+            [dict(mu_lo), dict(mu_hi)], step=Stage.VALIDATION,
+            mode="full", engine="windowed",
+        )
+        prev = rom.windows
+        try:
+            for i, (m, c) in enumerate(zip((mu_lo, mu_hi), cells)):
+                rom._set_serving_windows(ml.cells[c])
+                outs = rom.solve_batch([dict(m), dict(m)],
+                                       step=Stage.VALIDATION,
+                                       mode="full", engine="windowed")
+                np.testing.assert_allclose(routed["uc"][i],
+                                           outs["uc"][0], rtol=0, atol=0)
+        finally:
+            rom._set_serving_windows(prev)
+
+        # Accuracy through the routed path at the held-out μ.
+        outs = rom.solve_batch_mulocal([dict(mu_val)],
+                                       step=Stage.VALIDATION,
+                                       mode="full", engine="windowed")
+        u = np.asarray(outs["uc"][0]).T
+        rel = np.linalg.norm(u - uh_fom) / np.linalg.norm(uh_fom)
+        assert rel < 1e-3, rel
+
+        # Per-cell estimator at mixed sacrificial shapes.
+        est = hrom.estimate_batch_mulocal([dict(mu_lo), dict(mu_hi)],
+                                          step=Stage.VALIDATION)
+        for i in range(2):
+            e = np.asarray(est[Errors.ESTIMATOR][i])
+            assert np.all(np.isfinite(e)) and np.all(e >= 0)
+
+        # npz round-trip preserves the per-cell shapes (serving_ns).
+        path = str(tmp_path / "mixed_mulocal.npz")
+        ml.dump(path)
+        loaded = MuLocalWindowed.load(path)
+        assert loaded.cell_wn == ml.cell_wn
+        for a, b in zip(loaded.cells, ml.cells):
+            np.testing.assert_array_equal(a.Vs, b.Vs)
+            for k in b.combines:
+                np.testing.assert_array_equal(a.combines[k],
+                                              b.combines[k])
+    finally:
+        rom.mulocal = prev_ml
+        rom._online_fns = {}
+
+
 def test_windowed_truncate_nested(piston_windowed):
     """WindowedServing.truncate(N) of an (N+Δ)-mode build must equal the
     direct N-mode build: per-window POD bases nest, so every serving
