@@ -259,11 +259,19 @@ def main():
     # table VALUES, never the compiled kernel, so the timed number IS the
     # per-cell production serving rate.
     n_cells = int(os.environ.get("BENCH_MULOCAL", defaults["mulocal"]))
+    # Mixed-(W, N) fleet: BENCH_CELL_WN="50x32,50x32,50x32,30x40" keeps
+    # per-window capacity (N=40) only in the high-Mach cell whose
+    # projection floor is N-bound, and serves the rest of the box at the
+    # ~1.5x-faster W=50/N=32 point (measured: 18.5k vs 12.7k solves/s).
+    cell_wn_env = os.environ.get("BENCH_CELL_WN", defaults.get("cell_wn"))
+    cell_wn = ([tuple(int(v) for v in s.split("x"))
+                for s in cell_wn_env.split(",")] if cell_wn_env else None)
     mu_val = dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4)
     if n_cells > 0 and n_windows > 0:
+        want_wn = cell_wn or [(n_windows, window_n)] * n_cells
         ml = rom.mulocal
         if (ml is None or ml.n_cells != n_cells
-                or ml.n_windows != n_windows or ml.N != window_n
+                or ml.cell_wn != [tuple(x) for x in want_wn]
                 or (srom_extra and ml.cells_srom is None)):
             log(f"offline: mu-local serving build (K={n_cells} Mach cells"
                 + (", device sweep" if offline_mode.startswith("device")
@@ -277,6 +285,7 @@ def main():
                 srom_extra=srom_extra or None,
                 edges=([float(x) for x in edges_env.split(",")]
                        if edges_env else None),
+                cell_wn=cell_wn,
             )
             if offline_mode in ("device", "device-dd"):
                 # The builder scopes the accelerator/f32 context to the
@@ -294,7 +303,11 @@ def main():
         active = int(ml.cell_of(_RCN.compute_piston_mach_number(mu_val)))
         rom._set_serving_windows(ml.cells[active])
         log(f"offline: active serving cell {active} "
-            f"(edges {np.round(ml.edges, 3).tolist()})")
+            f"(edges {np.round(ml.edges, 3).tolist()}, "
+            f"fleet {ml.cell_wn})")
+        # The timed kernel runs at the ACTIVE cell's shape — report that,
+        # not the env default (they differ in a mixed fleet).
+        n_windows, window_n = ml.cell_wn[active]
     offline_wall = time.time() - t_offline_start
 
     # ------------------------------------------------------------------
@@ -601,6 +614,7 @@ def main():
                         km8=tables["Bm"].shape[2], kk8=tables["Bk"].shape[2],
                         kf8=tables["Bf"].shape[2], ablate=ablate,
                         solve_iters=rom._windowed_solve_iters(),
+                        interpret=jax.default_backend() == "cpu",
                     )
                 return run
 
@@ -688,6 +702,8 @@ def main():
             "profile": profile,
             "n_windows": n_windows,
             "window_n": window_n,
+            "cell_wn": (rom.mulocal.cell_wn
+                        if rom.mulocal is not None else None),
             "nx": nx,
             "nt": nt,
             "rom_modes": int(rom.N),

@@ -189,4 +189,5 @@ class StorageNames:
     WINDOWS = "windowed_serving.npz"
     WINDOWS_SROM = "windowed_serving_srom.npz"
     WINDOWS_MULOCAL = "windowed_serving_mulocal.npz"
+    MULOCAL_SNAPSHOTS = "mulocal_snapshots.npz"
     SNAPSHOTS = "offline_snapshots.npz"

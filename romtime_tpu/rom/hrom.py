@@ -373,7 +373,7 @@ class HyperReducedOrderModelFixed:
                               augment_global=False, augment_weight=1.0,
                               srom_extra=None, edges=None,
                               device_sweep=False, mesh=None,
-                              cell_wn=None):
+                              cell_wn=None, snapshot_cache=None):
         """μ-local windowed serving: K piston-Mach cells, each a full
         per-window local-basis configuration (rom/windowed.py
         ``MuLocalWindowed``), routed online by
@@ -432,6 +432,15 @@ class HyperReducedOrderModelFixed:
         certification (rom/hrom.py:563-574) applied per cell. No
         reference analog for the routing itself (the reference serves
         one global basis, rom/rom.py:430-555).
+
+        ``snapshot_cache``: persist the per-cell training trajectories
+        (the dominant fleet-build cost — K×per_cell serial f64 FOM
+        solves, ~20 min at the flagship config) to
+        ``StorageNames.MULOCAL_SNAPSHOTS`` and reuse them when edges +
+        per-cell counts match — so re-building the fleet at a DIFFERENT
+        (W, N) (e.g. scanning cell_wn operating points) repays only the
+        per-window POD/projection stage (seconds). Defaults to the
+        ``dump`` flag.
         """
         from .pod import orth
         from .windowed import MuLocalWindowed
@@ -481,6 +490,28 @@ class HyperReducedOrderModelFixed:
                 f"n_cells ({n_cells})"
             )
         wanted = {c: int(per_cell[c]) for c in range(n_cells)}
+        if snapshot_cache is None:
+            snapshot_cache = bool(dump)
+        cache_hit = False
+        if snapshot_cache and os.path.exists(StorageNames.MULOCAL_SNAPSHOTS):
+            try:
+                with np.load(StorageNames.MULOCAL_SNAPSHOTS) as d:
+                    if (d["edges"].shape == edges.shape
+                            and np.allclose(d["edges"], edges)
+                            and [int(x) for x in d["per_cell"]]
+                            == [wanted[c] for c in range(n_cells)]
+                            and (not local_tri or bool(d["has_nl"]))):
+                        for c in range(n_cells):
+                            for j in range(wanted[c]):
+                                cell_snaps[c].append(np.asarray(
+                                    d[f"snap_{c}_{j}"], np.float64))
+                                if local_tri:
+                                    cell_nl[c].append(np.asarray(
+                                        d[f"nl_{c}_{j}"], np.float64))
+                        cache_hit = True
+                        wanted = {c: 0 for c in range(n_cells)}
+            except Exception:
+                cache_hit = False
         # Narrow high-Mach cells have a tiny preimage under the uniform
         # μ sampler — grow the candidate pool geometrically rather than
         # fixing one budget.
@@ -531,7 +562,7 @@ class HyperReducedOrderModelFixed:
                     cell_nl[c].append(list(fom.nonlinear_snapshots))
             wanted[c] -= 1
 
-        if device_sweep:
+        if device_sweep and not cache_hit:
             import jax
             import jax.numpy as jnp
 
@@ -564,6 +595,22 @@ class HyperReducedOrderModelFixed:
                     cell_nl[c].append(
                         np.asarray(outs["nonlinear_data"][b], np.float64)
                     )
+
+        if snapshot_cache and not cache_hit:
+            payload = {
+                "edges": np.asarray(edges),
+                "per_cell": np.asarray([int(per_cell[c])
+                                        for c in range(n_cells)]),
+                "has_nl": np.asarray(bool(local_tri)),
+            }
+            for c in range(n_cells):
+                for j, snap in enumerate(cell_snaps[c]):
+                    payload[f"snap_{c}_{j}"] = np.asarray(snap, np.float64)
+                if local_tri:
+                    for j, rows in enumerate(cell_nl[c]):
+                        payload[f"nl_{c}_{j}"] = np.asarray(rows,
+                                                            np.float64)
+            np.savez(StorageNames.MULOCAL_SNAPSHOTS, **payload)
 
         # Diversity augmentation: append the retained box-wide offline
         # trajectories to every cell's window-POD stack. Measured

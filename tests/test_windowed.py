@@ -498,6 +498,47 @@ def test_mulocal_npz_roundtrip_and_resume(piston_mulocal):
         np.testing.assert_array_equal(a.trilinear, b.trilinear)
 
 
+def test_mulocal_snapshot_cache_rebuild(piston_mulocal):
+    """Re-building the fleet at a DIFFERENT (W, N) reuses the persisted
+    per-cell training trajectories (mulocal_snapshots.npz) — the dominant
+    fleet-build cost — paying only the per-window POD/projection stage.
+    Verified by making fom.solve unreachable: a cache miss would raise."""
+    import os
+
+    from romtime_tpu.conventions import StorageNames
+
+    hrom, ml, _mu, _uh, workdir = piston_mulocal
+    rom = hrom.rom
+    assert os.path.exists(
+        os.path.join(workdir, StorageNames.MULOCAL_SNAPSHOTS)
+    )
+    fom = hrom.fom
+    orig_solve = fom.solve
+
+    def _boom(*a, **k):
+        raise AssertionError("cache miss: fom.solve called during rebuild")
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    fom.solve = _boom
+    try:
+        # Same edges + per-cell counts (the cache key), new shapes.
+        rebuilt = hrom.build_mulocal_serving(
+            n_cells=2, n_windows=4, num_basis=12, snapshots_per_cell=2,
+            rnd=np.random.RandomState(1), cell_wn=[(4, 12), (2, 14)],
+            dump=False, snapshot_cache=True,
+        )
+    finally:
+        fom.solve = orig_solve
+        os.chdir(cwd)
+        rom.mulocal = ml
+        rom._online_fns = {}
+    assert rebuilt.cell_wn == [(4, 12), (2, 14)]
+    # The unchanged-(W, N) cell is built from the SAME cached snapshots:
+    # identical per-window bases.
+    np.testing.assert_array_equal(rebuilt.cells[0].Vs, ml.cells[0].Vs)
+
+
 def test_mulocal_mixed_cell_wn(piston_windowed, tmp_path):
     """Mixed-(W, N) μ-local fleet: per-cell serving shapes (cell_wn) —
     the high-Mach cell can carry more per-window capacity (its projection
