@@ -68,20 +68,28 @@ def main():
     if profile == "joint":
         # W=30/N=40 windowed point, served μ-locally: K=4 Mach cells,
         # 10 in-cell training trajectories each, per-cell trilinear
-        # N-MDEIM (k=96) folded into the serving tables. Measured
-        # (scripts/multimu_diag.py, f64 CPU): center-μ certification
-        # 7.4e-8 rel-L2, 15 held-out μ mean 5.7e-5 / max 6.0e-4 (the max
-        # is the extreme high-Mach corner's projection floor). per_cell
-        # must be ~10: 4 near-parallel in-cell trajectories leave the
-        # σ-tail window modes noise-like and the Galerkin in-span error
-        # stalls ~1e-5 despite 1e-8 floors.
+        # N-MDEIM (k=96) folded into the serving tables. Measured on the
+        # v5e chip (docs/campaign_r03.jsonl "lu"): 12,662 solves/s at
+        # center-μ rel-L2 2.467e-7, 15 held-out μ mean 6.4e-5 /
+        # max 5.2e-4 (the max is the extreme high-Mach corner's
+        # projection floor), estimator/true ratio [0.82, 1.09].
+        # per_cell must be ~10: 4 near-parallel in-cell trajectories
+        # leave the σ-tail window modes noise-like and the Galerkin
+        # in-span error stalls ~1e-5 despite 1e-8 floors.
         # μ-local Mach-cell serving (BENCH_MULOCAL cells): every served μ
-        # gets a basis trained on per-cell trajectories at the SAME
-        # (W, N) — the compiled kernel and its cost are cell-independent,
-        # so the timed sweep equals per-cell production serving.
+        # gets a basis trained on per-cell trajectories; routing swaps
+        # only table values at a given (W, N), so the timed sweep equals
+        # per-cell production serving at the active cell's shape.
+        # Mixed-(W, N) fleets (BENCH_CELL_WN="50x32,50x32,50x32,30x40")
+        # trade accuracy for speed per cell: measured 2026-08-18, that
+        # fleet serves 18,117 solves/s but the active (certification)
+        # cell drops to rel-L2 3.9e-5 — the N=32 per-window projection
+        # floor.  It fails the ≤1e-6 joint criterion, so the uniform
+        # N=40 fleet stays the default; the knob remains for
+        # throughput-biased deployments.
         defaults = dict(modes=96, truncate=8, nmdeim=96, windows=30,
                         window_n=40, batch=2048, offline_mu=8, tri_mu=3,
-                        mulocal=4, per_cell=10)
+                        mulocal=4, per_cell=10, cell_wn=None)
     else:
         defaults = dict(modes=20, truncate=5, nmdeim=12, windows=0,
                         window_n=0, batch=2048, offline_mu=3, tri_mu=2,
@@ -185,11 +193,14 @@ def main():
         models=models,
         rnd=np.random.RandomState(0),
     )
-    # BENCH_OFFLINE=device runs the FOM μ-sweep as ONE batched launch on
-    # the accelerator (f32 compute, f64 host-side POD finalize) instead of
-    # the serial f64 CPU loop; "cpu" (default) keeps certification-grade
-    # f64 numerics end-to-end.
-    offline_mode = os.environ.get("BENCH_OFFLINE", "cpu")
+    # BENCH_OFFLINE=device (default) runs the FOM μ-sweep as ONE batched
+    # launch on the accelerator (f32 compute, f64 host-side POD finalize)
+    # instead of the serial f64 CPU loop. Measured accuracy-equivalent to
+    # the serial f64 build at the flagship μ-local point (center μ
+    # 2.4672e-7 both; 15-μ stats match — commit f1ac775/ae10f10), so the
+    # fast path is the default; BENCH_OFFLINE=cpu keeps
+    # certification-grade f64 numerics end-to-end.
+    offline_mode = os.environ.get("BENCH_OFFLINE", "device")
     with jax.default_device(offline_device):
         log("offline: setup")
         hrom.setup()

@@ -74,6 +74,10 @@ def main():
                          " (overrides --mulocal count)")
     ap.add_argument("--srom-extra", type=int, default=0,
                     help="per-cell sacrificial estimator modes (N+extra)")
+    ap.add_argument("--cell-wn", default=None,
+                    help="mixed-(W,N) fleet, e.g. '50x32,50x32,50x32,30x40'"
+                         " — one WxN per Mach cell (overrides --windows/"
+                         "--window-n for the mu-local build)")
     args = ap.parse_args()
 
     import jax
@@ -205,6 +209,9 @@ def main():
             edges=([float(x) for x in args.edges.split(",")]
                    if args.edges else None),
             srom_extra=args.srom_extra or None,
+            cell_wn=([tuple(int(v) for v in s.split("x"))
+                      for s in args.cell_wn.split(",")]
+                     if args.cell_wn else None),
         )
         print(f"[diag] mulocal K={ml.n_cells} edges={np.round(ml.edges, 3)}"
               f" built in {time.time()-t1:.1f}s", flush=True)
