@@ -193,14 +193,17 @@ def main():
         models=models,
         rnd=np.random.RandomState(0),
     )
-    # BENCH_OFFLINE=device (default) runs the FOM μ-sweep as ONE batched
-    # launch on the accelerator (f32 compute, f64 host-side POD finalize)
-    # instead of the serial f64 CPU loop. Measured accuracy-equivalent to
-    # the serial f64 build at the flagship μ-local point (center μ
-    # 2.4672e-7 both; 15-μ stats match — commit f1ac775/ae10f10), so the
-    # fast path is the default; BENCH_OFFLINE=cpu keeps
-    # certification-grade f64 numerics end-to-end.
-    offline_mode = os.environ.get("BENCH_OFFLINE", "device")
+    # BENCH_OFFLINE=device runs the FOM μ-sweep as ONE batched launch on
+    # the accelerator (f32 compute, f64 host-side POD finalize) instead
+    # of the serial f64 CPU loop; "cpu" (default) keeps
+    # certification-grade f64 numerics end-to-end. The device path was
+    # certified equivalent on the CPU backend (commits ae10f10/f1ac775)
+    # but the first REAL-CHIP device build (2026-08-18) degraded the
+    # served center-μ rel-L2 from 2.5e-7 to 3.2e-5: unpinned f32 dots
+    # lower to bf16 passes on the MXU. parallel/sweep.py now pins
+    # default_matmul_precision("highest"); flip this default only after
+    # an on-chip device build re-certifies ≤1e-6.
+    offline_mode = os.environ.get("BENCH_OFFLINE", "cpu")
     with jax.default_device(offline_device):
         log("offline: setup")
         hrom.setup()

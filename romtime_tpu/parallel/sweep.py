@@ -43,10 +43,17 @@ def solve_fom_batch(solver, mus):
 
     Returns the stacked scan outputs (leading axis = μ):
     ``uh`` (n_mu, nt, nh), ``uc``, ``x``, ``t`` and solver extras.
+
+    Contractions are pinned to full f32 precision: on TPU the default
+    matmul path lowers f32 dots to bf16 passes, which injects ~1e-3
+    relative operator noise into the assembled bands — measured to
+    degrade a served μ-local fleet from 2.5e-7 to 3.2e-5 center-μ
+    rel-L2 (2026-08-18 on-chip incident; docs/tpu_notes.md hazard).
     """
     batch = _mu_batch_dict(mus)
-    fn = jax.jit(jax.vmap(solver._solve_impl))
-    return jax.tree_util.tree_map(np.asarray, fn(batch))
+    with jax.default_matmul_precision("highest"):
+        fn = jax.jit(jax.vmap(solver._solve_impl))
+        return jax.tree_util.tree_map(np.asarray, fn(batch))
 
 
 def solve_fom_sharded(solver, mus, mesh=None, axis=MU_AXIS):
@@ -61,17 +68,20 @@ def solve_fom_sharded(solver, mus, mesh=None, axis=MU_AXIS):
     batch = _mu_batch_dict(mus)
     batch, n_true = _pad_batch(batch, mesh.devices.size)
 
-    inner = jax.vmap(solver._solve_impl)
-    fn = jax.jit(
-        jax.shard_map(
-            inner,
-            mesh=mesh,
-            in_specs=({k: P(axis) for k in batch},),
-            out_specs=P(axis),
-            check_vma=False,
+    # Full-precision contractions — same TPU bf16-default hazard as
+    # solve_fom_batch (see its docstring).
+    with jax.default_matmul_precision("highest"):
+        inner = jax.vmap(solver._solve_impl)
+        fn = jax.jit(
+            jax.shard_map(
+                inner,
+                mesh=mesh,
+                in_specs=({k: P(axis) for k in batch},),
+                out_specs=P(axis),
+                check_vma=False,
+            )
         )
-    )
-    outs = fn(batch)
+        outs = fn(batch)
     outs = jax.tree_util.tree_map(lambda a: np.asarray(a)[:n_true], outs)
     return outs
 

@@ -496,7 +496,18 @@ class HyperReducedOrderModelFixed:
         if snapshot_cache and os.path.exists(StorageNames.MULOCAL_SNAPSHOTS):
             try:
                 with np.load(StorageNames.MULOCAL_SNAPSHOTS) as d:
-                    if (d["edges"].shape == edges.shape
+                    # Trajectories carry their build precision: a cache
+                    # written by an accelerator f32 sweep must never
+                    # satisfy an f64 (certification-grade) build. Legacy
+                    # caches without the field are treated as unknown
+                    # and rebuilt (the 2026-08-18 incident: a TPU-f32
+                    # cache silently fed an "f64" rebuild).
+                    cached_build = str(d["build"]) if "build" in d else None
+                    want_build = "device-f32" if device_sweep else "f64"
+                    build_ok = cached_build == "f64" or \
+                        cached_build == want_build
+                    if (build_ok
+                            and d["edges"].shape == edges.shape
                             and np.allclose(d["edges"], edges)
                             and [int(x) for x in d["per_cell"]]
                             == [wanted[c] for c in range(n_cells)]
@@ -580,6 +591,7 @@ class HyperReducedOrderModelFixed:
             accel = jax.devices()[0]
             sweep_dtype = (jnp.float32 if accel.platform != "cpu"
                            else None)
+            build_label = "device-f32" if sweep_dtype is not None else "f64"
             with jax.default_device(accel), compute_dtype_scope(
                     sweep_dtype):
                 if mesh is not None and mesh.devices.size > 1:
@@ -602,6 +614,9 @@ class HyperReducedOrderModelFixed:
                 "per_cell": np.asarray([int(per_cell[c])
                                         for c in range(n_cells)]),
                 "has_nl": np.asarray(bool(local_tri)),
+                "build": np.asarray(
+                    build_label if device_sweep else "f64"
+                ),
             }
             for c in range(n_cells):
                 for j, snap in enumerate(cell_snaps[c]):
