@@ -627,6 +627,65 @@ def test_mulocal_mixed_cell_wn(piston_windowed, tmp_path):
         rom._online_fns = {}
 
 
+def test_mulocal_snapshot_cache_precision_guard(piston_mulocal):
+    """The trajectory cache records its build precision: a cache written
+    by an accelerator f32 sweep (build='device-f32') or a legacy cache
+    without the tag must NOT satisfy an f64 certification build — it is
+    rebuilt from fresh FOM solves. Regression for the 2026-08-18 on-chip
+    incident where a TPU-f32-swept cache silently fed an 'f64' fleet
+    rebuild (center-μ rel-L2 degraded 2.5e-7 → 3.2e-5)."""
+    import os
+
+    from romtime_tpu.conventions import StorageNames
+
+    hrom, ml, _mu, _uh, workdir = piston_mulocal
+    rom = hrom.rom
+    fom = hrom.fom
+    path = os.path.join(workdir, StorageNames.MULOCAL_SNAPSHOTS)
+
+    # The fixture's host build tagged its cache f64.
+    with np.load(path) as d:
+        assert "build" in d and str(d["build"]) == "f64"
+        payload = {k: d[k] for k in d.files}
+
+    calls = {"n": 0}
+    orig_solve = fom.solve
+
+    def counting_solve(*a, **k):
+        calls["n"] += 1
+        return orig_solve(*a, **k)
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    fom.solve = counting_solve
+    try:
+        for taint in ("device-f32", None):
+            tainted = dict(payload)
+            if taint is None:
+                tainted.pop("build", None)  # legacy, untagged
+            else:
+                tainted["build"] = np.asarray(taint)
+            np.savez(path, **tainted)
+            calls["n"] = 0
+            hrom.build_mulocal_serving(
+                n_cells=2, n_windows=4, num_basis=12,
+                snapshots_per_cell=2, rnd=np.random.RandomState(1),
+                dump=False, snapshot_cache=True,
+            )
+            assert calls["n"] > 0, (
+                f"tainted cache (build={taint!r}) satisfied an f64 build"
+            )
+            # The rebuild re-tags the refreshed cache as f64.
+            with np.load(path) as d:
+                assert str(d["build"]) == "f64"
+    finally:
+        fom.solve = orig_solve
+        os.chdir(cwd)
+        np.savez(path, **payload)
+        rom.mulocal = ml
+        rom._online_fns = {}
+
+
 def test_windowed_truncate_nested(piston_windowed):
     """WindowedServing.truncate(N) of an (N+Δ)-mode build must equal the
     direct N-mode build: per-window POD bases nest, so every serving
