@@ -724,6 +724,8 @@ def main():
             "batch": n_online,
             "mode": serve_mode,
             "engine": resolved,
+            "offline_build": getattr(hrom.srom, "offline_snapshots_build",
+                                     None),
             "solve_iters": (rom._windowed_solve_iters()
                             if n_windows > 0 else None),
             "host_fetch_wall_s": round(fetch_wall, 4),

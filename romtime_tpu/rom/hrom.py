@@ -136,18 +136,26 @@ class HyperReducedOrderModelFixed:
         ``build_windowed_serving`` — lets a resumed run re-search the
         (W, N) windowed operating point without repaying the FOM sweep)."""
         snaps = self.srom.offline_snapshots
-        np.savez(
-            path or StorageNames.SNAPSHOTS,
-            **{f"s{i}": np.asarray(s) for i, s in enumerate(snaps)},
-        )
+        build = getattr(self.srom, "offline_snapshots_build", None)
+        payload = {f"s{i}": np.asarray(s) for i, s in enumerate(snaps)}
+        if build is not None:
+            # Precision tag: resumed runs rebuild serving bases from
+            # these, and an f32-swept stack must be distinguishable from
+            # a certification-grade f64 one (docs/tpu_notes.md incident).
+            payload["__build__"] = np.asarray(build)
+        np.savez(path or StorageNames.SNAPSHOTS, **payload)
 
     def load_offline_snapshots(self, path=None):
         path = path or StorageNames.SNAPSHOTS
         if not os.path.exists(path):
             return False
         with np.load(path) as data:
-            snaps = [data[f"s{i}"] for i in range(len(data.files))]
+            build = (str(data["__build__"]) if "__build__" in data
+                     else None)
+            n = len([k for k in data.files if k.startswith("s")])
+            snaps = [data[f"s{i}"] for i in range(n)]
         self.srom.offline_snapshots = snaps
+        self.srom.offline_snapshots_build = build
         return True
 
     def dump_nonlinear_basis(self, path=None):

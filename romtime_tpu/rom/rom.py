@@ -289,6 +289,10 @@ class RomConstructor(Reductor):
         # (W, N) — attached by the drivers, routed by solve_batch_mulocal.
         self.mulocal = None
         self.offline_snapshots = []
+        # Precision the retained snapshots were swept at ("f64" /
+        # "device-f32" / None = unknown-or-legacy); persisted alongside
+        # them by HROM.dump_offline_snapshots.
+        self.offline_snapshots_build = None
 
         self.deim_fh = None
         self.deim_fgh = None
@@ -575,8 +579,18 @@ class RomConstructor(Reductor):
                 )
 
         if device_sweep:
+            from ..dtypes import compute_dtype
             from ..parallel.sweep import solve_fom_batch, solve_fom_sharded
 
+            # Record the sweep precision next to the retained snapshots:
+            # resumed runs rebuild serving bases from them, and an
+            # f32-swept stack must be distinguishable from a
+            # certification-grade f64 one (see the 2026-08-18 bf16
+            # offline-sweep incident, docs/tpu_notes.md).
+            self.offline_snapshots_build = (
+                "f64" if np.dtype(compute_dtype()) == np.dtype(np.float64)
+                else "device-f32"
+            )
             registered = [
                 self.add_mu(mu=mu, step=Stage.OFFLINE) for mu in space
             ]
@@ -603,6 +617,7 @@ class RomConstructor(Reductor):
                     if collect_nonlinear else None,
                 )
         else:
+            self.offline_snapshots_build = "f64"
             for mu in space:
                 mu_idx, mu = self.add_mu(mu=mu, step=Stage.OFFLINE)
 
