@@ -66,30 +66,35 @@ def main():
     # "throughput" = round-1 small-N global-basis point (fastest).
     profile = os.environ.get("BENCH_PROFILE", "joint")
     if profile == "joint":
-        # W=30/N=40 windowed point, served μ-locally: K=4 Mach cells,
-        # 10 in-cell training trajectories each, per-cell trilinear
-        # N-MDEIM (k=96) folded into the serving tables. Measured on the
-        # v5e chip (docs/campaign_r03.jsonl "lu"): 12,662 solves/s at
-        # center-μ rel-L2 2.467e-7, 15 held-out μ mean 6.4e-5 /
-        # max 5.2e-4 (the max is the extreme high-Mach corner's
-        # projection floor), estimator/true ratio [0.82, 1.09].
+        # Mixed-(W, N) μ-local fleet: K=4 Mach cells, 10 in-cell training
+        # trajectories each, per-cell trilinear N-MDEIM (k=96) folded
+        # into the serving tables. The three lower-Mach cells serve at
+        # the ~1.5x-faster W=50/N=32 point (per_cell=10 in-cell training
+        # keeps their per-window floors ~2e-7 even at N=32); only the
+        # high-Mach cell, whose projection floor is N-bound (ROADMAP
+        # corner scans), keeps W=30/N=40. Measured on the v5e chip
+        # (2026-08-18, f64-built fleet, docs/campaign_r03.jsonl phase
+        # "mixed-f64"): 19,352 solves/s AT center-μ rel-L2 2.203e-7,
+        # 15 held-out μ mean 7.8e-5 / max 5.2e-4 (the max is the extreme
+        # high-Mach corner's N-bound floor, identical to the uniform
+        # N=40 fleet's), estimator/true ratio [0.82, 1.07], f32 serving
+        # drift 2.20e-7. CAUTION: an interim measurement of this fleet
+        # read 3.9e-5 — that fleet had been rebuilt from a bf16-polluted
+        # device sweep (see tpu_notes.md incident), not an N=32 limit.
         # per_cell must be ~10: 4 near-parallel in-cell trajectories
         # leave the σ-tail window modes noise-like and the Galerkin
         # in-span error stalls ~1e-5 despite 1e-8 floors.
         # μ-local Mach-cell serving (BENCH_MULOCAL cells): every served μ
         # gets a basis trained on per-cell trajectories; routing swaps
         # only table values at a given (W, N), so the timed sweep equals
-        # per-cell production serving at the active cell's shape.
-        # Mixed-(W, N) fleets (BENCH_CELL_WN="50x32,50x32,50x32,30x40")
-        # trade accuracy for speed per cell: measured 2026-08-18, that
-        # fleet serves 18,117 solves/s but the active (certification)
-        # cell drops to rel-L2 3.9e-5 — the N=32 per-window projection
-        # floor.  It fails the ≤1e-6 joint criterion, so the uniform
-        # N=40 fleet stays the default; the knob remains for
-        # throughput-biased deployments.
-        defaults = dict(modes=96, truncate=8, nmdeim=96, windows=30,
-                        window_n=40, batch=2048, offline_mu=8, tri_mu=3,
-                        mulocal=4, per_cell=10, cell_wn=None)
+        # per-cell production serving at the active cell's shape. The
+        # uniform N=40 fleet (BENCH_CELL_WN="" or 30x40×4) serves 12,729
+        # @ 2.467e-7 — keep it when every cell must sit on the deepest
+        # floor.
+        defaults = dict(modes=96, truncate=8, nmdeim=96, windows=50,
+                        window_n=32, batch=2048, offline_mu=8, tri_mu=3,
+                        mulocal=4, per_cell=10,
+                        cell_wn="50x32,50x32,50x32,30x40")
     else:
         defaults = dict(modes=20, truncate=5, nmdeim=12, windows=0,
                         window_n=0, batch=2048, offline_mu=3, tri_mu=2,

@@ -154,28 +154,39 @@ class RomConstructor(Reductor):
         configuration.
 
         With a μ-local fleet attached whose cells include the active
-        windows, the WORST CASE across all cells decides (LU if any cell
-        needs it): the fleet shares ONE compiled kernel — the iteration
-        count is baked in at trace time and `_set_serving_windows`
-        deliberately keeps the compiled engines across cell swaps — so
-        the baked count must be valid for every cell it will serve."""
+        windows, the WORST CASE across the active cell's (W, N) GROUP
+        decides (LU if any cell in the group needs it): cells sharing a
+        shape share ONE compiled kernel — the iteration count is baked
+        in at trace time and `_set_serving_windows` deliberately keeps
+        the compiled engines across same-shape cell swaps — so the
+        baked count must be valid for every cell that kernel will
+        serve. Cells at a DIFFERENT (W, N) (mixed fleets, cell_wn)
+        retrace their own engine and decide independently — a uniform
+        fleet degenerates to the whole-fleet worst case."""
         win = self.windows
         if win is None:
             return None
         ml = getattr(self, "mulocal", None)
         if ml is not None and any(win is c for c in ml.cells):
-            cached = getattr(self, "_auto_iters_cache_ml", None)
-            if cached is not None and cached[0] is ml:
-                return cached[1]
+            shape = (win.n_windows, win.N)
+            cache = getattr(self, "_auto_iters_cache_ml", None)
+            if (isinstance(cache, dict) and cache.get("ml") is ml
+                    and shape in cache):
+                return cache[shape]
             if not _trace_state_clean():
                 # Probes need eager execution: fall back to the LU for
                 # THIS consult only — never cache the trace-time
                 # fallback as the fleet's permanent decision.
                 return None
-            per_cell = [self._auto_iters_for(c) for c in ml.cells]
+            group = [c for c in ml.cells
+                     if (c.n_windows, c.N) == shape]
+            per_cell = [self._auto_iters_for(c) for c in group]
             result = (None if any(r is None for r in per_cell)
                       else max(per_cell))
-            self._auto_iters_cache_ml = (ml, result)
+            if not isinstance(cache, dict) or cache.get("ml") is not ml:
+                cache = {"ml": ml}
+                self._auto_iters_cache_ml = cache
+            cache[shape] = result
             return result
         return self._auto_iters_for(win)
 

@@ -857,10 +857,12 @@ def test_mulocal_sharded_composition(piston_mulocal):
 
 def test_auto_solve_iters_worst_case_over_cells(piston_mulocal, monkeypatch):
     """With a μ-local fleet attached, the Richardson auto-iteration count
-    must be the worst case over ALL cells (LU if any cell needs it): one
-    compiled kernel serves every cell, and the count is baked at trace
-    time — a per-active-cell estimate would silently under-iterate the
-    other cells after a table swap."""
+    must be the worst case over the active cell's (W, N) GROUP (LU if any
+    cell in the group needs it): cells sharing a shape share one compiled
+    kernel, and the count is baked at trace time — a per-active-cell
+    estimate would silently under-iterate the other same-shape cells
+    after a table swap. Cells at a different (W, N) (mixed fleets)
+    retrace their own engine and decide independently."""
     hrom, ml, _mu, _uh, _dir = piston_mulocal
     rom = hrom.rom
     monkeypatch.delenv("ROMTIME_SOLVE_ITERS", raising=False)
@@ -872,6 +874,7 @@ def test_auto_solve_iters_worst_case_over_cells(piston_mulocal, monkeypatch):
     try:
         # Later build_mulocal_serving calls may have attached another
         # fleet; the aggregation keys on the ACTIVE fleet's cells.
+        # (The fixture fleet is uniform: both cells share one group.)
         rom.mulocal = ml
         rom._auto_iters_cache_ml = None
         rom._set_serving_windows(ml.cells[0])
@@ -879,7 +882,42 @@ def test_auto_solve_iters_worst_case_over_cells(piston_mulocal, monkeypatch):
 
         rom._auto_iters_cache_ml = None
         fake[id(ml.cells[1])] = None  # one cell needs the LU
-        assert rom._windowed_solve_iters() is None  # whole fleet → LU
+        assert rom._windowed_solve_iters() is None  # whole group → LU
+    finally:
+        rom._auto_iters_cache_ml = None
+        rom.mulocal = prev_ml
+        rom._set_serving_windows(prev)
+
+
+def test_auto_solve_iters_per_shape_group(piston_mulocal, monkeypatch):
+    """Mixed-(W, N) fleets: each shape group decides its own iteration
+    count — a slow-converging cell at one shape must NOT force the LU
+    onto cells at a different shape (they compile separate kernels)."""
+    from types import SimpleNamespace
+
+    hrom, _ml, _mu, _uh, _dir = piston_mulocal
+    rom = hrom.rom
+    monkeypatch.delenv("ROMTIME_SOLVE_ITERS", raising=False)
+
+    a1 = SimpleNamespace(n_windows=4, N=12)
+    a2 = SimpleNamespace(n_windows=4, N=12)
+    b1 = SimpleNamespace(n_windows=2, N=16)
+    fleet = SimpleNamespace(cells=[a1, a2, b1])
+    fake = {id(a1): 3, id(a2): 5, id(b1): None}
+    monkeypatch.setattr(type(rom), "_auto_iters_for",
+                        lambda self, w: fake[id(w)])
+    prev, prev_ml = rom.windows, rom.mulocal
+    try:
+        rom.mulocal = fleet
+        rom._auto_iters_cache_ml = None
+        rom._set_serving_windows(a1)
+        # Group (4,12): worst case over {a1, a2}; b1's LU is irrelevant.
+        assert rom._windowed_solve_iters() == 5
+        rom._set_serving_windows(b1)
+        assert rom._windowed_solve_iters() is None
+        # Cached per shape on the same fleet.
+        rom._set_serving_windows(a2)
+        assert rom._windowed_solve_iters() == 5
     finally:
         rom._auto_iters_cache_ml = None
         rom.mulocal = prev_ml
