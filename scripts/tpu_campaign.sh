@@ -6,13 +6,16 @@
 #   bash scripts/tpu_campaign.sh [phase ...]
 #
 # Phases (default: all, in this order):
-#   default     bench at defaults (Richardson auto, B=2048)
+#   default     bench at defaults (mixed-(W,N) fleet, solve auto, B=2048)
+#   uniform     the uniform W=30/N=40 fleet (deepest-floor fleet)
 #   lu          ROMTIME_SOLVE_ITERS=0 (blocked-LU kernel) comparison
 #   b4096       batch 4096 at the joint point
 #   autotune    measured matrices-vs-theta at headline scale
 #   throughput  the small-N global-basis profile
-#   device      COLD build with BENCH_OFFLINE=device (offline wall on chip;
-#               run only if the CPU device-f32 accuracy experiment passed)
+#   device      COLD build with BENCH_OFFLINE=device (offline wall on
+#               chip; the sweep pins full-precision matmuls — verify
+#               rel_l2_vs_fom <= 1e-6 in the emitted line before
+#               trusting a device-built fleet)
 set -u
 cd "$(dirname "$0")/.."
 OUT="${OUT:-/tmp/tpu_campaign.jsonl}"
@@ -37,6 +40,9 @@ run() {
 for p in ${phases[@]}; do
   case "$p" in
     default)    run default ;;
+    uniform)    run uniform BENCH_CELL_WN="30x40,30x40,30x40,30x40" \
+                    BENCH_WINDOWS=30 BENCH_WINDOW_N=40 \
+                    BENCH_DIR=.bench_uniform_f64 ;;
     lu)         run lu ROMTIME_SOLVE_ITERS=0 ;;
     b4096)      run b4096 BENCH_ONLINE_MU=4096 ;;
     autotune)   run autotune BENCH_AUTOTUNE=1 ;;
