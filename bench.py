@@ -660,12 +660,19 @@ def main():
             us = {k: w / nt * 1e6 for k, w in walls.items()}
             ledger = {
                 "full_us_per_step": round(us["full"], 2),
-                "solve_us_per_step": round(us["full"] - us["no_solve"], 2),
+                # Marginal-timing jitter can push an ablated variant
+                # above "full" (observed: dd frac −0.6 on a noisy run) —
+                # a negative component cost is measurement noise, clamp
+                # at zero rather than reporting an impossibility.
+                "solve_us_per_step": round(
+                    max(us["full"] - us["no_solve"], 0.0), 2
+                ),
                 # The empty-kernel sweep is ~9 ms; its chained marginal can
                 # dip below clock resolution — clamp at zero.
                 "overhead_us_per_step": round(max(us["empty"], 0.0), 2),
                 "dd_transfer_frac": round(
-                    (us["full"] - us["no_boundary"]) / max(us["full"], 1e-9),
+                    max(us["full"] - us["no_boundary"], 0.0)
+                    / max(us["full"], 1e-9),
                     4,
                 ),
             }

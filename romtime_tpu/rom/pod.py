@@ -4,12 +4,31 @@ The SVD runs on-device (``jnp.linalg.svd``) — the TPU replacement for the
 reference's LAPACK ``gesvd`` call; truncation logic is host-side because the
 retained rank is data-dependent. For snapshot matrices too tall for one
 chip, :func:`romtime_tpu.parallel.tsqr.tsqr_svd` shards the row dimension.
+
+Float64 inputs are pinned to the host CPU backend regardless of the
+ambient default device: TPUs emulate f64, and the emulated
+``lax.linalg`` SVD is a compile pathology — the cold device-offline
+bench sat >50 minutes inside ``backend_compile`` of one such SVD when
+``run_offline_rom(device_sweep=True)`` left the POD stage under
+``jax.default_device(tpu)`` (2026-08-19; docs/tpu_notes.md).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 DROP_TOLERANCE = 1e-7
+
+
+def _svd_device(dtype):
+    """Host CPU for f64 (certification grade; see module docstring),
+    ambient default otherwise."""
+    if np.dtype(dtype) == np.dtype(np.float64):
+        try:
+            return jax.devices("cpu")[0]
+        except RuntimeError:
+            return None
+    return None
 
 
 def orth(snapshots, num=None, tol=None, normalize=True, return_VT=False):
@@ -33,7 +52,14 @@ def orth(snapshots, num=None, tol=None, normalize=True, return_VT=False):
     else:
         _snapshots = snapshots
 
-    u, s, vt = jnp.linalg.svd(jnp.asarray(_snapshots), full_matrices=False)
+    import contextlib
+
+    dev = _svd_device(np.asarray(_snapshots).dtype)
+    ctx = jax.default_device(dev) if dev is not None \
+        else contextlib.nullcontext()
+    with ctx:
+        u, s, vt = jnp.linalg.svd(jnp.asarray(_snapshots),
+                                  full_matrices=False)
     u = np.asarray(u)
     s = np.asarray(s)
     vt = np.asarray(vt)
