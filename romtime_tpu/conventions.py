@@ -113,6 +113,11 @@ class RomParameters:
     TOL_TIME = "tol_time"
     TOL_BASIS = "tol_phi"
     TS = "ts"
+    # Hierarchical-POD weighting: keep the sigma-weighted stacks
+    # unnormalized at the mu-combination stages so slowly-decaying
+    # operator families stay energy-ordered (extension; the reference
+    # always re-normalizes, deim/deim.py:306-311).
+    WEIGHTED_POD = "weighted_pod"
 
     # Online phase
     NUM_ONLINE = "num_online"

@@ -107,6 +107,14 @@ class DiscreteEmpiricalInterpolation(Reductor):
         self.name = name
         self.assemble = assemble
         self.tree_walk_params = tree_walk_params
+        # Weighted hierarchical POD (RomParameters.WEIGHTED_POD): when
+        # set, the sigma-weighted per-branch bases are combined WITHOUT
+        # re-normalization, so branches with more operator energy keep
+        # proportionally more modes. Default False = reference semantics
+        # (unit-normalized columns at every stage).
+        self.weighted = bool(
+            (tree_walk_params or {}).get(RomParameters.WEIGHTED_POD, False)
+        )
 
         self.N_V = None  # projection basis size
         self.PT_U = None  # interpolation matrix
@@ -299,8 +307,13 @@ class DiscreteEmpiricalInterpolation(Reductor):
         basis = np.hstack(basis_time)
         self.report[Stage.OFFLINE]["basis-shape-after-tree-walk"] = basis.shape[1]
 
+        # The stacked per-mu bases carry hierarchical sigma-weights; with
+        # WEIGHTED_POD the combination stage must not re-normalize them
+        # (normalize=True would neutralize the weighting — each column
+        # returns to unit norm regardless of its branch energy).
         basis, sigmas_mu, energy_mu = orth(
-            snapshots=basis, num=num_mu, tol=tol_mu, normalize=normalize
+            snapshots=basis, num=num_mu, tol=tol_mu,
+            normalize=normalize and not self.weighted,
         )
 
         offline = self.report[Stage.OFFLINE]

@@ -184,8 +184,12 @@ class MatrixDiscreteEmpiricalInterpolationNonlinear(
             basis_time.append(phi_psi * s_psi[: phi_psi.shape[1]])
 
         basis_time = np.hstack(basis_time)
+        # basis_time columns are sigma-weighted; under WEIGHTED_POD skip
+        # the re-normalization so per-t branch energies survive into the
+        # time-stage ordering (see DiscreteEmpiricalInterpolation.weighted).
         phi, sigmas, energy = orth(
-            snapshots=basis_time, num=num, tol=tol, normalize=normalize
+            snapshots=basis_time, num=num, tol=tol,
+            normalize=normalize and not self.weighted,
         )
         basis = phi * sigmas[: phi.shape[1]]
         return basis, sigmas, energy

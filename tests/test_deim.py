@@ -140,3 +140,67 @@ def test_deim_copy_and_persistence(problem_definition, grid, tmp_path):
     V = np.linalg.qr(rng.normal(size=(solver.mesh.nh, 5)))[0]
     deim.project_basis(V)
     assert deim.basis_rom.shape == (5, deim.N)
+
+
+def test_deim_weighted_tree_walk(problem_definition, grid):
+    """RomParameters.WEIGHTED_POD keeps the sigma-weighted per-mu stacks
+    unnormalized at the mu-combination stage, so a dominant-energy branch
+    wins the leading modes under truncation. Extension beyond the
+    reference (which always re-normalizes, deim/deim.py:306-311); the
+    untruncated weighted basis must still interpolate exactly."""
+    domain, dirichlet, forcing_term = problem_definition
+    solver = MockSolver(domain=domain, dirichlet=dirichlet,
+                        forcing_term=forcing_term)
+    solver.setup()
+
+    ts = np.linspace(0.0, 5.0, 20)
+    # Two branches with a large operator-energy gap: the forcing for
+    # mu_big is O(10) while mu_small is O(1e-2).
+    mu_small = {"delta": 0.01, "beta": 1.0, "alpha_0": 0.01}
+    mu_big = {"delta": 2.0, "beta": 9.0, "alpha_0": 2.0}
+    mu_space = [mu_small, mu_big]
+
+    def build(weighted, num_mu=None):
+        params = {"ts": ts}
+        if weighted:
+            params["weighted_pod"] = True
+        if num_mu is not None:
+            params["num_mu"] = num_mu
+        deim = DiscreteEmpiricalInterpolation(
+            name="forcing", assemble=solver.assemble_forcing,
+            tree_walk_params=params, grid=grid,
+        )
+        deim.setup(rnd=np.random.RandomState(0))
+        deim.run(mu_space=mu_space)
+        return deim
+
+    # Truncated to ONE mode across mu: the weighted basis must sit on the
+    # dominant branch's own rank-1 optimum; the unit-normalized basis
+    # gives the low-energy branch equal say and lands strictly above it.
+    f_big = np.asarray(solver.assemble_forcing(mu=mu_big, t=0.0))
+
+    def proj_err(deim):
+        V = deim.basis_fom[:, :1]
+        rec = V @ (V.T @ f_big)
+        return np.linalg.norm(rec - f_big) / np.linalg.norm(f_big)
+
+    snaps_big = np.stack(
+        [np.asarray(solver.assemble_forcing(mu=mu_big, t=float(t)))
+         for t in ts], axis=1,
+    )
+    U1 = np.linalg.svd(snaps_big, full_matrices=False)[0][:, :1]
+    rec = U1 @ (U1.T @ f_big)
+    floor_r1 = np.linalg.norm(rec - f_big) / np.linalg.norm(f_big)
+
+    err_plain = proj_err(build(weighted=False, num_mu=1))
+    err_weighted = proj_err(build(weighted=True, num_mu=1))
+    assert err_weighted < err_plain
+    assert err_weighted < 1.01 * floor_r1
+
+    # Untruncated weighted basis: interpolation exactness is unaffected
+    # (orth returns an orthonormal basis of the same span).
+    deim_w = build(weighted=True)
+    for mu in mu_space:
+        approx = deim_w._interpolate(mu=mu, t=0.7)
+        expected = np.asarray(solver.assemble_forcing(mu=mu, t=0.7))
+        assert_allclose(expected, approx, atol=1e-13)
