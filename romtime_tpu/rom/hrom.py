@@ -375,6 +375,41 @@ class HyperReducedOrderModelFixed:
             windows.dump(StorageNames.WINDOWS)
         return windows
 
+    def auto_cell_wn(self, candidates, target_floor, overlap=2,
+                     margin=1.0, path=None):
+        """Pick per-cell (W, N) serving shapes from the persisted μ-local
+        training-trajectory cache (``StorageNames.MULOCAL_SNAPSHOTS``,
+        written by ``build_mulocal_serving``).
+
+        Computes each cell's predicted projection floor per candidate
+        shape (windowed σ-tails of the cached trajectories — seconds,
+        host-side) and returns ``(cell_wn, floors)`` ready for
+        ``build_mulocal_serving(cell_wn=...)``. Turns the measured
+        mixed-fleet design (three lower-Mach cells at W=50/N=32, the
+        N-bound high-Mach cell at W=30/N=40 — docs/campaign_r03.jsonl)
+        into a data-driven decision instead of a hand-set knob. No
+        reference analog.
+        """
+        from .windowed import select_fleet_shapes
+
+        path = path or StorageNames.MULOCAL_SNAPSHOTS
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no μ-local snapshot cache at {path} — run "
+                "build_mulocal_serving(snapshot_cache=True) first"
+            )
+        cell_snapshots = []
+        with np.load(path) as d:
+            n_cells = len(d["per_cell"])
+            for c in range(n_cells):
+                snaps = [np.asarray(d[f"snap_{c}_{j}"], np.float64)
+                         for j in range(int(d["per_cell"][c]))]
+                cell_snapshots.append(snaps)
+        return select_fleet_shapes(
+            cell_snapshots, candidates, target_floor,
+            overlap=overlap, margin=margin,
+        )
+
     def build_mulocal_serving(self, n_cells, n_windows, num_basis,
                               snapshots_per_cell=10, overlap=2, dump=True,
                               rnd=None, local_nmdeim=True,

@@ -178,6 +178,79 @@ def build_windowed_basis(
     return bounds, Vs, transfers
 
 
+def predict_window_floor(snapshots, n_windows, num_basis, overlap=2):
+    """Predicted projection floor of a (W, N) shape on a snapshot stack.
+
+    For each window, the relative σ-tail of the stacked window snapshots
+    beyond ``num_basis`` modes — the best-possible (Galerkin-independent)
+    relative L2 projection residual the window basis can reach. Returns
+    the max over windows: the floor that binds the served trajectory.
+
+    This is exactly the quantity the round-3 measurement campaign used
+    to locate per-cell capacity limits (the high-Mach corner's floor is
+    N-bound; low/mid-Mach cells track 1e-7 floors already at N=32) —
+    computable host-side in seconds from cached training trajectories,
+    no serving build required. No reference analog (the reference serves
+    one global basis, rom/rom.py:430-555).
+    """
+    snapshots = [np.asarray(s, np.float64) for s in snapshots]
+    nt = snapshots[0].shape[1]
+    bounds = np.linspace(0, nt, n_windows + 1).astype(int)
+    worst = 0.0
+    for w in range(n_windows):
+        a = max(0, int(bounds[w]) - overlap)
+        b = min(nt, int(bounds[w + 1]) + overlap)
+        stacked = np.hstack([s[:, a:b] for s in snapshots])
+        sig = np.linalg.svd(stacked, compute_uv=False)
+        total = float(np.sum(sig**2))
+        tail = float(np.sum(sig[num_basis:] ** 2))
+        worst = max(worst, np.sqrt(tail / total) if total > 0 else 0.0)
+    return worst
+
+
+def select_fleet_shapes(cell_snapshots, candidates, target_floor,
+                        overlap=2, margin=1.0):
+    """Pick the cheapest (W, N) per μ-cell meeting a target floor.
+
+    Parameters
+    ----------
+    cell_snapshots : list over cells of lists of (nh, nt) trajectories
+        (e.g. the ``StorageNames.MULOCAL_SNAPSHOTS`` cache contents)
+    candidates : list of (W, N) shapes, e.g. ``[(50, 32), (30, 40)]``
+    target_floor : float — required predicted projection floor per cell
+    margin : floors are compared against ``target_floor / margin``
+        (margin > 1 leaves headroom for the Galerkin/in-span gap above
+        the pure projection floor)
+
+    Candidates are ranked by online cost ∝ N² (the measured scaling of
+    the fused kernel's θ-dots + solve: W=50/N=32 serves ~1.5× faster
+    than W=30/N=40 ≈ (40/32)², docs/campaign_r03.jsonl), ties broken by
+    fewer windows (fewer boundary transfers). Every cell falls back to
+    the most accurate candidate (smallest predicted floor) when none
+    meets the target — mirroring the measured reality that the extreme
+    high-Mach corner is N-bound at any tested shape.
+
+    Returns ``(cell_wn, floors)``: the per-cell shape list (feed to
+    ``build_mulocal_serving(cell_wn=...)``) and the per-cell predicted
+    floor of the chosen shape.
+    """
+    by_cost = sorted(candidates, key=lambda wn: (wn[1] * wn[1], wn[0]))
+    cell_wn, floors = [], []
+    for snaps in cell_snapshots:
+        preds = {wn: predict_window_floor(snaps, wn[0], wn[1], overlap)
+                 for wn in by_cost}
+        chosen = None
+        for wn in by_cost:
+            if preds[wn] <= target_floor / margin:
+                chosen = wn
+                break
+        if chosen is None:
+            chosen = min(by_cost, key=lambda wn: preds[wn])
+        cell_wn.append(chosen)
+        floors.append(preds[chosen])
+    return cell_wn, floors
+
+
 @dataclass
 class MuLocalWindowed:
     """μ-local windowed serving: K Mach-band cells, each a full

@@ -922,3 +922,110 @@ def test_auto_solve_iters_per_shape_group(piston_mulocal, monkeypatch):
         rom._auto_iters_cache_ml = None
         rom.mulocal = prev_ml
         rom._set_serving_windows(prev)
+
+
+def test_select_fleet_shapes():
+    """predict_window_floor = exact sigma-tail of the window stacks;
+    select_fleet_shapes picks the cheapest candidate meeting the target
+    per cell and falls back to the most accurate shape when none does."""
+    from romtime_tpu.rom.windowed import (
+        predict_window_floor,
+        select_fleet_shapes,
+    )
+
+    rng = np.random.default_rng(7)
+    nh, nt = 120, 100
+
+    def cell(rank, decay, n_traj=3):
+        # One shared spatial basis per cell (nearby-μ trajectories live
+        # in nearby subspaces); per-trajectory coefficient jitter.
+        U = np.linalg.qr(rng.normal(size=(nh, rank)))[0]
+        t = np.linspace(0.0, 1.0, nt)
+        modes = np.stack([np.cos((k + 1) * np.pi * t) for k in range(rank)])
+        sig = decay ** np.arange(rank)
+        return [
+            (U * (sig * (1.0 + 0.1 * rng.normal(size=rank)))) @ modes
+            for _ in range(n_traj)
+        ]
+
+    # Cell A: fast spectral decay — a small N already sits on a deep floor.
+    cell_a = cell(rank=30, decay=0.15)
+    # Cell B: slow decay — no candidate reaches the target.
+    cell_b = cell(rank=60, decay=0.85)
+
+    candidates = [(10, 8), (5, 16)]
+    target = 1e-6
+
+    fa = {wn: predict_window_floor(cell_a, *wn) for wn in candidates}
+    fb = {wn: predict_window_floor(cell_b, *wn) for wn in candidates}
+    assert fa[(10, 8)] < target            # cheap shape suffices for A
+    assert all(f > target for f in fb.values())   # nothing suffices for B
+
+    cell_wn, floors = select_fleet_shapes(
+        [cell_a, cell_b], candidates, target_floor=target
+    )
+    assert cell_wn[0] == (10, 8)           # cheapest adequate (N^2 rank)
+    assert cell_wn[1] == min(candidates, key=lambda wn: fb[wn])
+    assert floors[0] == fa[(10, 8)] and floors[1] == fb[cell_wn[1]]
+
+    # The predicted floor is what a real windowed build achieves: project
+    # cell A's first trajectory onto the built (10, 8) bases per window.
+    bounds, Vs, _ = build_windowed_basis(cell_a, 10, 8)
+    s = cell_a[0]
+    res, tot = 0.0, 0.0
+    for w in range(10):
+        a, b = int(bounds[w]), int(bounds[w + 1])
+        blk = s[:, a:b]
+        proj = Vs[w] @ (Vs[w].T @ blk)
+        res += np.sum((blk - proj) ** 2)
+        tot += np.sum(blk**2)
+    achieved = np.sqrt(res / tot)
+    assert achieved <= 1.05 * fa[(10, 8)] + 1e-12
+
+
+def test_auto_cell_wn_from_cache(tmp_path, monkeypatch):
+    """Driver-level auto fleet selection reads the persisted μ-local
+    trajectory cache and returns a build-ready cell_wn list."""
+    from romtime_tpu.rom.hrom import HyperReducedOrderModelFixed
+    from romtime_tpu.rom.windowed import predict_window_floor
+
+    rng = np.random.default_rng(3)
+    nh, nt = 80, 60
+
+    def cell(rank, decay, n_traj):
+        U = np.linalg.qr(rng.normal(size=(nh, rank)))[0]
+        t = np.linspace(0.0, 1.0, nt)
+        modes = np.stack([np.cos((k + 1) * np.pi * t) for k in range(rank)])
+        sig = decay ** np.arange(rank)
+        return [(U * (sig * (1.0 + 0.1 * rng.normal(size=rank)))) @ modes
+                for _ in range(n_traj)]
+
+    cells = [cell(20, 0.1, 2), cell(50, 0.9, 3)]
+    payload = {
+        "edges": np.array([0.0, 0.2, 0.4]),
+        "per_cell": np.array([2, 3]),
+        "has_nl": np.asarray(False),
+        "build": np.asarray("f64"),
+    }
+    for c, snaps in enumerate(cells):
+        for j, s in enumerate(snaps):
+            payload[f"snap_{c}_{j}"] = s
+    path = str(tmp_path / "mulocal_snapshots.npz")
+    np.savez(path, **payload)
+
+    candidates = [(6, 6), (3, 12)]
+    # self is unused by auto_cell_wn beyond attribute-free logic
+    cell_wn, floors = HyperReducedOrderModelFixed.auto_cell_wn(
+        None, candidates, target_floor=1e-6, path=path
+    )
+    assert len(cell_wn) == 2 and len(floors) == 2
+    assert cell_wn[0] == (6, 6)       # fast-decay cell: cheapest shape
+    assert floors[0] < 1e-6
+    exp1 = {wn: predict_window_floor(cells[1], *wn) for wn in candidates}
+    assert cell_wn[1] == min(candidates, key=lambda wn: exp1[wn])
+
+    # Missing cache raises a actionable error
+    with pytest.raises(FileNotFoundError):
+        HyperReducedOrderModelFixed.auto_cell_wn(
+            None, candidates, 1e-6, path=str(tmp_path / "none.npz")
+        )
