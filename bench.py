@@ -201,13 +201,15 @@ def main():
     # BENCH_OFFLINE=device runs the FOM μ-sweep as ONE batched launch on
     # the accelerator (f32 compute, f64 host-side POD finalize) instead
     # of the serial f64 CPU loop; "cpu" (default) keeps
-    # certification-grade f64 numerics end-to-end. The device path was
-    # certified equivalent on the CPU backend (commits ae10f10/f1ac775)
-    # but the first REAL-CHIP device build (2026-08-18) degraded the
-    # served center-μ rel-L2 from 2.5e-7 to 3.2e-5: unpinned f32 dots
-    # lower to bf16 passes on the MXU. parallel/sweep.py now pins
-    # default_matmul_precision("highest"); flip this default only after
-    # an on-chip device build re-certifies ≤1e-6.
+    # certification-grade f64 numerics end-to-end. The device path is
+    # CERTIFIED on the real chip (2026-08-19, campaign line
+    # device-onchip-certified): cold build serves center-μ 8.39e-7 with
+    # 15-μ stats/estimator identical to the f64 build — the
+    # default_matmul_precision("highest") pin in parallel/sweep.py is
+    # what fixed the earlier bf16-polluted 3.2e-5 build. The default
+    # stays cpu HERE because the axon tunnel fetches swept trajectories
+    # at 0.5-30 MB/s (device offline wall 1559 s vs 561 s serial f64);
+    # prefer device on hosts with locally-attached TPUs.
     offline_mode = os.environ.get("BENCH_OFFLINE", "cpu")
     with jax.default_device(offline_device):
         log("offline: setup")
@@ -283,10 +285,37 @@ def main():
     # projection floor is N-bound, and serves the rest of the box at the
     # ~1.5x-faster W=50/N=32 point (measured: 18.5k vs 12.7k solves/s).
     cell_wn_env = os.environ.get("BENCH_CELL_WN", defaults.get("cell_wn"))
+    # BENCH_CELL_WN=auto: pick the per-cell shapes from the cached
+    # training trajectories (hrom.auto_cell_wn) instead of a hand-set
+    # list — candidates/target via BENCH_FLEET_CANDIDATES/_TARGET. The
+    # first cold build runs at the uniform shape to create the cache,
+    # then reshapes (cache hit: only the window POD/projections repay).
+    auto_fleet = cell_wn_env == "auto"
     cell_wn = ([tuple(int(v) for v in s.split("x"))
-                for s in cell_wn_env.split(",")] if cell_wn_env else None)
+                for s in cell_wn_env.split(",")]
+               if cell_wn_env and not auto_fleet else None)
+
+    def resolve_auto_fleet():
+        cands = [tuple(int(v) for v in s.split("x"))
+                 for s in os.environ.get("BENCH_FLEET_CANDIDATES",
+                                         "50x32,30x40").split(",")]
+        # Target is a PROJECTION floor; the served (Galerkin) error sits
+        # ~2-20x above it (measured, ROADMAP round-3 ledger). 1e-5
+        # reproduces the measured headline fleet exactly on the real
+        # flagship trajectory cache: [(50,32)x3, (30,40)] with predicted
+        # floors [1.5e-6, 2.6e-6, 6.0e-6, 2.8e-4(N-bound fallback)].
+        target = float(os.environ.get("BENCH_FLEET_TARGET", "1e-5"))
+        wn, floors = hrom.auto_cell_wn(cands, target)
+        log(f"offline: auto fleet {wn} (predicted projection floors "
+            + str(["%.2e" % f for f in floors]) + ")")
+        return wn
+
     mu_val = dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4)
     if n_cells > 0 and n_windows > 0:
+        from romtime_tpu.conventions import StorageNames as _SN
+
+        if auto_fleet and os.path.exists(_SN.MULOCAL_SNAPSHOTS):
+            cell_wn = resolve_auto_fleet()
         want_wn = cell_wn or [(n_windows, window_n)] * n_cells
         ml = rom.mulocal
         if (ml is None or ml.n_cells != n_cells
@@ -317,6 +346,21 @@ def main():
             else:
                 with jax.default_device(offline_device):
                     ml = hrom.build_mulocal_serving(**kwargs)
+            if auto_fleet and cell_wn is None:
+                # Cold path: the uniform build above wrote the
+                # trajectory cache — reshape to the selected fleet now.
+                cell_wn = resolve_auto_fleet()
+                if ml.cell_wn != cell_wn:
+                    kwargs["cell_wn"] = cell_wn
+                    if offline_mode in ("device", "device-dd"):
+                        hrom.fom.dd_sweep = offline_mode == "device-dd"
+                        with jax.default_device(offline_device):
+                            ml = hrom.build_mulocal_serving(
+                                device_sweep=True, **kwargs)
+                        hrom.fom.dd_sweep = False
+                    else:
+                        with jax.default_device(offline_device):
+                            ml = hrom.build_mulocal_serving(**kwargs)
         from romtime_tpu.rom.rom import RomConstructorNonlinear as _RCN
 
         active = int(ml.cell_of(_RCN.compute_piston_mach_number(mu_val)))
