@@ -305,7 +305,12 @@ def main():
         # flagship trajectory cache: [(50,32)x3, (30,40)] with predicted
         # floors [1.5e-6, 2.6e-6, 6.0e-6, 2.8e-4(N-bound fallback)].
         target = float(os.environ.get("BENCH_FLEET_TARGET", "1e-5"))
-        wn, floors = hrom.auto_cell_wn(cands, target)
+        edges_env = os.environ.get("BENCH_MULOCAL_EDGES")
+        wn, floors = hrom.auto_cell_wn(
+            cands, target, expect_n_cells=n_cells,
+            expect_edges=([float(x) for x in edges_env.split(",")]
+                          if edges_env else None),
+        )
         log(f"offline: auto fleet {wn} (predicted projection floors "
             + str(["%.2e" % f for f in floors]) + ")")
         return wn
@@ -361,6 +366,15 @@ def main():
                     else:
                         with jax.default_device(offline_device):
                             ml = hrom.build_mulocal_serving(**kwargs)
+        elif auto_fleet and cell_wn is None:
+            # Warm-resumed uniform fleet, no trajectory cache on disk:
+            # the build block above was skipped, so auto selection never
+            # ran — say so instead of silently serving the uniform fleet.
+            log("offline: BENCH_CELL_WN=auto requested but no snapshot "
+                "cache exists and the resumed fleet already matches the "
+                "uniform shape — serving the uniform fleet (delete "
+                "BENCH_DIR artifacts or run BENCH_COLD=1 to produce the "
+                "cache for auto selection)")
         from romtime_tpu.rom.rom import RomConstructorNonlinear as _RCN
 
         active = int(ml.cell_of(_RCN.compute_piston_mach_number(mu_val)))

@@ -243,16 +243,48 @@ class OneDimensionalSolver(ABC):
 
     @property
     def dirichlet_dofs(self):
-        """Dofs pinned by the homogeneous Dirichlet convention. Both ends by
+        """Dofs pinned by the Dirichlet convention — derived from which
+        boundary values the problem actually defines (left ``b0``, right
+        ``bL``) instead of hardcoding both endpoints, so a one-sided
+        layout (the piston's right-only Dirichlet, a left-only heat
+        problem) flows from the BC dict with no subclass override.
+        ``dirichlet=None`` keeps the reference's homogeneous both-ends
         default (reference: fom/base.py:858-876)."""
-        return (0, self.mesh.nh - 1)
+        if self.dirichlet is None:
+            return (0, self.mesh.nh - 1)
+        dofs = []
+        if self.B0 in self.dirichlet:
+            dofs.append(0)
+        if self.BL in self.dirichlet:
+            dofs.append(self.mesh.nh - 1)
+        return tuple(dofs)
 
     def find_dirichlet_entries(self):
-        """Record Dirichlet entries for the (M)DEIM local-assembly
-        short-circuit (reference: fom/base.py:320-348)."""
-        dofs = self.dirichlet_dofs
-        self.dofs_dirichlet = [(d,) for d in dofs]
-        self.entries_dirichlet = [(d, d) for d in dofs]
+        """Detect Dirichlet entries from assembled operator topology for
+        the (M)DEIM local-assembly short-circuit (reference:
+        fom/base.py:320-348): assemble the μ-independent probe
+        (M + A_topo)/2 — unit mass plus the fixed −u′·v + u′·v′
+        stiffness-topology form — through the banded assembly with the
+        BC convention applied, and record every structural entry equal
+        to ``DIRICHLET_ENTRY``. Detection (not declaration) is what the
+        DEIM masking consumes, so an assembly override that pins
+        different rows is picked up instead of silently inheriting the
+        endpoint convention."""
+        mesh = self.mesh
+        ones = jnp.ones_like(_asarray(mesh.xq_ref))
+        M = assemble_bilinear_band(mesh, ones, 0, 0, mesh.h0)
+        A = (assemble_bilinear_band(mesh, ones, 1, 1, mesh.h0)
+             - assemble_bilinear_band(mesh, ones, 1, 0, mesh.h0))
+        K = apply_dirichlet_band(
+            (M + A) / 2.0, self.dirichlet_dofs, mesh.degree,
+            self.DIRICHLET_ENTRY,
+        )
+        rows, cols, values = band_nonzero_entries(K, mesh)
+        mask = np.isclose(values, self.DIRICHLET_ENTRY)
+        self.dofs_dirichlet = [(int(r),) for r in rows[mask]]
+        self.entries_dirichlet = list(
+            zip(rows[mask].tolist(), cols[mask].tolist())
+        )
 
     def update_parametrization(self, new):
         self.mu = dict(new)
@@ -643,27 +675,11 @@ class OneDimensionalSolver(ABC):
                 r_M = jnp.zeros_like(u_h)
 
             # dt·A·u_pred (hi + lo words) = K·up − bdf·M·up.
-            import os as _os
-            _dbg = _os.environ.get("ROMTIME_DD_DEBUG", "")
-            if "res64" in _dbg:
-                K64 = Kb.astype(jnp.float64)
-                M64 = Mb.astype(jnp.float64)
-                up64 = up_h.astype(jnp.float64) + up_l.astype(jnp.float64)
-                Ku = band_matvec(K64, up64, p)
-                Mu = band_matvec(M64, up64, p)
-                r0 = (r_M.astype(jnp.float64) + f_vec.astype(jnp.float64)
-                      - (Ku - bdf * Mu)).astype(up_h.dtype)
-            else:
-                Ku = band_matvec(Kb, up_h, p) + band_matvec(Kb, up_l, p)
-                Mu = band_matvec(Mb, up_h, p) + band_matvec(Mb, up_l, p)
-                r0 = r_M + f_vec - (Ku - bdf * Mu)
+            Ku = band_matvec(Kb, up_h, p) + band_matvec(Kb, up_l, p)
+            Mu = band_matvec(Mb, up_h, p) + band_matvec(Mb, up_l, p)
+            r0 = r_M + f_vec - (Ku - bdf * Mu)
 
-            if "solve64" in _dbg:
-                delta = solve_banded(
-                    Kb.astype(jnp.float64), r0.astype(jnp.float64), p
-                ).astype(up_h.dtype)
-            else:
-                delta = solve_banded(Kb, r0, p)
+            delta = solve_banded(Kb, r0, p)
             nh_h, nh_l = dd_add_small(up_h, up_l, delta)
 
             scale = self.scale_factor(mu, t) if self.Lt else 1.0

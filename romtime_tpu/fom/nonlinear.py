@@ -137,14 +137,10 @@ class OneDimensionalBurgers(OneDimensionalSolver):
         return lambda x: x * dLt_dt / Lt
 
     # ------------------------------------------------------------------
-    # Boundary handling: right-only Dirichlet, one-sided lifting
+    # Boundary handling: right-only Dirichlet, one-sided lifting.
+    # dirichlet_dofs needs no override: the BC dict defines only bL, so
+    # the base derivation yields (nh-1,) (reference: nonlinear.py:241-262).
     # ------------------------------------------------------------------
-    @property
-    def dirichlet_dofs(self):
-        """Only the piston end carries Dirichlet data
-        (reference: nonlinear.py:241-262)."""
-        return (self.mesh.nh - 1,)
-
     def create_lifting_operator(self, mu, t, L, only_g=False):
         """One-sided lifting g = bL·x/L (reference: nonlinear.py:205-239)."""
         bL = self._dirichlet_value(self.BL, mu, t, L)

@@ -191,13 +191,16 @@ class Mesh1D:
                     term_entry.append(k)
             else:
                 row, col = entry
-                # Reference convention: only the identity diagonal of a
-                # Dirichlet row is short-circuited (fom/base.py:546-553);
-                # zeroed off-diagonals never appear in entry lists because
-                # they are structurally eliminated.
-                if row in dirichlet and row == col:
+                # Dirichlet rows are overwritten wholesale in the
+                # assembled operator (identity diagonal, zero
+                # off-diagonals; reference: fom/base.py:546-553) — mirror
+                # that for ANY requested entry so local ≡ global holds
+                # unconditionally. DEIM itself only ever selects the
+                # diagonal (off-diagonals are structurally eliminated),
+                # but the gathered path should not depend on it.
+                if row in dirichlet:
                     diri_mask[k] = True
-                    diri_vals[k] = dirichlet_entry
+                    diri_vals[k] = dirichlet_entry if row == col else 0.0
                     continue
                 cells = set(self.dof_cells(row)) & set(self.dof_cells(col))
                 for e in sorted(cells):

@@ -376,7 +376,8 @@ class HyperReducedOrderModelFixed:
         return windows
 
     def auto_cell_wn(self, candidates, target_floor, overlap=2,
-                     margin=1.0, path=None):
+                     margin=1.0, path=None, expect_n_cells=None,
+                     expect_edges=None):
         """Pick per-cell (W, N) serving shapes from the persisted μ-local
         training-trajectory cache (``StorageNames.MULOCAL_SNAPSHOTS``,
         written by ``build_mulocal_serving``).
@@ -401,6 +402,30 @@ class HyperReducedOrderModelFixed:
         cell_snapshots = []
         with np.load(path) as d:
             n_cells = len(d["per_cell"])
+            # Guard against a stale cache from a different cell
+            # partition: selecting fleet shapes from the wrong cells
+            # either crashes later (cell_wn length mismatch in
+            # build_mulocal_serving) or silently serves shapes chosen
+            # for other μ-bands.
+            if expect_n_cells is not None and n_cells != int(expect_n_cells):
+                raise ValueError(
+                    f"μ-local snapshot cache at {path} holds {n_cells} "
+                    f"cells but the current build wants "
+                    f"{int(expect_n_cells)} — delete the cache (it is "
+                    "from a different BENCH_MULOCAL partition) and "
+                    "rebuild"
+                )
+            if expect_edges is not None:
+                cached = np.asarray(d["edges"], np.float64)
+                want = np.asarray(expect_edges, np.float64)
+                if cached.shape != want.shape or not np.allclose(cached,
+                                                                 want):
+                    raise ValueError(
+                        f"μ-local snapshot cache at {path} was built "
+                        f"for cell edges {cached.tolist()} but the "
+                        f"current build wants {want.tolist()} — delete "
+                        "the stale cache and rebuild"
+                    )
             for c in range(n_cells):
                 snaps = [np.asarray(d[f"snap_{c}_{j}"], np.float64)
                          for j in range(int(d["per_cell"][c]))]
@@ -566,6 +591,29 @@ class HyperReducedOrderModelFixed:
                         wanted = {c: 0 for c in range(n_cells)}
             except Exception:
                 cache_hit = False
+        # Throttled progress over the per-cell FOM solves (the serial
+        # host path only; the batched device sweep is one launch).
+        import time as _time
+
+        _total_solves = sum(wanted.values())
+        _prog_state = {"done": 0, "start": _time.time(), "last": 0.0}
+
+        def _report_cell_progress():
+            _prog_state["done"] += 1
+            now = _time.time()
+            if (_prog_state["done"] == _total_solves
+                    or now - _prog_state["last"] >= 5.0):
+                _prog_state["last"] = now
+                import os as _os
+                import sys as _sys
+                if _os.environ.get("ROMTIME_PROGRESS", "1") != "0":
+                    print(
+                        f"[mulocal FOM sweep] {_prog_state['done']}/"
+                        f"{_total_solves} "
+                        f"(+{now - _prog_state['start']:.1f}s)",
+                        file=_sys.stderr, flush=True,
+                    )
+
         # Narrow high-Mach cells have a tiny preimage under the uniform
         # μ sampler — grow the candidate pool geometrically rather than
         # fixing one budget.
@@ -614,6 +662,7 @@ class HyperReducedOrderModelFixed:
                 )
                 if local_tri:
                     cell_nl[c].append(list(fom.nonlinear_snapshots))
+                _report_cell_progress()
             wanted[c] -= 1
 
         if device_sweep and not cache_hit:

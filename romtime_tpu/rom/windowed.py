@@ -192,6 +192,14 @@ def predict_window_floor(snapshots, n_windows, num_basis, overlap=2):
     computable host-side in seconds from cached training trajectories,
     no serving build required. No reference analog (the reference serves
     one global basis, rom/rom.py:430-555).
+
+    Prediction bias: the floor is computed from the *cell-only* cached
+    trajectories, but ``build_mulocal_serving`` PODs an augmented stack
+    (cell snapshots + weighted box-wide trajectories when
+    ``augment_global`` is set) and builds at N+srom_extra before
+    truncating — so the achieved per-cell floor can sit above this
+    prediction beyond the documented Galerkin margin. Pass the same
+    augmented stack here when that bias matters.
     """
     snapshots = [np.asarray(s, np.float64) for s in snapshots]
     nt = snapshots[0].shape[1]
@@ -201,6 +209,12 @@ def predict_window_floor(snapshots, n_windows, num_basis, overlap=2):
         a = max(0, int(bounds[w]) - overlap)
         b = min(nt, int(bounds[w + 1]) + overlap)
         stacked = np.hstack([s[:, a:b] for s in snapshots])
+        if min(stacked.shape) <= num_basis:
+            # Rank-deficient window stack: build_windowed_basis would
+            # refuse this shape outright — report an unusable (infinite)
+            # floor so shape selection never prefers it over a shape the
+            # stack can actually support.
+            return np.inf
         sig = np.linalg.svd(stacked, compute_uv=False)
         total = float(np.sum(sig**2))
         tail = float(np.sum(sig[num_basis:] ** 2))

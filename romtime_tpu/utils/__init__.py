@@ -25,6 +25,7 @@ from .io import (
     read_pickle,
 )
 from .profiling import PhaseTimer, block_and_time, jax_trace
+from .progress import progress
 
 __all__ = [
     "compute_rom_difference",

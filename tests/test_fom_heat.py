@@ -111,7 +111,9 @@ def test_snapshot_generation_golden_errors(grid):
     solver = create_solver(L=2.0, nx=500, nt=10, tf=10.0,
                            grid_base=dict(delta=1.0, beta=5.0, alpha_0=1.0))
 
-    expected = [-5.52706214715911, -5.451463640761813, -4.431683790164045]
+    # Pinned from the PCR-default direct solve (ops/linalg.solve_banded);
+    # the Thomas scan agrees to ~7e-7 in log10 (trajectories to ~1e-12).
+    expected = [-5.527061428322073, -5.451463969073607, -4.431683868240552]
     got = []
     for sample in sampler:
         solver.update_parametrization(new=sample)
