@@ -107,6 +107,156 @@ def tridiag_solve_pcr(band, rhs):
     return d / b
 
 
+def _gauss_solve_matrix(A, B):
+    """Batched unrolled Gauss-Jordan with a MATRIX right-hand side.
+
+    A: (..., N, N), B: (..., N, K) -> X: (..., N, K). Same unpivoted
+    elimination as :func:`gauss_solve` (the block-cyclic-reduction pivot
+    blocks are diagonally dominant by the same BDF argument), augmented
+    with K columns instead of one.
+    """
+    N = A.shape[-1]
+    M = jnp.concatenate([A, B], axis=-1)  # (..., N, N+K)
+    row_ids = jnp.arange(N)
+
+    for k in range(N):
+        is_k = (row_ids == k)[:, None]
+        pivot_row = M[..., k : k + 1, :]
+        pivot_val = pivot_row[..., 0:1, k : k + 1]
+        pivot_row = pivot_row / pivot_val
+        factor = M[..., :, k : k + 1]
+        M = jnp.where(is_k, pivot_row, M - factor * pivot_row)
+
+    return M[..., :, N:]
+
+
+def block_tridiag_from_band(band, p):
+    """View a half-bandwidth-p banded matrix as block-tridiagonal.
+
+    Grouping dofs into blocks of size p makes any coupling within ±p
+    dofs adjacent-block coupling, so the banded system becomes block
+    tridiagonal with p×p blocks — the structure block cyclic reduction
+    needs. Returns (A, B, C, m, pad): sub/diag/super block stacks of
+    shape (m, p, p) with the matrix padded by identity rows to m·p dofs.
+
+    Built from p² static strided slices per block stack — no gathers, so
+    the construction is safe inside ``lax.scan`` bodies on TPU
+    (docs/tpu_notes.md gather hazard).
+    """
+    nh = band.shape[-1]
+    m = -(-nh // p)
+    pad = m * p - nh
+    if pad:
+        ext = jnp.zeros(band.shape[:-1] + (pad,), band.dtype)
+        band = jnp.concatenate([band, ext], axis=-1)
+        # Identity rows keep the padded system nonsingular.
+        band = band.at[..., p, nh:].set(1.0)
+
+    def blocks(j_of):
+        cols = []
+        for a in range(p):
+            row = []
+            for b in range(p):
+                j = j_of(a, b)
+                if 0 <= j <= 2 * p:
+                    row.append(band[..., j, a::p])
+                else:
+                    row.append(jnp.zeros_like(band[..., 0, a::p]))
+            cols.append(jnp.stack(row, axis=-1))  # (m, p)
+        return jnp.stack(cols, axis=-2)  # (m, p, p)
+
+    B = blocks(lambda a, b: p + b - a)
+    A = blocks(lambda a, b: b - a)            # offset −p block
+    C = blocks(lambda a, b: 2 * p + b - a)    # offset +p block
+    return A, B, C, m, pad
+
+
+def block_tridiag_solve_pcr(A, B, C, D):
+    """Block parallel cyclic reduction: solve the block-tridiagonal
+    system A_i X_{i-1} + B_i X_i + C_i X_{i+1} = D_i.
+
+    log2(m) fully-batched steps; every op is an (m, p, p) matmul or the
+    unrolled p×p block solve — MXU/VPU-friendly, no sequential recursion
+    (the block analog of :func:`tridiag_solve_pcr`). Unpivoted block
+    pivots: sound for the diagonally-dominant FEM/BDF systems this
+    framework produces (see :func:`gauss_solve`).
+
+    A, B, C: (m, p, p); D: (m, p) -> X: (m, p).
+    """
+    m = B.shape[0]
+    p = B.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(p, dtype=B.dtype), (m, p, p))
+    D = D[..., None]  # (m, p, 1)
+
+    def shifted(v, s, identity=False):
+        """v[i-s]; out-of-range neighbors behave as identity rows
+        (B=I, A=C=D=0), exactly like the scalar PCR's fill values."""
+        if s > 0:
+            body = v[: m - s]
+            head = eye[:s] if identity else jnp.zeros_like(v[:s])
+            return jnp.concatenate([head, body], axis=0)
+        body = v[-s:]
+        tail = eye[:(-s)] if identity else jnp.zeros_like(v[: (-s)])
+        return jnp.concatenate([body, tail], axis=0)
+
+    steps = max(1, int(np.ceil(np.log2(m)))) if m > 1 else 0
+    for k in range(steps):
+        s = 1 << k
+        B_m = shifted(B, s, identity=True)
+        B_p = shifted(B, -s, identity=True)
+        A_m = shifted(A, s)
+        C_p = shifted(C, -s)
+        C_m = shifted(C, s)
+        A_p = shifted(A, -s)
+        D_m = shifted(D, s)
+        D_p = shifted(D, -s)
+
+        alpha = -_gauss_solve_matrix(
+            jnp.swapaxes(B_m, -1, -2), jnp.swapaxes(A, -1, -2)
+        )
+        alpha = jnp.swapaxes(alpha, -1, -2)      # -A @ B_m^{-1}
+        gamma = -_gauss_solve_matrix(
+            jnp.swapaxes(B_p, -1, -2), jnp.swapaxes(C, -1, -2)
+        )
+        gamma = jnp.swapaxes(gamma, -1, -2)      # -C @ B_p^{-1}
+
+        A = alpha @ A_m
+        C = gamma @ C_p
+        B = B + alpha @ C_m + gamma @ A_p
+        D = D + alpha @ D_m + gamma @ D_p
+
+    return _gauss_solve_matrix(B, D)[..., 0]
+
+
+def solve_banded_block_pcr(band, rhs, p):
+    """Banded direct solve via block cyclic reduction (p ≤ 5).
+
+    The degree-p physics path on TPU: log-depth batched block algebra
+    instead of the dense O(nh³) fallback — heat/Burgers at P2–P5 stay
+    scan-compatible at production nh. Batch axes of ``rhs`` broadcast
+    like :func:`tridiag_solve` (band (..., 2p+1, nh), rhs (..., nh)).
+    """
+    if rhs.ndim > 1:
+        # Flatten leading batch axes through vmap for layout sanity.
+        batch_shape = rhs.shape[:-1]
+        nh = rhs.shape[-1]
+        band_b = jnp.broadcast_to(band, batch_shape + band.shape[-2:])
+        flat_band = band_b.reshape((-1,) + band.shape[-2:])
+        flat_rhs = rhs.reshape((-1, nh))
+        out = jax.vmap(lambda bd, r: solve_banded_block_pcr(bd, r, p))(
+            flat_band, flat_rhs
+        )
+        return out.reshape(batch_shape + (nh,))
+
+    nh = rhs.shape[-1]
+    A, B, C, m, pad = block_tridiag_from_band(band, p)
+    if pad:
+        rhs = jnp.concatenate([rhs, jnp.zeros((pad,), rhs.dtype)])
+    D = rhs.reshape(m, p)
+    X = block_tridiag_solve_pcr(A, B, C, D)
+    return X.reshape(m * p)[:nh]
+
+
 def solve_banded(band, rhs, p, method=None):
     """Direct solve with half-bandwidth p banded matrix.
 
@@ -125,6 +275,11 @@ def solve_banded(band, rhs, p, method=None):
         if method == "pcr":
             return tridiag_solve_pcr(band, rhs)
         return tridiag_solve(band, rhs)
+    if p <= 5 and method != "dense":
+        # Degree 2-5 physics: block cyclic reduction keeps the solve
+        # banded/batched (log-depth p×p block algebra) instead of
+        # densifying to O(nh³).
+        return solve_banded_block_pcr(band, rhs, p)
     dense = band_to_dense(band, p)
     return jnp.linalg.solve(dense, rhs)
 
