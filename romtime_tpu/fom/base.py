@@ -705,17 +705,28 @@ class OneDimensionalSolver(ABC):
         return outs
 
     def solve(self):
-        """Integrate the problem in time (reference: fom/base.py:693-831)."""
-        mu = self.mu
-        mu_jnp = self._mu_array(mu)
+        """Integrate the problem in time (reference: fom/base.py:693-831).
 
-        key = (compute_dtype(), bool(getattr(self, "dd_sweep", False)))
-        if not isinstance(self._solve_jit, dict):
-            self._solve_jit = {}
-        if key not in self._solve_jit:
-            self._solve_jit[key] = jax.jit(self._solve_impl)
-        outs = self._solve_jit[key](mu_jnp)
-        outs = jax.tree_util.tree_map(np.asarray, outs)
+        Certification-grade f64 runs of the shipped piston physics take
+        the native C++ loop (fom/native_sweep.py — identical algebra,
+        ~100× the XLA-CPU scan on a single-core host); everything else
+        (f32 device sweeps, dd sweeps, subclassed physics) keeps the
+        traced jax path."""
+        mu = self.mu
+
+        outs = None
+        if (np.dtype(compute_dtype()) == np.dtype(np.float64)
+                and not getattr(self, "dd_sweep", False)):
+            outs = self._solve_native(mu)
+        if outs is None:
+            mu_jnp = self._mu_array(mu)
+            key = (compute_dtype(), bool(getattr(self, "dd_sweep", False)))
+            if not isinstance(self._solve_jit, dict):
+                self._solve_jit = {}
+            if key not in self._solve_jit:
+                self._solve_jit[key] = jax.jit(self._solve_impl)
+            outs = self._solve_jit[key](mu_jnp)
+            outs = jax.tree_util.tree_map(np.asarray, outs)
 
         ts = outs["t"]
         snapshots = outs["uh"].T  # (nh, nt)
@@ -746,6 +757,12 @@ class OneDimensionalSolver(ABC):
 
         self._collect_runtime_outputs(outs)
         return self.solutions
+
+    def _solve_native(self, mu):
+        """Native fast-path hook: return the ``_solve_impl`` output dict
+        (numpy) or None to use the traced jax loop. Base solvers have no
+        native kernel."""
+        return None
 
     def _collect_runtime_outputs(self, outs):
         """Hook for subclasses to harvest scan outputs (probes, nonlinear

@@ -353,6 +353,14 @@ class OneDimensionalBurgers(OneDimensionalSolver):
         return self.assemble_lifting(mu=mu, t=t, entries=entries)
 
     # ------------------------------------------------------------------
+    # Native f64 fast path (csrc/fom_piston.cpp via fom/native_sweep.py)
+    # ------------------------------------------------------------------
+    def _solve_native(self, mu):
+        from .native_sweep import outputs_native
+
+        return outputs_native(self, mu)
+
+    # ------------------------------------------------------------------
     # Scan hooks: nonlinear snapshots + probes
     # ------------------------------------------------------------------
     def _step_extras(self, mu, t, u_n, u_n1):

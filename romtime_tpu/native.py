@@ -18,14 +18,17 @@ _TRIED = False
 
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "csrc")
-_SOURCE = os.path.join(_CSRC, "romtime_native.cpp")
+_SOURCES = [
+    os.path.join(_CSRC, "romtime_native.cpp"),
+    os.path.join(_CSRC, "fom_piston.cpp"),
+]
 _SOLIB = os.path.join(_CSRC, "libromtime_native.so")
 
 
 def _build():
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        _SOURCE, "-o", _SOLIB,
+        *_SOURCES, "-o", _SOLIB,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -38,8 +41,9 @@ def load():
             return _LIB
         _TRIED = True
         try:
-            if not os.path.exists(_SOLIB) or (
-                os.path.getmtime(_SOLIB) < os.path.getmtime(_SOURCE)
+            if not os.path.exists(_SOLIB) or any(
+                os.path.getmtime(_SOLIB) < os.path.getmtime(src)
+                for src in _SOURCES
             ):
                 _build()
             lib = ctypes.CDLL(_SOLIB)
@@ -55,6 +59,24 @@ def load():
             lib.thomas_solve.argtypes = [
                 ctypes.POINTER(ctypes.c_double)] * 4 + [
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_double)]
+
+            lib.piston_fom_solve.restype = ctypes.c_int
+            lib.piston_fom_solve.argtypes = [
+                ctypes.c_double, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_double,                     # L0, nx, nt, dt
+                ctypes.c_double, ctypes.c_double,
+                ctypes.c_double,                     # a0, alpha, b0
+                ctypes.POINTER(ctypes.c_double),     # s_arr
+                ctypes.POINTER(ctypes.c_double),     # r_arr
+                ctypes.POINTER(ctypes.c_double),     # bL_arr
+                ctypes.POINTER(ctypes.c_double),     # dbL_arr
+                ctypes.POINTER(ctypes.c_double),     # u0
+                ctypes.POINTER(ctypes.c_int64),      # nl_rows
+                ctypes.POINTER(ctypes.c_int64),      # nl_cols
+                ctypes.c_int64,                      # n_nl
+                ctypes.POINTER(ctypes.c_double),     # uh_out
+                ctypes.POINTER(ctypes.c_double),     # nl_out
+            ]
 
             _LIB = lib
         except Exception:
@@ -86,6 +108,47 @@ def deim_greedy(Vf, forbidden=()):
     if status != 0:
         return None
     return [int(d) for d in out]
+
+
+def piston_fom_solve(L0, nx, nt, dt, a0, alpha, b0, s, r, bL, dbL, u0,
+                     nl_rows, nl_cols):
+    """Native piston FOM time loop (csrc/fom_piston.cpp), or None.
+
+    Returns (uh, nl_data): uh (nt, nh) homogeneous trajectory, nl_data
+    (nt, n_nl) gathered trilinear snapshot rows. Per-step scalar arrays
+    s/r/bL/dbL are evaluated by the caller from the problem callables.
+    """
+    lib = load()
+    if lib is None:
+        return None
+
+    def c_arr(a):
+        return np.ascontiguousarray(np.asarray(a, dtype=np.float64))
+
+    s, r, bL, dbL, u0 = map(c_arr, (s, r, bL, dbL, u0))
+    nl_rows = np.ascontiguousarray(np.asarray(nl_rows, dtype=np.int64))
+    nl_cols = np.ascontiguousarray(np.asarray(nl_cols, dtype=np.int64))
+    nh = int(nx) + 1
+    n_nl = len(nl_rows)
+    uh = np.zeros((int(nt), nh), dtype=np.float64)
+    nl = np.zeros((int(nt), max(n_nl, 1)), dtype=np.float64)
+
+    dptr = ctypes.POINTER(ctypes.c_double)
+    iptr = ctypes.POINTER(ctypes.c_int64)
+    status = lib.piston_fom_solve(
+        ctypes.c_double(L0), ctypes.c_int64(nx), ctypes.c_int64(nt),
+        ctypes.c_double(dt), ctypes.c_double(a0), ctypes.c_double(alpha),
+        ctypes.c_double(b0),
+        s.ctypes.data_as(dptr), r.ctypes.data_as(dptr),
+        bL.ctypes.data_as(dptr), dbL.ctypes.data_as(dptr),
+        u0.ctypes.data_as(dptr),
+        nl_rows.ctypes.data_as(iptr), nl_cols.ctypes.data_as(iptr),
+        ctypes.c_int64(n_nl),
+        uh.ctypes.data_as(dptr), nl.ctypes.data_as(dptr),
+    )
+    if status != 0:
+        return None
+    return uh, nl[:, :n_nl]
 
 
 def thomas_solve(lower, diag, upper, rhs):

@@ -317,7 +317,10 @@ def eval_function_at(u, x_eval, mesh, scale=1.0):
     e = jnp.clip(jnp.floor(x_eval / h).astype(jnp.int32), 0, mesh.ne - 1)
     xi = x_eval / h - e
     coeffs = _asarray(mesh.tables.coeffs)  # (p+1, p+1)
-    powers = xi[:, None] ** jnp.arange(p + 1)[None, :]  # (m, p+1)
+    # Static integer exponents: an array exponent lowers to exp(y·log x),
+    # which returns NaN at xi=0 with exponent 0 (eval points landing
+    # exactly on a node); integer_pow is exact there.
+    powers = jnp.stack([xi**i for i in range(p + 1)], axis=1)  # (m, p+1)
     basis = powers @ coeffs.T  # (m, p+1) values P_i(xi)
     dof0 = e * p
     local_dofs = dof0[:, None] + jnp.arange(p + 1)[None, :]

@@ -256,3 +256,15 @@ def test_point_eval_and_norm():
     assert_allclose(np.asarray(v), [0.09, 0.5929], atol=1e-13)
     n = norm_L2(jnp.asarray(u), mesh, h_phys=mesh.h0 * 0.5)
     assert np.isclose(float(n), np.sqrt(1.0 / 5.0), atol=1e-12)
+
+
+def test_point_eval_exactly_on_nodes():
+    """Eval points landing exactly on mesh nodes (ξ = 0) must not NaN:
+    an array exponent in the monomial table lowers to exp(0·log 0) on
+    some backends — the probe locations 0.0/0.5 hit this in production
+    (fom/nonlinear.py _step_outputs)."""
+    mesh = Mesh1D(L0=1.0, nx=400, degree=1)
+    u = interpolate_dofs(lambda x: np.sin(3.0 * x), mesh)
+    v = eval_function_at(jnp.asarray(u), jnp.array([0.0, 0.5, 1.0]), mesh)
+    assert_allclose(np.asarray(v), np.sin(3.0 * np.array([0.0, 0.5, 1.0])),
+                    atol=1e-12)
