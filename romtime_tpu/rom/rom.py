@@ -1249,19 +1249,29 @@ class RomConstructor(Reductor):
         tf = float(fom.domain[fom.NT]) * dt
         N = self.N
 
-        corners = []
-        for vals in itertools.product(*[
-            (float(min(d.support())), float(max(d.support())))
-            for d in self.grid.values()
-        ]):
-            mu = dict(zip(self.grid.keys(), vals))
-            if mu not in corners:
-                corners.append(mu)
-        center = {
-            k: 0.5 * (float(min(d.support())) + float(max(d.support())))
-            for k, d in self.grid.items()
-        }
-        probes = corners[:8] + [center]
+        if self.grid is not None:
+            corners = []
+            for vals in itertools.product(*[
+                (float(min(d.support())), float(max(d.support())))
+                for d in self.grid.values()
+            ]):
+                mu = dict(zip(self.grid.keys(), vals))
+                if mu not in corners:
+                    corners.append(mu)
+            center = {
+                k: 0.5 * (float(min(d.support())) + float(max(d.support())))
+                for k, d in self.grid.items()
+            }
+            probes = corners[:8] + [center]
+        else:
+            # Grid-less construction (ad-hoc serving objects, tests):
+            # no μ-box to sweep — certify at the FOM's current
+            # parametrization only, or skip when none is set.
+            if getattr(fom, "mu", None):
+                probes = [dict(fom.mu)]
+            else:
+                self._pivot_cert = 0.0
+                return 0.0
         ts = np.linspace(dt, tf, time_probes)
 
         sources = self._theta_sources()

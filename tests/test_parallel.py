@@ -157,7 +157,11 @@ def test_build_reduced_basis_device_sweep(mesh, piston_solver):
     serial = build(False)
     device = build(True)
     assert device.basis.shape == serial.basis.shape
-    assert_allclose(device.basis, serial.basis, atol=1e-9)
+    # atol 1e-8: the serial f64 reference path now runs the native C++
+    # Thomas loop (fom/native_sweep.py) while the device sweep runs the
+    # traced PCR solve — algebraically identical, different elimination
+    # order, a few-ulp-scale difference on O(1) basis entries.
+    assert_allclose(device.basis, serial.basis, atol=1e-8)
     assert_allclose(device.basis_nonlinear, serial.basis_nonlinear,
-                    atol=1e-9)
+                    atol=1e-8)
     assert len(device.offline_snapshots) == 3
