@@ -315,16 +315,37 @@ def main():
             + str(["%.2e" % f for f in floors]) + ")")
         return wn
 
+    # Phase-aligned (registered) cells — BENCH_REGISTER: "top" (default,
+    # the high-Mach corner cell whose projection floor is
+    # transport-bound), "all", "" (off) or a comma list of cell indices.
+    # rom/registration.py: registered lanes serve and certify on their
+    # own dilated time grids (d(μ)·dt, same nt).
+    reg_env = os.environ.get("BENCH_REGISTER",
+                             defaults.get("register", ""))
     mu_val = dict(a0=9.3, omega=17.5, delta=0.12, alpha=1e-6, gamma=1.4)
     if n_cells > 0 and n_windows > 0:
         from romtime_tpu.conventions import StorageNames as _SN
 
+        if reg_env == "top":
+            register = [n_cells - 1]
+        elif reg_env == "all":
+            register = list(range(n_cells))
+        elif reg_env:
+            register = [int(x) for x in reg_env.split(",")]
+        else:
+            register = None
+
         if auto_fleet and os.path.exists(_SN.MULOCAL_SNAPSHOTS):
             cell_wn = resolve_auto_fleet()
         want_wn = cell_wn or [(n_windows, window_n)] * n_cells
+        want_reg = set(register or [])
         ml = rom.mulocal
+        have_reg = (None if ml is None else
+                    {c for c, w in enumerate(ml.cells)
+                     if getattr(w, "dilation", None) is not None})
         if (ml is None or ml.n_cells != n_cells
                 or ml.cell_wn != [tuple(x) for x in want_wn]
+                or have_reg != want_reg
                 or (srom_extra and ml.cells_srom is None)):
             log(f"offline: mu-local serving build (K={n_cells} Mach cells"
                 + (", device sweep" if offline_mode.startswith("device")
@@ -339,6 +360,7 @@ def main():
                 edges=([float(x) for x in edges_env.split(",")]
                        if edges_env else None),
                 cell_wn=cell_wn,
+                register=register,
             )
             if offline_mode in ("device", "device-dd"):
                 # The builder scopes the accelerator/f32 context to the
@@ -397,36 +419,57 @@ def main():
     # mu-local routing — the active serving cell and the accuracy section
     # must certify the SAME parameter.
 
-    fom_cache = "fom_validation.npz"
-    uh_fom = None
-    if os.path.exists(fom_cache):
-        with np.load(fom_cache) as d:
-            if (int(d["nx"]) == nx and int(d["nt"]) == nt
-                    and np.allclose(d["mu"],
-                                    [mu_val[k] for k in sorted(mu_val)])):
-                uh_fom = d["uh"]
-                log("accuracy: FOM reference solve (cached)")
-    if uh_fom is None:
-        with jax.default_device(offline_device):
-            log("accuracy: FOM reference solve")
-            fom.setup()
-            fom.update_parametrization(mu_val)
-            fom.solve()
-            uh_fom = fom.solutions.fom
-        np.savez(fom_cache, uh=np.asarray(uh_fom), nx=nx, nt=nt,
-                 mu=[mu_val[k] for k in sorted(mu_val)])
+    def solve_fom_ref(m, d=1.0):
+        """FOM reference trajectory; d ≠ 1 solves on the dilated grid
+        (dt·d, same nt) that a phase-aligned lane serves on — the
+        matched discrete system, so rel-L2 measures pure reduction
+        error (rom/registration.py)."""
+        t_orig = fom.domain[fom.T]
+        try:
+            if d != 1.0:
+                fom.domain[fom.T] = float(t_orig) * float(d)
+                fom._solve_jit = {}
+            with jax.default_device(offline_device):
+                fom.setup()
+                fom.update_parametrization(m)
+                fom.solve()
+            return np.asarray(fom.solutions.fom)
+        finally:
+            if d != 1.0:
+                fom.domain[fom.T] = t_orig
+                fom._solve_jit = {}
 
     with jax.default_device(offline_device):
-
         log("accuracy: ROM validation solve")
         if n_windows > 0:
             outs_v = rom.solve_batch([dict(mu_val)], step=Stage.VALIDATION,
                                      mode="full", engine="windowed")
             uh_rom = np.asarray(outs_v["uc"][0]).T
+            dil_val = float(np.asarray(outs_v.get("dil", [1.0]))[0])
             rom._online_fns = {}
         else:
             rom.solve(mu=mu_val, step=Stage.VALIDATION)
             uh_rom = rom.solutions.fom
+            dil_val = 1.0
+
+    fom_cache = "fom_validation.npz"
+    uh_fom = None
+    if os.path.exists(fom_cache):
+        with np.load(fom_cache) as d:
+            cached_dil = float(d["dil"]) if "dil" in d else 1.0
+            if (int(d["nx"]) == nx and int(d["nt"]) == nt
+                    and cached_dil == dil_val
+                    and np.allclose(d["mu"],
+                                    [mu_val[k] for k in sorted(mu_val)])):
+                uh_fom = d["uh"]
+                log("accuracy: FOM reference solve (cached)")
+    if uh_fom is None:
+        log("accuracy: FOM reference solve"
+            + (f" (matched dilated grid d={dil_val:.4f})"
+               if dil_val != 1.0 else ""))
+        uh_fom = solve_fom_ref(mu_val, dil_val)
+        np.savez(fom_cache, uh=uh_fom, nx=nx, nt=nt, dil=dil_val,
+                 mu=[mu_val[k] for k in sorted(mu_val)])
 
     rel_l2 = float(
         np.linalg.norm(uh_rom - uh_fom) / np.linalg.norm(uh_fom)
@@ -451,28 +494,6 @@ def main():
             m.pop(PistonParameters.MACH_PISTON, None)
         key = np.array([[float(m[k]) for k in sorted(m)] for m in mus_val])
 
-        cache = "fom_validation_multi.npz"
-        fom_refs = None
-        if os.path.exists(cache):
-            with np.load(cache) as d:
-                if (int(d["nx"]) == nx and int(d["nt"]) == nt
-                        and d["mu"].shape == key.shape
-                        and np.allclose(d["mu"], key)):
-                    fom_refs = d["uh"]
-                    log(f"accuracy: {len(mus_val)}-mu FOM references "
-                        "(cached)")
-        if fom_refs is None:
-            log(f"accuracy: {len(mus_val)}-mu FOM reference solves")
-            refs = []
-            with jax.default_device(offline_device):
-                for m in mus_val:
-                    fom.setup()
-                    fom.update_parametrization(m)
-                    fom.solve()
-                    refs.append(np.asarray(fom.solutions.fom))
-            fom_refs = np.stack(refs)
-            np.savez(cache, uh=fom_refs, nx=nx, nt=nt, mu=key)
-
         log(f"accuracy: {len(mus_val)}-mu windowed validation sweep"
             + (" (mu-local routed)" if rom.mulocal is not None else ""))
         with jax.default_device(offline_device):
@@ -486,6 +507,37 @@ def main():
                                          step=Stage.VALIDATION, mode="full",
                                          engine="windowed")
             rom._online_fns = {}
+        dils_m = np.asarray(outs_m.get("dil",
+                                       np.ones(len(mus_val))), np.float64)
+
+        # FOM references at each lane's MATCHED grid (dt·d, same nt —
+        # identical grid when the μ's cell is unregistered); the cache
+        # keys on the dilations too.
+        cache = "fom_validation_multi.npz"
+        fom_refs = None
+        if os.path.exists(cache):
+            with np.load(cache) as d:
+                cached_dil = (np.asarray(d["dil"], np.float64)
+                              if "dil" in d else np.ones(len(d["uh"])))
+                if (int(d["nx"]) == nx and int(d["nt"]) == nt
+                        and d["mu"].shape == key.shape
+                        and np.allclose(d["mu"], key)
+                        and cached_dil.shape == dils_m.shape
+                        and np.allclose(cached_dil, dils_m)):
+                    fom_refs = d["uh"]
+                    log(f"accuracy: {len(mus_val)}-mu FOM references "
+                        "(cached)")
+        if fom_refs is None:
+            n_dil = int(np.sum(dils_m != 1.0))
+            log(f"accuracy: {len(mus_val)}-mu FOM reference solves"
+                + (f" ({n_dil} on matched dilated grids)" if n_dil
+                   else ""))
+            fom_refs = np.stack([
+                solve_fom_ref(m, float(d))
+                for m, d in zip(mus_val, dils_m)
+            ])
+            np.savez(cache, uh=fom_refs, nx=nx, nt=nt, mu=key, dil=dils_m)
+
         rels = [
             float(np.linalg.norm(np.asarray(outs_m["uc"][i]).T
                                  - fom_refs[i])
@@ -496,6 +548,7 @@ def main():
             "n": len(mus_val),
             "mean": float(np.mean(rels)),
             "max": float(np.max(rels)),
+            "n_registered": int(np.sum(dils_m != 1.0)),
         }
         log(f"accuracy: rel-L2 over {len(mus_val)} mu: "
             f"mean {multi_stats['mean']:.3e} max {multi_stats['max']:.3e}")
@@ -788,6 +841,10 @@ def main():
             "window_n": window_n,
             "cell_wn": (rom.mulocal.cell_wn
                         if rom.mulocal is not None else None),
+            "registered_cells": (
+                [c for c, w in enumerate(rom.mulocal.cells)
+                 if getattr(w, "dilation", None) is not None]
+                if rom.mulocal is not None else None),
             "nx": nx,
             "nt": nt,
             "rom_modes": int(rom.N),

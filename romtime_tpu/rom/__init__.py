@@ -3,10 +3,14 @@ reference: src/romtime/rom/__init__.py:1-12)."""
 
 from .base import Reductor
 from .pod import orth
+from .registration import DilationLaw, fit_dilation_law, resample_to_standard
 
 __all__ = [
     "Reductor",
     "orth",
+    "DilationLaw",
+    "fit_dilation_law",
+    "resample_to_standard",
     "RomConstructor",
     "RomConstructorMoving",
     "RomConstructorNonlinear",

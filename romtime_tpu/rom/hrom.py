@@ -441,7 +441,8 @@ class HyperReducedOrderModelFixed:
                               augment_global=False, augment_weight=1.0,
                               srom_extra=None, edges=None,
                               device_sweep=False, mesh=None,
-                              cell_wn=None, snapshot_cache=None):
+                              cell_wn=None, snapshot_cache=None,
+                              register=None):
         """μ-local windowed serving: K piston-Mach cells, each a full
         per-window local-basis configuration (rom/windowed.py
         ``MuLocalWindowed``), routed online by
@@ -509,6 +510,20 @@ class HyperReducedOrderModelFixed:
         (W, N) (e.g. scanning cell_wn operating points) repays only the
         per-window POD/projection stage (seconds). Defaults to the
         ``dump`` flag.
+
+        ``register``: phase-align (time-register) the listed cells
+        (iterable of cell indices, or "all") — rom/registration.py. The
+        cell's projection floor collapses when it is transport-bound
+        (measured on the flagship high-Mach corner: W=100/N=40
+        1.06e-4 → 4.2e-6): a scalar per-μ time dilation d(μ) (linear
+        law, fitted from the cell's standard-clock trajectories) aligns
+        the wave phases; the cell's training set is re-solved at
+        dt·d(μ_j) (native f64 loop — seconds) and window-POD'd on the
+        step-index-aligned clock, and lanes serve on their own dilated
+        grids (certification resamples back, registration.
+        resample_to_standard). Registered cells reject
+        ``augment_global`` (box-wide trajectories live on the standard
+        clock — mixing clocks breaks alignment).
         """
         from .pod import orth
         from .windowed import MuLocalWindowed
@@ -547,8 +562,21 @@ class HyperReducedOrderModelFixed:
         tri = rom.mdeim_Nh
         local_tri = bool(local_nmdeim) and tri is not None \
             and getattr(self, "mdeim_trilinear", None) is not None
+        if register == "all":
+            register = set(range(n_cells))
+        elif register:
+            register = {int(c) for c in register}
+        else:
+            register = set()
+        if register and augment_global:
+            raise ValueError(
+                "register + augment_global: box-wide augmentation "
+                "trajectories live on the standard clock and cannot "
+                "join a phase-aligned window stack"
+            )
         cell_snaps = {c: [] for c in range(n_cells)}
         cell_nl = {c: [] for c in range(n_cells)}
+        cell_mus = {c: [] for c in range(n_cells)}
         per_cell = (list(snapshots_per_cell)
                     if np.ndim(snapshots_per_cell) else
                     [snapshots_per_cell] * n_cells)
@@ -579,7 +607,10 @@ class HyperReducedOrderModelFixed:
                             and np.allclose(d["edges"], edges)
                             and [int(x) for x in d["per_cell"]]
                             == [wanted[c] for c in range(n_cells)]
-                            and (not local_tri or bool(d["has_nl"]))):
+                            and (not local_tri or bool(d["has_nl"]))
+                            and (not register or "mu_keys" in d)):
+                        mu_keys = ([str(k) for k in d["mu_keys"]]
+                                   if "mu_keys" in d else None)
                         for c in range(n_cells):
                             for j in range(wanted[c]):
                                 cell_snaps[c].append(np.asarray(
@@ -587,6 +618,12 @@ class HyperReducedOrderModelFixed:
                                 if local_tri:
                                     cell_nl[c].append(np.asarray(
                                         d[f"nl_{c}_{j}"], np.float64))
+                            if mu_keys is not None and f"mus_{c}" in d:
+                                cell_mus[c] = [
+                                    dict(zip(mu_keys,
+                                             (float(x) for x in row)))
+                                    for row in d[f"mus_{c}"]
+                                ]
                         cache_hit = True
                         wanted = {c: 0 for c in range(n_cells)}
             except Exception:
@@ -646,6 +683,7 @@ class HyperReducedOrderModelFixed:
             c = cell_of(m)
             if wanted.get(c, 0) <= 0:
                 continue
+            cell_mus[c].append(dict(m))
             if device_sweep:
                 # Defer: collect the cell's μ, solve the whole fleet in
                 # ONE vmapped/sharded launch below (parallel/sweep.py —
@@ -710,6 +748,16 @@ class HyperReducedOrderModelFixed:
                     build_label if device_sweep else "f64"
                 ),
             }
+            mu_keys = sorted(cell_mus[0][0]) if cell_mus[0] else None
+            if mu_keys is not None:
+                # Training μ's ride the cache so a warm rebuild can fit
+                # registration (dilation) laws without re-solving.
+                payload["mu_keys"] = np.array(mu_keys)
+                for c in range(n_cells):
+                    payload[f"mus_{c}"] = np.array(
+                        [[float(m[k]) for k in mu_keys]
+                         for m in cell_mus[c]], np.float64
+                    )
             for c in range(n_cells):
                 for j, snap in enumerate(cell_snaps[c]):
                     payload[f"snap_{c}_{j}"] = np.asarray(snap, np.float64)
@@ -755,12 +803,34 @@ class HyperReducedOrderModelFixed:
             for c in range(n_cells):
                 w_c, n_c = int(wn[c][0]), int(wn[c][1])
                 n_build = n_c + (srom_extra or 0)
+                snaps_c, nl_c, law = cell_snaps[c], cell_nl[c], None
+                if c in register:
+                    # Phase alignment (rom/registration.py): fit the
+                    # dilation law on the standard-clock trajectories,
+                    # then RE-SOLVE the cell's training set on per-μ
+                    # dilated grids (exact step-index alignment, no
+                    # snapshot interpolation) — the native f64 loop
+                    # makes this seconds per cell.
+                    from .registration import fit_dilation_law
+
+                    if len(cell_mus[c]) != len(snaps_c):
+                        raise ValueError(
+                            f"register cell {c}: training μ's are "
+                            "unavailable (stale snapshot cache without "
+                            "mu payload?) — delete "
+                            f"{StorageNames.MULOCAL_SNAPSHOTS} and "
+                            "rebuild"
+                        )
+                    law, dils = fit_dilation_law(snaps_c, cell_mus[c])
+                    snaps_c, nl_c = self._solve_registered_cell(
+                        cell_mus[c], dils, local_tri
+                    )
                 if local_tri:
                     # Hierarchical POD of the cell's nonlinear-operator
                     # rows (same recipe as build_reduced_basis: per-μ
                     # σ-weighted time stage, then the μ stage).
                     stages = []
-                    for nl_rows in cell_nl[c]:
+                    for nl_rows in nl_c:
                         nl = np.array(nl_rows[1:], np.float64).T
                         b, s, _e = orth(nl)
                         stages.append(b * s[: b.shape[1]])
@@ -771,8 +841,9 @@ class HyperReducedOrderModelFixed:
                         rom._trilinear_table_cache = None
                 win = rom.build_windowed_serving(
                     n_windows=w_c, num_basis=n_build,
-                    snapshots=cell_snaps[c] + aug, overlap=overlap,
+                    snapshots=snaps_c + aug, overlap=overlap,
                 )
+                win.dilation = law
                 if srom_extra:
                     cells_srom.append(win)
                     win = win.truncate(n_c)
@@ -795,6 +866,36 @@ class HyperReducedOrderModelFixed:
         if dump:
             ml.dump(StorageNames.WINDOWS_MULOCAL)
         return ml
+
+    def _solve_registered_cell(self, mus, dils, want_nl):
+        """Re-solve a registered cell's training set on per-μ dilated
+        time grids (dt_j = d_j·dt over the same nt steps — the serving
+        clock, rom/registration.py). Always the certification-grade f64
+        host path (the native C++ loop when eligible — seconds per
+        cell); per-μ dt does not fit the shared-dt batched device sweep.
+        """
+        fom = self.fom
+        t_orig = fom.domain[fom.T]
+        snaps, nls = [], []
+        try:
+            for m, d in zip(mus, dils):
+                fom.domain[fom.T] = float(t_orig) * float(d)
+                # dt is a trace-time constant of the jitted fallback
+                # loop — drop compiled entries so each dilation traces
+                # fresh (the native path reads dt per call).
+                fom._solve_jit = {}
+                fom.setup()
+                fom.update_parametrization(m)
+                fom.solve()
+                snaps.append(
+                    np.asarray(fom.solutions.snapshots, np.float64)
+                )
+                if want_nl:
+                    nls.append(list(fom.nonlinear_snapshots))
+        finally:
+            fom.domain[fom.T] = t_orig
+            fom._solve_jit = {}
+        return snaps, nls
 
     def build_windowed_srom(self, n_windows, num_basis, snapshots=None,
                             overlap=2, dump=True):

@@ -1,0 +1,194 @@
+"""Phase alignment (time registration) for μ-local windowed serving.
+
+The high-Mach piston cell's projection floor is transport-bound: the
+wave field's PHASE varies with μ (acoustic crossing ∝ 1/a0, piston
+forcing ∝ ω), so nearby-μ trajectories are near-translates in time and
+no small linear subspace spans them (slowly decaying Kolmogorov width —
+the round-3 dead end: capacity and cell-narrowing both measured
+exhausted at a ~3.7e-4 floor). Aligning the trajectories by a scalar
+per-μ time dilation before the window POD collapses the floor
+(measured on the flagship corner-cell cache: W=100/N=40 1.06e-4 →
+4.2e-6, N=48 → 7.3e-7), and the dilation is an almost exact LINEAR
+function of μ (leave-one-out rms 2e-4 over a [0.965, 1] range), so it
+is predictable for held-out parameters.
+
+TPU-native serving formulation — the aligned clock is the STEP INDEX:
+
+- offline: re-solve each training trajectory with its own dilated step
+  dt_j = d(μ_j)·dt (d ≥ 1 by normalization, so nt steps cover [0, tf]);
+  window-POD the per-step-aligned stacks. No snapshot interpolation —
+  alignment is exact by construction.
+- online: each lane integrates with its own dt_b = d(μ_b)·dt. The
+  dilation enters ONLY through per-lane quantities the batched engines
+  already carry: θ entries are evaluated at the lane's dilated times,
+  the dt-scaled θ streams (stiffness-side, rhs) and the trilinear
+  coefficient b0 are scaled by d_b. Window schedules stay batch-uniform
+  (same step-index windows), the compiled kernels are UNCHANGED.
+- certification: served trajectories live on per-lane dilated grids;
+  :func:`resample_to_standard` maps them back to the standard grid with
+  cubic (O(dt³)) interpolation, below the BDF-2 floor.
+
+No reference analog: the reference serves one global basis on one clock
+(reference: rom/rom.py:430-555). The method is the classical
+shifted/registered-POD idea specialized to time-periodic transport,
+where it becomes a pure re-parametrization of the serving time grid.
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class DilationLaw:
+    """Per-cell linear dilation law d(μ) = c₀ + Σᵢ cᵢ·μ[nameᵢ], clamped
+    below at ``floor`` (coverage of [0, tf] needs d ≥ 1)."""
+
+    names: tuple                 # μ keys entering the law
+    coef: np.ndarray             # (1 + len(names),) float64
+    floor: float = 1.0
+
+    def predict(self, mu):
+        """Dilation for a μ dict of scalars or (B,) arrays; jax-traceable
+        (plain arithmetic on the dict values)."""
+        d = self.coef[0]
+        for c, n in zip(self.coef[1:], self.names):
+            d = d + c * mu[n]
+        if hasattr(d, "clip"):
+            return d.clip(self.floor)
+        return max(float(d), self.floor)
+
+    def to_payload(self):
+        return {
+            "names": np.array(list(self.names)),
+            "coef": np.asarray(self.coef, np.float64),
+            "floor": np.float64(self.floor),
+        }
+
+    @classmethod
+    def from_payload(cls, names, coef, floor):
+        return cls(names=tuple(str(n) for n in np.asarray(names)),
+                   coef=np.asarray(coef, np.float64),
+                   floor=float(floor))
+
+
+def resample_time(u, d, nt=None):
+    """Linearly resample a trajectory ``u`` (..., nt) at dilated steps:
+    out[..., k] = u(d·k) (0-based column clock). Floor-prediction helper;
+    the production build re-SOLVES on the dilated grid instead."""
+    u = np.asarray(u)
+    nt_src = u.shape[-1]
+    nt = nt_src if nt is None else int(nt)
+    tau = np.clip(d * np.arange(nt), 0, nt_src - 1)
+    i0 = np.floor(tau).astype(int)
+    fr = tau - i0
+    i1 = np.minimum(i0 + 1, nt_src - 1)
+    return u[..., i0] * (1 - fr) + u[..., i1] * fr
+
+
+def optimal_dilation(u, anchor, lo=0.9, hi=1.1, coarse=81, refine=33):
+    """Scalar d minimizing ‖u(:, d·t) − anchor‖_F (Frobenius over the
+    linearly resampled trajectory). Grid search + one refinement — the
+    objective is smooth and single-dipped over phase-neighbour
+    trajectories (measured on the flagship corner cell)."""
+    u = np.asarray(u, np.float64)
+    anchor = np.asarray(anchor, np.float64)
+
+    def err(d):
+        return float(np.linalg.norm(resample_time(u, d) - anchor))
+
+    grid = np.linspace(lo, hi, coarse)
+    errs = [err(d) for d in grid]
+    best = int(np.argmin(errs))
+    d0 = grid[best]
+    step = grid[1] - grid[0]
+    fine = np.linspace(d0 - step, d0 + step, refine)
+    errs = [err(d) for d in fine]
+    return float(fine[int(np.argmin(errs))])
+
+
+def fit_dilation_law(snapshots, mus, names=("a0", "omega", "delta"),
+                     anchor=0, margin=0.01, search=(0.9, 1.1)):
+    """Fit a cell's dilation law from its training trajectories.
+
+    Parameters
+    ----------
+    snapshots : list of (nh, nt) trajectories on the STANDARD grid
+    mus : matching list of μ dicts
+    names : μ keys entering the linear law
+    anchor : index of the alignment anchor trajectory
+    margin : the law is normalized so its minimum over the training μ's
+        is ``1 + margin`` — headroom for held-out μ's predicting below
+        the training minimum (LOO spread measured ~5e-4; 1e-2 default is
+        ~20× that, costing ≤1% extra dt coarsening).
+
+    Returns ``(law, dils)``: the normalized :class:`DilationLaw` and the
+    normalized per-training-trajectory dilations (all ≥ 1 + margin) to
+    re-solve the training set at. Raises when an alignment search lands
+    on the search boundary (no interior optimum — the cell is not
+    phase-alignable by a scalar dilation; widen ``search`` or skip
+    registration for it).
+    """
+    anchor_traj = np.asarray(snapshots[anchor], np.float64)
+    lo, hi = search
+    dils = []
+    for j, s in enumerate(snapshots):
+        if j == anchor:
+            dils.append(1.0)
+            continue
+        d = optimal_dilation(s, anchor_traj, lo=lo, hi=hi)
+        if d <= lo + 1e-9 or d >= hi - 1e-9:
+            raise ValueError(
+                f"dilation search for trajectory {j} hit the boundary "
+                f"({d:.4f} of [{lo}, {hi}]) — the cell does not "
+                "phase-align under a scalar time dilation"
+            )
+        dils.append(d)
+    dils = np.asarray(dils, np.float64)
+
+    X = np.stack(
+        [np.ones(len(mus))]
+        + [np.array([float(m[n]) for m in mus]) for n in names],
+        axis=1,
+    )
+    coef, *_ = np.linalg.lstsq(X, dils, rcond=None)
+    pred = X @ coef
+    # Normalize: training predictions ≥ 1 + margin, so nt serving steps
+    # at d·dt always cover [0, tf] with the same margin for held-out μ.
+    scale = (1.0 + margin) / float(pred.min())
+    coef = coef * scale
+    law = DilationLaw(names=tuple(names), coef=coef, floor=1.0)
+    return law, pred * scale
+
+
+def resample_to_standard(traj, d, axis=0):
+    """Map a served trajectory from its dilated grid back to the
+    standard grid.
+
+    ``traj`` holds samples at t = (k+1)·d·dt for k = 0..nt−1 along
+    ``axis``; returns samples at t = (m+1)·dt (same count). Cubic
+    Lagrange on the uniform source grid — O(dt³·u_ttt) ≈ 1e-7-class at
+    the flagship ω, below the BDF-2 floor (linear interpolation would
+    cost ~7e-6, above the ≤1e-6 certification band). d ≥ 1 guarantees
+    the standard grid is interior except the first fraction of a step,
+    where the clamped stencil extrapolates by < (1−1/d) of one step.
+    """
+    if abs(float(d) - 1.0) < 1e-12:
+        return np.asarray(traj)
+    traj = np.moveaxis(np.asarray(traj), axis, 0)
+    nt = traj.shape[0]
+    # 1-based clocks: source sample j at t = j·d·dt, target m at m·dt.
+    s = np.arange(1, nt + 1) / float(d)
+    j0 = np.clip(np.floor(s).astype(int), 2, nt - 2)
+    r = s - j0
+    w = np.stack([
+        -r * (r - 1) * (r - 2) / 6.0,
+        (r + 1) * (r - 1) * (r - 2) / 2.0,
+        -(r + 1) * r * (r - 2) / 2.0,
+        (r + 1) * r * (r - 1) / 6.0,
+    ])  # stencil offsets -1, 0, 1, 2 around j0
+    w = w.reshape((4, nt) + (1,) * (traj.ndim - 1))
+    i = j0 - 1  # 0-based index of the j0 sample
+    out = (w[0] * traj[i - 1] + w[1] * traj[i]
+           + w[2] * traj[i + 1] + w[3] * traj[i + 2])
+    return np.moveaxis(out, 0, axis)

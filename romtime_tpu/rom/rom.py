@@ -1500,6 +1500,12 @@ class RomConstructor(Reductor):
             "BfT": jnp.asarray(Bf_np.transpose(0, 2, 1)),
             "T0T": jnp.asarray(T0_np.transpose(0, 2, 1)),
         }
+        if win.dilation is not None:
+            # Phase-aligned serving: the law's COEFFICIENTS are runtime
+            # table values (cell swaps reuse the compiled sweep — a
+            # trace-time read would bake the first cell's law), while
+            # its feature names are part of the compile key.
+            tbl["dil_coef"] = jnp.asarray(win.dilation.coef, jnp.float32)
         self._windowed_pallas_tbl = tbl
         # Prime the Richardson auto-iteration estimate HERE (host-side,
         # eager): _windowed_solve_iters is consulted inside the traced
@@ -1525,12 +1531,27 @@ class RomConstructor(Reductor):
 
         sources = self._theta_sources()
         ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
+        dil = self._windowed_dilation(mu, tables.get("dil_coef"))
+        if dil is not None:
+            # Phase-aligned serving: each lane integrates on its own
+            # dilated grid t_k = (k+1)·d_b·dt (rom/registration.py) —
+            # θ entries evaluate at per-lane times; the dt-scaled θ
+            # streams and the trilinear coefficient pick up the d_b
+            # factor below. Window schedules stay batch-uniform.
+            ts_grid = ts_grid[:, None] * dil[None, :].astype(dtype)
         ent = {
             name: jax.vmap(
                 lambda t, red=red: red._entries_traced(mu, t)
             )(ts_grid).astype(dtype)
             for name, (red, _fb) in sources.items()
         }  # (nt, k, B)
+        if dil is not None:
+            dil_f = dil.astype(dtype)
+            for name in ent:
+                if name != "mass":
+                    # dt-side terms: dt_b = d_b·dt, with dt folded into
+                    # the combine tensors — the θ stream carries d_b.
+                    ent[name] = ent[name] * dil_f[None, None, :]
         stiff_names = [n for n in sources if n not in ("mass", "rhs_vec")]
 
         km8 = tables["Bm"].shape[2]
@@ -1559,6 +1580,11 @@ class RomConstructor(Reductor):
             b0 = jnp.asarray(
                 self.fom.nonlinear_coefficient(mu), dtype
             ) * jnp.ones((B,), dtype)
+            if dil is not None:
+                # The kernels apply the trilinear as NN·(dt·b0) — the
+                # per-lane d_b folds into b0, so dt stays a static
+                # scalar and the kernels are untouched.
+                b0 = b0 * dil_f
             b0 = b0[None, :]
         else:
             b0 = jnp.ones((1, B), dtype)
@@ -1573,8 +1599,29 @@ class RomConstructor(Reductor):
         g_full = jnp.zeros((nt, PROBE_P, B), dtype).at[:, :2, :].set(
             g_tab.astype(dtype)
         )
-        return {"THm": THm_full, "THk": THk_full, "THf": THf_full,
-                "g": g_full, "b0": b0}
+        out = {"THm": THm_full, "THk": THk_full, "THf": THf_full,
+               "g": g_full, "b0": b0}
+        if dil is not None:
+            out["dil"] = dil.astype(dtype)
+        return out
+
+    def _windowed_dilation(self, mu, coef):
+        """Per-lane time dilation d(μ_b) for phase-aligned serving —
+        ``None`` when the active windowed configuration carries no
+        registration law. ``coef`` comes from the runtime table pytree
+        (cell swaps reuse compiled sweeps); the law's feature NAMES are
+        static per compiled fn (part of the `_get_online_fn` key)."""
+        win = self.windows
+        law = getattr(win, "dilation", None) if win is not None else None
+        if law is None or coef is None:
+            return None
+        d = coef[0]
+        for i, n in enumerate(law.names):
+            d = d + coef[i + 1] * mu[n]
+        # Constant laws (no features) still serve per-lane: broadcast to
+        # the batch shape.
+        d = d * jnp.ones_like(next(iter(mu.values())))
+        return jnp.maximum(d, law.floor)
 
     def _online_sweep_windowed_pallas(self, prepped, tables,
                                       interpret=False):
@@ -1616,8 +1663,12 @@ class RomConstructor(Reductor):
         THf_full = prepped["THf"]
         g_full = prepped["g"]
         b0 = prepped["b0"]
+        dil = prepped.get("dil")
         B = THm_full.shape[2]
         ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
+        if dil is not None:
+            # Phase-aligned lanes live on their own dilated grids.
+            ts_grid = ts_grid[:, None] * dil[None, :]
         with_trilinear = win.trilinear is not None
 
         # Materialized tables only when every window's fit the budget.
@@ -1670,11 +1721,11 @@ class RomConstructor(Reductor):
                 )
                 probes_parts.append(probes_w)
             probes = jnp.concatenate(probes_parts, axis=0)
-            return {
-                "t": ts_grid,
-                "probes": probes[:, :2, :],
-                "uN_final": state[0, :N, :],
-            }
+            return dict(
+                {"t": ts_grid, "probes": probes[:, :2, :],
+                 "uN_final": state[0, :N, :]},
+                **({"dil": dil} if dil is not None else {}),
+            )
 
         # θ-streaming serving path. ROMTIME_WINDOWED_KERNEL selects the
         # kernel generation:
@@ -1705,11 +1756,11 @@ class RomConstructor(Reductor):
                 km8=km8, kk8=kk8, kf8=kf8, interpret=interpret,
                 solve_iters=self._windowed_solve_iters(),
             )
-            return {
-                "t": ts_grid,
-                "probes": probes[:, :2, :],
-                "uN_final": state[0, :N, :],
-            }
+            return dict(
+                {"t": ts_grid, "probes": probes[:, :2, :],
+                 "uN_final": state[0, :N, :]},
+                **({"dil": dil} if dil is not None else {}),
+            )
 
         # v2: lax.scan over the stacked per-window
         # tables — exactly ONE pallas_call site (one Mosaic compile)
@@ -1742,11 +1793,11 @@ class RomConstructor(Reductor):
         }
         state, probes_sw = jax.lax.scan(window_body, state, wdatas)
         probes = probes_sw.reshape((nt,) + probes_sw.shape[2:])
-        return {
-            "t": ts_grid,
-            "probes": probes[:, :2, :],
-            "uN_final": state[0, :N, :],
-        }
+        return dict(
+            {"t": ts_grid, "probes": probes[:, :2, :],
+             "uN_final": state[0, :N, :]},
+            **({"dil": dil} if dil is not None else {}),
+        )
 
     @staticmethod
     def _transfer_carry(carry, T_np, dtype):
@@ -1791,6 +1842,10 @@ class RomConstructor(Reductor):
         if win.trilinear is not None:
             tbl["T0"] = _asarray(win.trilinear)
         tbl["V_ends"] = _asarray(win.Vs[:, [0, -1], :])
+        if win.dilation is not None:
+            # Registration law coefficients as runtime values (see
+            # _windowed_pallas_tables).
+            tbl["dil_coef"] = _asarray(win.dilation.coef)
         if mode == "full":
             tbl["V_full"] = _asarray(win.Vs)
         T_np = np.concatenate(
@@ -1831,17 +1886,30 @@ class RomConstructor(Reductor):
 
         sources = self._theta_sources()
         ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
+        dil = self._windowed_dilation(mu, tables.get("dil_coef"))
+        if dil is not None:
+            # Phase-aligned serving (rom/registration.py): per-lane
+            # dilated time grids; the dt-side θ streams and the
+            # trilinear coefficient pick up the d_b factor below.
+            dil = dil.astype(dtype)
+            ts_grid = ts_grid[:, None] * dil[None, :]
         ent = {
             name: jax.vmap(lambda t, red=red: red._entries_traced(mu, t))(
                 ts_grid
             )
             for name, (red, _fb) in sources.items()
         }  # each (nt, k, B)
+        if dil is not None:
+            for name in ent:
+                if name != "mass":
+                    ent[name] = ent[name] * dil[None, None, :]
         stiff_names = [n for n in sources if n not in ("mass", "rhs_vec")]
 
         b0 = None
         if win.trilinear is not None:
             b0 = self.fom.nonlinear_coefficient(mu)  # (B,) or scalar
+            if dil is not None:
+                b0 = b0 * dil  # dt_b·N(u) = (d_b·b0)·dt·N₁(u)
 
         matvec = partial(jnp.einsum, "ijB,jB->iB")
 
@@ -1901,6 +1969,8 @@ class RomConstructor(Reductor):
                 i, (MN_flat, dtS_flat, fN_dt) = inputs
                 k = k0 + i
                 t = (k + 1).astype(dtype) * dt
+                if dil is not None:
+                    t = t * dil  # (B,) — per-lane dilated clock
                 MN = MN_flat.reshape((N, N, -1))
                 dtS = dtS_flat.reshape((N, N, -1))
 
@@ -1977,12 +2047,20 @@ class RomConstructor(Reductor):
         }
         if mode == "probes":
             outs["uN_final"] = carry[0]
+        if dil is not None:
+            outs["dil"] = dil
         return outs
 
     def _online_sweep_windowed_chained(self, mu, mode="probes"):
         """Per-window chained trace (unequal window widths fallback)."""
         win = self.windows
         assert win is not None, "call build_windowed_serving first"
+        if getattr(win, "dilation", None) is not None:
+            raise NotImplementedError(
+                "phase-aligned (registered) serving requires equal "
+                "window widths — the unequal-width chained fallback "
+                "does not carry per-lane dilated clocks"
+            )
         fom = self.fom
         nt = int(fom.domain[fom.NT])
         bdf2 = fom.BDF_SCHEME == BDF.TWO
@@ -2130,8 +2208,16 @@ class RomConstructor(Reductor):
         return wrapped
 
     def _get_online_fn(self, batched, mode="full", engine="vmap"):
+        # The dilation law's STRUCTURE (feature names / presence) is
+        # trace-time constant; its coefficient VALUES flow through the
+        # runtime tables — so cells differing in registration structure
+        # compile separate sweeps while same-structure cells share one.
+        dil_sig = None
+        if self.windows is not None and \
+                getattr(self.windows, "dilation", None) is not None:
+            dil_sig = tuple(self.windows.dilation.names)
         key = ("batched" if batched else "single", mode, engine, self.N,
-               compute_dtype())
+               compute_dtype(), dil_sig)
         fn = self._online_fns.get(key)
         if fn is None:
             tables_fn = None
@@ -2795,6 +2881,21 @@ class RomConstructorNonlinear(RomConstructorMoving):
             self._set_serving_windows(prev)
         merged = dict(passthru)
         for k, lst in rows.items():
+            # Mixed registration fleets: a phase-aligned cell emits
+            # per-row "t"/"dil" while unregistered cells emit a shared
+            # "t" (passthru) and no "dil" — fill the unregistered rows
+            # with the shared grid / the identity dilation.
+            if any(r is None for r in lst):
+                if k == "dil":
+                    fill = np.asarray(1.0)
+                elif k in passthru:
+                    fill = np.asarray(passthru[k])
+                else:
+                    raise ValueError(
+                        f"μ-local merge: output '{k}' missing for some "
+                        "cells and no shared fallback value exists"
+                    )
+                lst = [fill if r is None else r for r in lst]
             # Mixed-(W, N) fleets: per-row shapes can differ across
             # cells (e.g. reduced coordinates at per-cell N) — keep a
             # list of rows then; stack only when shapes agree.

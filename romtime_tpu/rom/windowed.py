@@ -36,6 +36,20 @@ import numpy as np
 from .pod import orth
 
 
+def _load_dilation(data, prefix):
+    """Rebuild a DilationLaw from npz keys ``{prefix}dilation_*`` or
+    return None when the dump predates / lacks registration."""
+    if f"{prefix}dilation_coef" not in data.files:
+        return None
+    from .registration import DilationLaw
+
+    return DilationLaw.from_payload(
+        names=data[f"{prefix}dilation_names"],
+        coef=data[f"{prefix}dilation_coef"],
+        floor=data[f"{prefix}dilation_floor"],
+    )
+
+
 @dataclass
 class WindowedServing:
     """Per-window serving artifacts (all host-side numpy, float64)."""
@@ -45,6 +59,11 @@ class WindowedServing:
     transfers: np.ndarray       # (W-1, N, N) T_w = Vs[w+1]ᵀ Vs[w]
     combines: dict = field(default_factory=dict)  # name → (W, n_out, k)
     trilinear: np.ndarray = None   # (W, N², N) fast-path tensors or None
+    dilation: object = None        # registration.DilationLaw — the
+    #                                bases were built from trajectories
+    #                                solved at dt·d(μ) per training μ
+    #                                (phase-aligned serving), and lanes
+    #                                must serve at their own dt·d(μ_b)
 
     @property
     def n_windows(self):
@@ -70,6 +89,9 @@ class WindowedServing:
             payload[f"combine_{name}"] = np.asarray(C)
         if self.trilinear is not None:
             payload["trilinear"] = np.asarray(self.trilinear)
+        if self.dilation is not None:
+            for k, v in self.dilation.to_payload().items():
+                payload[f"dilation_{k}"] = v
         np.savez(path, **payload)
 
     def truncate(self, N):
@@ -112,6 +134,7 @@ class WindowedServing:
                 np.asarray(self.transfers)[:, :N, :N]),
             combines=combines,
             trilinear=tri,
+            dilation=self.dilation,
         )
 
     @classmethod
@@ -130,6 +153,7 @@ class WindowedServing:
                 combines=combines,
                 trilinear=(data["trilinear"]
                            if "trilinear" in data.files else None),
+                dilation=_load_dilation(data, ""),
             )
 
 
@@ -343,6 +367,9 @@ class MuLocalWindowed:
                 payload[f"c{c}_combine_{name}"] = np.asarray(C)
             if win.trilinear is not None:
                 payload[f"c{c}_trilinear"] = np.asarray(win.trilinear)
+            if win.dilation is not None:
+                for k, v in win.dilation.to_payload().items():
+                    payload[f"c{c}_dilation_{k}"] = v
         np.savez(path, **payload)
 
     @classmethod
@@ -365,6 +392,7 @@ class MuLocalWindowed:
                     trilinear=(data[pre + "trilinear"]
                                if pre + "trilinear" in data.files
                                else None),
+                    dilation=_load_dilation(data, pre),
                 ))
             if "serving_ns" in data.files:
                 ns = [int(n) for n in data["serving_ns"]]
