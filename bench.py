@@ -91,10 +91,17 @@ def main():
         # uniform N=40 fleet (BENCH_CELL_WN="" or 30x40×4) serves 12,729
         # @ 2.467e-7 — keep it when every cell must sit on the deepest
         # floor.
+        # Round-4 fleet: K=6 Mach cells, phase-aligned (registered)
+        # where alignable, shapes from the ALIGNED per-cell floors
+        # (ROADMAP round-4 ledger): cells 0-3 hold ≤4e-6 floors at the
+        # fast 50x32 shape; cell 4 needs 100x40 (8.7e-7), the corner
+        # cell 100x48 (1.6e-7 at the law-fit dilations). The timed
+        # active cell (mu_val's) stays 50x32 — headline throughput is
+        # unchanged by the upper-cell shapes.
         defaults = dict(modes=96, truncate=8, nmdeim=96, windows=50,
                         window_n=32, batch=2048, offline_mu=8, tri_mu=3,
-                        mulocal=4, per_cell=10,
-                        cell_wn="50x32,50x32,50x32,30x40")
+                        mulocal=6, per_cell=12, register="auto",
+                        cell_wn="50x32,50x32,50x32,50x32,100x40,100x48")
     else:
         defaults = dict(modes=20, truncate=5, nmdeim=12, windows=0,
                         window_n=0, batch=2048, offline_mu=3, tri_mu=2,
@@ -328,8 +335,8 @@ def main():
 
         if reg_env == "top":
             register = [n_cells - 1]
-        elif reg_env == "all":
-            register = list(range(n_cells))
+        elif reg_env in ("all", "auto"):
+            register = reg_env
         elif reg_env:
             register = [int(x) for x in reg_env.split(",")]
         else:
@@ -338,14 +345,19 @@ def main():
         if auto_fleet and os.path.exists(_SN.MULOCAL_SNAPSHOTS):
             cell_wn = resolve_auto_fleet()
         want_wn = cell_wn or [(n_windows, window_n)] * n_cells
-        want_reg = set(register or [])
         ml = rom.mulocal
-        have_reg = (None if ml is None else
+        have_reg = (set() if ml is None else
                     {c for c, w in enumerate(ml.cells)
                      if getattr(w, "dilation", None) is not None})
+        if register in ("all", "auto"):
+            # auto may legitimately skip non-aligning cells — a resumed
+            # fleet with ANY registered cell is acceptable.
+            reg_mismatch = not have_reg
+        else:
+            reg_mismatch = have_reg != set(register or [])
         if (ml is None or ml.n_cells != n_cells
                 or ml.cell_wn != [tuple(x) for x in want_wn]
-                or have_reg != want_reg
+                or reg_mismatch
                 or (srom_extra and ml.cells_srom is None)):
             log(f"offline: mu-local serving build (K={n_cells} Mach cells"
                 + (", device sweep" if offline_mode.startswith("device")

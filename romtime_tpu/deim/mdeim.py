@@ -13,9 +13,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from ..conventions import EmpiricalInterpolation
 from ..ops.assembly import band_matmat, nnz_to_band
 from .deim import DiscreteEmpiricalInterpolation
+
+
+@partial(jax.jit, static_argnames=("p", "nh"))
+def _project_modes(modes, V, rows, cols, p, nh):
+    """A_N = Vᵀ A_h V per collateral mode, vmapped. Module-level jit:
+    the windowed builds call project_basis once PER WINDOW per operator
+    (W×operators×cells calls at the flagship fleet) and a closure-local
+    jit would recompile every call — this caches one compilation per
+    (shape, p, nh) for the whole build."""
+
+    def project_mode(mode_vec):
+        band = nnz_to_band(mode_vec, rows, cols, p, nh)
+        AN = V.T @ band_matmat(band, V, p)
+        return AN.reshape(-1)
+
+    return jax.vmap(project_mode)(modes)
 
 
 class MatrixDiscreteEmpiricalInterpolation(DiscreteEmpiricalInterpolation):
@@ -136,13 +154,9 @@ class MatrixDiscreteEmpiricalInterpolation(DiscreteEmpiricalInterpolation):
         rows = np.asarray(self.rows)
         cols = np.asarray(self.cols)
 
-        def project_mode(mode_vec):
-            band = nnz_to_band(mode_vec, rows, cols, p, nh)
-            AN = V.T @ band_matmat(band, V, p)
-            return AN.reshape(-1)
-
         modes = jnp.asarray(self.basis_fom.T)  # (N, nnz)
-        VfN = jax.jit(jax.vmap(project_mode))(modes)  # (N, N_V^2)
+        VfN = _project_modes(modes, V, jnp.asarray(rows),
+                             jnp.asarray(cols), p, nh)  # (N, N_V^2)
         self.basis_rom = np.asarray(VfN).T
         self._combine_cache = {}
 

@@ -562,7 +562,8 @@ class HyperReducedOrderModelFixed:
         tri = rom.mdeim_Nh
         local_tri = bool(local_nmdeim) and tri is not None \
             and getattr(self, "mdeim_trilinear", None) is not None
-        if register == "all":
+        register_soft = register == "auto"
+        if register in ("all", "auto"):
             register = set(range(n_cells))
         elif register:
             register = {int(c) for c in register}
@@ -608,7 +609,9 @@ class HyperReducedOrderModelFixed:
                             and [int(x) for x in d["per_cell"]]
                             == [wanted[c] for c in range(n_cells)]
                             and (not local_tri or bool(d["has_nl"]))
-                            and (not register or "mu_keys" in d)):
+                            and (not register or "mu_keys" in d)
+                            and "sampling" in d
+                            and str(d["sampling"]) == "maximin"):
                         mu_keys = ([str(k) for k in d["mu_keys"]]
                                    if "mu_keys" in d else None)
                         for c in range(n_cells):
@@ -654,16 +657,30 @@ class HyperReducedOrderModelFixed:
         # Narrow high-Mach cells have a tiny preimage under the uniform
         # μ sampler — grow the candidate pool geometrically rather than
         # fixing one budget.
+        # Candidate collection: oversample each cell ~8×, then pick a
+        # space-filling (greedy maximin) subset. A Mach cell is a thin
+        # 2-D band in the 3-D (a0, ω, δ) box — first-come random picks
+        # leave holes that the registration law then extrapolates into
+        # (measured: a held-out μ in such a hole mispredicts its
+        # dilation by 0.03 and serves at 1.5e-4 while its in-hull
+        # neighbours serve at 2e-7).
+        oversample = 8
+        cand = {c: [] for c in range(n_cells)}
+        need = {c: n for c, n in wanted.items()}
         pool_size, attempts = int(2e4), 0
         pool = iter(ParameterSampler(self.grid, n_iter=pool_size,
                                      random_state=rnd))
-        while any(wanted.values()):
+        while any(len(cand[c]) < oversample * need[c]
+                  for c in range(n_cells) if need[c]):
             try:
                 m = dict(next(pool))
             except StopIteration:
+                if all(len(cand[c]) >= need[c] for c in range(n_cells)):
+                    break  # enough to select from, if not to oversample
                 attempts += 1
                 if attempts > 4:
-                    empty = [c for c, n in wanted.items() if n > 0]
+                    empty = [c for c in range(n_cells)
+                             if len(cand[c]) < need[c]]
                     raise ValueError(
                         f"could not fill Mach cells {empty} (edges "
                         f"{np.round(edges, 4).tolist()}) from the μ grid "
@@ -681,27 +698,70 @@ class HyperReducedOrderModelFixed:
                 ))
                 continue
             c = cell_of(m)
-            if wanted.get(c, 0) <= 0:
+            if need.get(c, 0) and len(cand[c]) < oversample * need[c]:
+                cand[c].append(m)
+
+        spans = {}
+        for k, dist in self.grid.items():
+            sup = dist.support()
+            span = float(max(sup)) - float(min(sup))
+            # Degenerate (point-mass) uniform dists report NaN support
+            # — a NaN span poisons every maximin distance (argmax of
+            # all-NaN picks index 0 forever: the 2026-08-19 incident
+            # trained a cell on 12 copies of ONE μ).
+            spans[k] = span if np.isfinite(span) and span > 0 else 1.0
+
+        def maximin_subset(pool_c, k):
+            """Greedy maximin in range-normalized μ-space, seeded at the
+            point nearest the candidate centroid (deterministic)."""
+            X = np.array([[float(m[key]) / spans[key]
+                           for key in sorted(spans)] for m in pool_c])
+            X = np.where(np.isfinite(X), X, 0.0)
+            picked = [int(np.argmin(np.linalg.norm(
+                X - X.mean(axis=0), axis=1)))]
+            dists = np.linalg.norm(X - X[picked[0]], axis=1)
+            while len(picked) < min(k, len(pool_c)):
+                dists[picked] = -1.0  # never re-pick
+                nxt = int(np.argmax(dists))
+                picked.append(nxt)
+                dists = np.minimum(dists,
+                                   np.linalg.norm(X - X[nxt], axis=1))
+            while len(picked) < k:  # pool smaller than k: cycle
+                picked.append(picked[len(picked) % len(pool_c)])
+            return [pool_c[i] for i in picked]
+
+        for c in range(n_cells):
+            if not need[c]:
                 continue
-            cell_mus[c].append(dict(m))
-            if device_sweep:
-                # Defer: collect the cell's μ, solve the whole fleet in
-                # ONE vmapped/sharded launch below (parallel/sweep.py —
-                # the same path as build_reduced_basis(device_sweep=True);
-                # cells are embarrassingly parallel over the mesh's μ
-                # axis).
-                cell_snaps[c].append(dict(m))
-            else:
-                fom.setup()
-                fom.update_parametrization(m)
-                fom.solve()
-                cell_snaps[c].append(
-                    np.asarray(fom.solutions.snapshots, np.float64)
+            chosen = maximin_subset(cand[c], need[c])
+            if (len(cand[c]) >= need[c]
+                    and len({tuple(sorted(m.items()))
+                             for m in chosen}) < len(chosen)):
+                raise AssertionError(
+                    f"cell {c}: duplicate training μ selected from "
+                    f"{len(cand[c])} distinct candidates — maximin "
+                    "selection degenerated"
                 )
-                if local_tri:
-                    cell_nl[c].append(list(fom.nonlinear_snapshots))
-                _report_cell_progress()
-            wanted[c] -= 1
+            for m in chosen:
+                cell_mus[c].append(dict(m))
+                if device_sweep:
+                    # Defer: collect the cell's μ, solve the whole fleet
+                    # in ONE vmapped/sharded launch below
+                    # (parallel/sweep.py — the same path as
+                    # build_reduced_basis(device_sweep=True); cells are
+                    # embarrassingly parallel over the mesh's μ axis).
+                    cell_snaps[c].append(dict(m))
+                else:
+                    fom.setup()
+                    fom.update_parametrization(m)
+                    fom.solve()
+                    cell_snaps[c].append(
+                        np.asarray(fom.solutions.snapshots, np.float64)
+                    )
+                    if local_tri:
+                        cell_nl[c].append(list(fom.nonlinear_snapshots))
+                    _report_cell_progress()
+                wanted[c] -= 1
 
         if device_sweep and not cache_hit:
             import jax
@@ -747,6 +807,7 @@ class HyperReducedOrderModelFixed:
                 "build": np.asarray(
                     build_label if device_sweep else "f64"
                 ),
+                "sampling": np.asarray("maximin"),
             }
             mu_keys = sorted(cell_mus[0][0]) if cell_mus[0] else None
             if mu_keys is not None:
@@ -821,10 +882,26 @@ class HyperReducedOrderModelFixed:
                             f"{StorageNames.MULOCAL_SNAPSHOTS} and "
                             "rebuild"
                         )
-                    law, dils = fit_dilation_law(snaps_c, cell_mus[c])
-                    snaps_c, nl_c = self._solve_registered_cell(
-                        cell_mus[c], dils, local_tri
-                    )
+                    try:
+                        law, dils = fit_dilation_law(snaps_c, cell_mus[c])
+                    except ValueError:
+                        # register="auto": a cell whose phase spread
+                        # exceeds the scalar-dilation search (measured:
+                        # the lowest-Mach cell's 1/a0 spread) builds
+                        # unregistered — its floors are already
+                        # 1e-7-class without alignment.
+                        if not register_soft:
+                            raise
+                        import sys as _sys
+
+                        print(f"[register] cell {c}: no scalar "
+                              "phase alignment — building unregistered",
+                              file=_sys.stderr, flush=True)
+                        law = None
+                    if law is not None:
+                        snaps_c, nl_c = self._solve_registered_cell(
+                            cell_mus[c], dils, local_tri
+                        )
                 if local_tri:
                     # Hierarchical POD of the cell's nonlinear-operator
                     # rows (same recipe as build_reduced_basis: per-μ

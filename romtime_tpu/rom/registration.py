@@ -39,12 +39,34 @@ from dataclasses import dataclass, field
 import numpy as np
 
 
+def _feature_value(mu, name):
+    """Evaluate one feature of the law grammar on a μ dict (scalars or
+    (B,) arrays; jax-traceable — integer powers and products only).
+
+    Grammar: ``"*"``-joined factors, each ``key`` or ``key^int`` —
+    e.g. ``"a0"``, ``"a0^2"``, ``"delta*omega*a0^-1"`` (the piston Mach
+    number). Kept string-serializable so laws round-trip through npz.
+    """
+    val = None
+    for part in name.split("*"):
+        if "^" in part:
+            key, exp = part.split("^")
+            exp = int(exp)
+        else:
+            key, exp = part, 1
+        v = mu[key]
+        f = v ** exp if exp >= 0 else 1.0 / (v ** (-exp))
+        val = f if val is None else val * f
+    return val
+
+
 @dataclass
 class DilationLaw:
-    """Per-cell linear dilation law d(μ) = c₀ + Σᵢ cᵢ·μ[nameᵢ], clamped
-    below at ``floor`` (coverage of [0, tf] needs d ≥ 1)."""
+    """Per-cell dilation law d(μ) = c₀ + Σᵢ cᵢ·fᵢ(μ), clamped below at
+    ``floor`` (coverage of [0, tf] needs d ≥ 1). Features fᵢ follow the
+    power-product grammar of :func:`_feature_value`."""
 
-    names: tuple                 # μ keys entering the law
+    names: tuple                 # feature strings entering the law
     coef: np.ndarray             # (1 + len(names),) float64
     floor: float = 1.0
 
@@ -53,7 +75,7 @@ class DilationLaw:
         (plain arithmetic on the dict values)."""
         d = self.coef[0]
         for c, n in zip(self.coef[1:], self.names):
-            d = d + c * mu[n]
+            d = d + c * _feature_value(mu, n)
         if hasattr(d, "clip"):
             return d.clip(self.floor)
         return max(float(d), self.floor)
@@ -86,13 +108,19 @@ def resample_time(u, d, nt=None):
     return u[..., i0] * (1 - fr) + u[..., i1] * fr
 
 
-def optimal_dilation(u, anchor, lo=0.9, hi=1.1, coarse=81, refine=33):
+def optimal_dilation(u, anchor, lo=0.9, hi=1.1, coarse=161, refine=33,
+                     stride=8):
     """Scalar d minimizing ‖u(:, d·t) − anchor‖_F (Frobenius over the
     linearly resampled trajectory). Grid search + one refinement — the
     objective is smooth and single-dipped over phase-neighbour
-    trajectories (measured on the flagship corner cell)."""
-    u = np.asarray(u, np.float64)
-    anchor = np.asarray(anchor, np.float64)
+    trajectories (measured on the flagship corner cell).
+
+    ``stride`` decimates the SPATIAL axis for the search (phase lives in
+    the time axis; every-8th-row objectives locate the same optimum to
+    the search resolution while cutting the fit cost 8× — the flagship
+    6-cell fit is minutes at full resolution)."""
+    u = np.asarray(u, np.float64)[::max(int(stride), 1)]
+    anchor = np.asarray(anchor, np.float64)[::max(int(stride), 1)]
 
     def err(d):
         return float(np.linalg.norm(resample_time(u, d) - anchor))
@@ -107,20 +135,56 @@ def optimal_dilation(u, anchor, lo=0.9, hi=1.1, coarse=81, refine=33):
     return float(fine[int(np.argmin(errs))])
 
 
-def fit_dilation_law(snapshots, mus, names=("a0", "omega", "delta"),
-                     anchor=0, margin=0.01, search=(0.9, 1.1)):
+#: Candidate feature sets for ``fit_dilation_law(features="auto")``,
+#: ranked by leave-one-out rms on the measured dilations. The quadratic
+#: set wins on WIDE Mach cells (measured: the flagship cell-2 span of
+#: 14% drops LOO rms 2.4e-3 → 2.9e-4), the Mach-augmented linear set on
+#: narrow ones (cell 3: 2.7e-4 → 1.5e-4); plain linear is the fallback
+#: for small training counts.
+FEATURE_CANDIDATES = (
+    ("a0", "omega", "delta"),
+    ("a0", "omega", "delta", "delta*omega*a0^-1"),
+    ("a0", "omega", "delta", "a0^2", "omega^2", "a0*omega"),
+)
+
+
+def _design_matrix(mus, names):
+    return np.stack(
+        [np.ones(len(mus))]
+        + [np.array([float(_feature_value(m, n)) for m in mus])
+           for n in names],
+        axis=1,
+    )
+
+
+def _loo_rms(X, y):
+    """Leave-one-out rms of the LS fit (small n — direct refits)."""
+    errs = []
+    for j in range(len(y)):
+        m = np.ones(len(y), bool)
+        m[j] = False
+        cj, *_ = np.linalg.lstsq(X[m], y[m], rcond=None)
+        errs.append(X[j] @ cj - y[j])
+    return float(np.sqrt(np.mean(np.square(errs))))
+
+
+def fit_dilation_law(snapshots, mus, features="auto",
+                     anchor=0, margin=0.01, search=(0.82, 1.22)):
     """Fit a cell's dilation law from its training trajectories.
 
     Parameters
     ----------
     snapshots : list of (nh, nt) trajectories on the STANDARD grid
     mus : matching list of μ dicts
-    names : μ keys entering the linear law
+    features : "auto" (pick the :data:`FEATURE_CANDIDATES` set with the
+        best leave-one-out rms — sets needing ≥2 points per coefficient
+        are skipped at small n) or an explicit tuple of feature strings
+        (see :func:`_feature_value` for the grammar)
     anchor : index of the alignment anchor trajectory
     margin : the law is normalized so its minimum over the training μ's
         is ``1 + margin`` — headroom for held-out μ's predicting below
-        the training minimum (LOO spread measured ~5e-4; 1e-2 default is
-        ~20× that, costing ≤1% extra dt coarsening).
+        the training minimum (LOO spread measured 1e-4-class on narrow
+        cells; 1e-2 default costs ≤1% extra dt coarsening).
 
     Returns ``(law, dils)``: the normalized :class:`DilationLaw` and the
     normalized per-training-trajectory dilations (all ≥ 1 + margin) to
@@ -146,11 +210,21 @@ def fit_dilation_law(snapshots, mus, names=("a0", "omega", "delta"),
         dils.append(d)
     dils = np.asarray(dils, np.float64)
 
-    X = np.stack(
-        [np.ones(len(mus))]
-        + [np.array([float(m[n]) for m in mus]) for n in names],
-        axis=1,
-    )
+    if features == "auto":
+        best = None
+        for cand in FEATURE_CANDIDATES:
+            if len(dils) < 2 * (len(cand) + 1):
+                continue
+            rms = _loo_rms(_design_matrix(mus, cand), dils)
+            if best is None or rms < best[0]:
+                best = (rms, cand)
+        if best is None:
+            best = (np.inf, FEATURE_CANDIDATES[0])
+        names = best[1]
+    else:
+        names = tuple(features)
+
+    X = _design_matrix(mus, names)
     coef, *_ = np.linalg.lstsq(X, dils, rcond=None)
     pred = X @ coef
     # Normalize: training predictions ≥ 1 + margin, so nt serving steps

@@ -1615,9 +1615,11 @@ class RomConstructor(Reductor):
         law = getattr(win, "dilation", None) if win is not None else None
         if law is None or coef is None:
             return None
+        from .registration import _feature_value
+
         d = coef[0]
         for i, n in enumerate(law.names):
-            d = d + coef[i + 1] * mu[n]
+            d = d + coef[i + 1] * _feature_value(mu, n)
         # Constant laws (no features) still serve per-lane: broadcast to
         # the batch shape.
         d = d * jnp.ones_like(next(iter(mu.values())))
@@ -2743,16 +2745,14 @@ class RomConstructorNonlinear(RomConstructorMoving):
         N = V_np.shape[1]
 
         def entries_over_basis(mu, t):
-            cols = []
-            for n in range(N):
-                coeff = np.zeros(N)
-                coeff[n] = 1.0
-                vals = fom.assemble_trilinear(
-                    mu=mu, t=t, u_n=(V_np, jnp.asarray(coeff)),
-                    entries=red.dofs,
-                )
-                cols.append(np.asarray(vals))
-            return np.array(cols).T  # (n_ent, N)
+            # All N unit-coefficient states in ONE lane-batched assembly
+            # (the factorized state path takes coeff (N, B) — here B=N):
+            # the per-mode python loop cost W·operators·N eager chains at
+            # the flagship windowed fleet build.
+            vals = fom.assemble_trilinear(
+                mu=mu, t=t, u_n=(V_np, jnp.eye(N)), entries=red.dofs,
+            )
+            return np.asarray(vals)  # (n_ent, N)
 
         mu_a = dict(self.mu_space[Stage.OFFLINE][0]) if \
             self.mu_space[Stage.OFFLINE] else dict(fom.mu)

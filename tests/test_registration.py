@@ -65,7 +65,8 @@ def test_fit_dilation_law_boundary_raises():
     runaway = _wave(80, 300, speed=1.0 / 1.3)  # outside the search range
     with pytest.raises(ValueError, match="boundary"):
         fit_dilation_law([anchor, runaway],
-                         [dict(a0=9.0), dict(a0=8.0)], names=("a0",))
+                         [dict(a0=9.0), dict(a0=8.0)], features=("a0",),
+                         search=(0.9, 1.1))
 
 
 def test_resample_to_standard_inverts_dilation():
@@ -92,6 +93,33 @@ def test_dilation_law_payload_roundtrip():
     assert back.floor == law.floor
     assert abs(back.predict(dict(a0=9.0, omega=17.0))
                - law.predict(dict(a0=9.0, omega=17.0))) == 0.0
+
+
+def test_feature_grammar():
+    from romtime_tpu.rom.registration import _feature_value
+
+    mu = dict(a0=8.0, omega=20.0, delta=0.15)
+    assert _feature_value(mu, "a0") == 8.0
+    assert _feature_value(mu, "a0^2") == 64.0
+    assert np.isclose(_feature_value(mu, "delta*omega*a0^-1"),
+                      0.15 * 20.0 / 8.0)
+    assert np.isclose(_feature_value(mu, "a0*omega"), 160.0)
+
+
+def test_fit_auto_selects_quadratic_when_needed():
+    """Auto feature selection picks the quadratic set when the dilation
+    is genuinely quadratic in μ (the wide-Mach-cell regime)."""
+    rng = np.random.default_rng(3)
+    mus = [dict(a0=float(a), omega=float(w), delta=0.12)
+           for a, w in zip(rng.uniform(8, 10, 14), rng.uniform(15, 20, 14))]
+    d_true = np.array([1.0 + 0.02 * (m["a0"] - 9) ** 2
+                       - 0.004 * (m["omega"] - 17) for m in mus])
+    snaps = [_wave(100, 500, speed=1.0 / d) for d in d_true]
+    law, dils = fit_dilation_law(snaps, mus, features="auto",
+                                 search=(0.9, 1.15))
+    assert any("^2" in n or "*" in n for n in law.names), law.names
+    pred = np.array([law.predict(m) for m in mus])
+    np.testing.assert_allclose(pred, dils, rtol=3e-3)
 
 
 def test_resample_time_known_shift():
@@ -304,6 +332,47 @@ def test_registered_mulocal_npz_roundtrip(piston_registered, tmp_path):
     np.testing.assert_array_equal(law.coef, law0.coef)
     mu = dict(a0=8.1, omega=19.5, delta=0.148, alpha=1e-6, gamma=1.4)
     assert law.predict(mu) == law0.predict(mu)
+
+
+def test_register_auto_skips_unalignable_cells(piston_registered,
+                                               piston_windowed,  # noqa: F811
+                                               monkeypatch):
+    """register="auto" degrades gracefully: a cell whose phase spread
+    defeats the scalar-dilation search builds UNREGISTERED instead of
+    failing the whole fleet (the lowest-Mach cell's 1/a0 spread does
+    this at the flagship box)."""
+    import os
+
+    hrom, _ml, _mu, _uh, _prev = piston_registered
+    _h, _m, _u, workdir = piston_windowed  # builds need the basis pickles
+
+    # the builder imports the symbol function-locally — patch the source
+    import romtime_tpu.rom.registration as reg_mod
+
+    def always_boundary(*a, **k):
+        raise ValueError("dilation search ... hit the boundary")
+
+    monkeypatch.setattr(reg_mod, "fit_dilation_law", always_boundary)
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        ml = hrom.build_mulocal_serving(
+            n_cells=2, n_windows=4, num_basis=12, snapshots_per_cell=2,
+            rnd=np.random.RandomState(5), register="auto", dump=False,
+            snapshot_cache=False,
+        )
+        assert all(w.dilation is None for w in ml.cells)
+
+        # an explicit list still raises
+        with pytest.raises(ValueError, match="boundary"):
+            hrom.build_mulocal_serving(
+                n_cells=2, n_windows=4, num_basis=12,
+                snapshots_per_cell=2, rnd=np.random.RandomState(5),
+                register=[0, 1], dump=False, snapshot_cache=False,
+            )
+    finally:
+        os.chdir(cwd)
 
 
 def test_registered_restores_mulocal(piston_registered):
