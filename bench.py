@@ -95,13 +95,15 @@ def main():
         # where alignable, shapes from the ALIGNED per-cell floors
         # (ROADMAP round-4 ledger): cells 0-3 hold ≤4e-6 floors at the
         # fast 50x32 shape; cell 4 needs 100x40 (8.7e-7), the corner
-        # cell 100x48 (1.6e-7 at the law-fit dilations). The timed
-        # active cell (mu_val's) stays 50x32 — headline throughput is
+        # cell 150x48 (3.9e-7 aligned floor — 100x48's 2.2e-6 served
+        # the extreme corner at 1.4e-5, ~6× floor). The timed active
+        # cell (mu_val's) stays 50x32 — headline throughput is
         # unchanged by the upper-cell shapes.
         defaults = dict(modes=96, truncate=8, nmdeim=96, windows=50,
                         window_n=32, batch=2048, offline_mu=8, tri_mu=3,
-                        mulocal=6, per_cell=12, register="auto",
-                        cell_wn="50x32,50x32,50x32,50x32,100x40,100x48")
+                        mulocal=6, per_cell="12,12,12,12,16,16",
+                        register="auto",
+                        cell_wn="50x32,50x32,50x32,50x32,100x40,150x48")
     else:
         defaults = dict(modes=20, truncate=5, nmdeim=12, windows=0,
                         window_n=0, batch=2048, offline_mu=3, tri_mu=2,
@@ -363,11 +365,17 @@ def main():
                 + (", device sweep" if offline_mode.startswith("device")
                    else "") + ")")
             edges_env = os.environ.get("BENCH_MULOCAL_EDGES")
+            per_cell_env = str(os.environ.get(
+                "BENCH_PER_CELL", defaults["per_cell"]))
             kwargs = dict(
                 n_cells=n_cells, n_windows=n_windows,
                 num_basis=window_n,
-                snapshots_per_cell=int(os.environ.get(
-                    "BENCH_PER_CELL", defaults["per_cell"])),
+                # scalar or comma list (per-cell counts, e.g. the
+                # round-4 default: 12 per cell, 16 in the two top Mach
+                # cells where the quadratic law needs >=14 points)
+                snapshots_per_cell=(
+                    [int(x) for x in per_cell_env.split(",")]
+                    if "," in per_cell_env else int(per_cell_env)),
                 srom_extra=srom_extra or None,
                 edges=([float(x) for x in edges_env.split(",")]
                        if edges_env else None),
@@ -560,7 +568,10 @@ def main():
             "n": len(mus_val),
             "mean": float(np.mean(rels)),
             "max": float(np.max(rels)),
+            # registered lanes certify at MATCHED grids (dt·d(μ), same
+            # nt — the same discrete BDF-2 system; rom/registration.py)
             "n_registered": int(np.sum(dils_m != 1.0)),
+            "dil_max": float(np.max(dils_m)),
         }
         log(f"accuracy: rel-L2 over {len(mus_val)} mu: "
             f"mean {multi_stats['mean']:.3e} max {multi_stats['max']:.3e}")
