@@ -760,7 +760,7 @@ def main():
                 def run(state0):
                     return online_sweep_windowed_fused(
                         TH, tables["Bmk"], tables["BmF"], tables["BkF"],
-                        tables["BfT"], tables["T0T"], tables["VE"],
+                        tables["BfT"], tables["TQ"], tables["VE"],
                         tables["Tp"], prep["b0"], state0,
                         widths=widths, dt=float(fom.dt), bdf2=True,
                         with_trilinear=True, n_real=rom.windows.N,

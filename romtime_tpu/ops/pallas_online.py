@@ -728,7 +728,7 @@ def _richardson_solve(KN, Kinv, r0, iters, delta0=None):
 
 
 def _bdf_step_merged(tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1, step,
-                     T0, VE, b0, dt_c, bdf2, with_trilinear, n_real, NP,
+                     TQ, VE, b0, dt_c, bdf2, with_trilinear, n_real, NP,
                      km8, kk8, kf8, skip_solve=False, Kinv=None,
                      solve_iters=None, dprev=None):
     """Merged-dot residual-form BDF step (v3 fused kernel).
@@ -738,14 +738,23 @@ def _bdf_step_merged(tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1, step,
     are STREAM-bound (M·N/128 array cycles regardless of K — measured
     68.6 µs/step of a 164.7 µs step at the W=25/NP=48 point), so:
 
-      * the solve matrix is built by ONE merged dot — KNl = [Bm | Bk] @
-        [bdf·θm; θk] = bdf·MN + dt·S_lin — twice the contraction depth,
-        half the stream passes;
+      * the solve matrix is built by ONE merged dot over the FULLY folded
+        combine tensor — KN = [Bm | Bk | T0] @ [bdf·θm; θk; dt·b0·u*] =
+        bdf·MN + dt·S_lin + dt·b0·N(u*). The trilinear tensor rides the
+        same NP²-row output stream as the linear parts (MXU dot cost is
+        output-stream-bound, independent of contraction depth), so the
+        state-dependent solve matrix costs ONE stream pass per step —
+        the separate NN = T0·u* materialization (a second full NP²-row
+        pass, measured ~17 µs/step at the headline shape) is gone;
       * the r0 matvecs use the θ-FACTORED form instead of materialized
         operators: MN·d = Σ_k θm_k · (Bm_k · d) with the k-stacked
         (k·NP, NP) tensor as a single small MXU dot (M = k·NP ≈ NP²/6)
-        plus a cheap VPU θ-contraction. No materialization of MN or KL
-        outside the merged solve matrix.
+        plus a cheap VPU θ-contraction;
+      * the trilinear residual term tri·u* = (N(u*)·u*) is a QUADRATIC
+        FORM in u*, evaluated without materializing N(u*): one VPU outer
+        product u*⊗u* (NP² rows) contracted against the [i, (j,k)]-
+        permuted trilinear layout TQ — an NP-row MXU dot instead of an
+        NP²-row one.
 
     r0 = MN·d + fN − KL·pred − tri·pred is evaluated term-by-term
     (each term computed directly — no catastrophic cancellation; same
@@ -759,16 +768,17 @@ def _bdf_step_merged(tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1, step,
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (kmk8, 1), 0)
     scale = jnp.where(k_iota < km8, bdf, one)
     rhs = tts[0:kmk8] * scale
-    KNl = jax.lax.dot(Bmk, rhs, precision=hi).reshape(NP, NP, BLANE)
     fN = jax.lax.dot(Bf, tts[kmk8:kmk8 + kf8], precision=hi)
 
     if with_trilinear:
-        NN = jax.lax.dot(T0, pred_hi, precision=hi).reshape(NP, NP, BLANE)
         dtb0 = (dt_c * b0)[None, :]
-        KN = KNl + NN * dtb0[None, :, :]
-        trip = jnp.sum(NN * pred_hi[None, :, :], axis=1) * dtb0
+        rhs = jnp.concatenate([rhs, pred_hi * dtb0], axis=0)
+        KN = jax.lax.dot(Bmk, rhs, precision=hi).reshape(NP, NP, BLANE)
+        outer = (pred_hi[:, None, :]
+                 * pred_hi[None, :, :]).reshape(NP * NP, BLANE)
+        trip = jax.lax.dot(TQ, outer, precision=hi) * dtb0
     else:
-        KN = KNl
+        KN = jax.lax.dot(Bmk, rhs, precision=hi).reshape(NP, NP, BLANE)
         trip = jnp.zeros_like(pred_hi)
 
     t1m = jax.lax.dot(BmF, d, precision=hi).reshape(km8, NP, BLANE)
@@ -1131,7 +1141,7 @@ def online_sweep_theta_pallas_v2(THm, THk, THf, g_p, Bm, Bk, Bf, T0_p,
 
 
 def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
-                           T0_ref, VE_ref, T_ref, b0_ref, THb_ref,
+                           TQ_ref, VE_ref, T_ref, b0_ref, THb_ref,
                            state0_ref, probes_ref, state_ref,
                            *, W, width, chunk, km8, kk8, kf8, dt, bdf2,
                            with_trilinear, n_real, n_pad, ablate=None,
@@ -1189,12 +1199,17 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
             # Un-transpose ONCE PER WINDOW: a leading-axis contraction in
             # the step body makes Mosaic relayout the operand every step
             # (measured 10% off the whole sweep via the trilinear tensor).
-            Bmk = Bmk_ref[w].T         # (NP·NP, km8+kk8) merged combine
+            # Bmk carries the FOLDED [Bm | Bk | T0] combine when the
+            # trilinear is on (see _bdf_step_merged: one solve-matrix dot
+            # per step); TQ is the [i, (j,k)]-permuted trilinear layout
+            # for the quadratic-form residual term — already stored with
+            # the big axis minor, used untransposed.
+            Bmk = Bmk_ref[w].T         # (NP·NP, kmk8[+NP]) folded combine
             BmF = BmF_ref[w].T         # (km8·NP, NP) factored mass
             BkF = BkF_ref[w].T         # (kk8·NP, NP) factored stiffness
             Bf = Bf_ref[w].T           # (NP, kf8)
             VE = VE_ref[w]
-            T0 = T0_ref[w].T if with_trilinear else None  # (NP·NP, NP)
+            TQ = TQ_ref[w] if with_trilinear else None  # (NP, NP·NP)
             hi = jax.lax.Precision.HIGHEST
 
             Kinv = None
@@ -1206,20 +1221,20 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                 # steps — the per-step solve becomes 2·iters−1 VPU
                 # matvecs instead of a blocked LU).
                 thb = THb_ref[w]                     # (kmk8, BLANE)
+                if with_trilinear:
+                    thb = jnp.concatenate(
+                        [thb, uN * (dt_c * b0)[None, :]], axis=0
+                    )
                 Kb = jax.lax.dot(Bmk, thb, precision=hi).reshape(
                     NP, NP, BLANE
                 )
-                if with_trilinear:
-                    NNb = jax.lax.dot(T0, uN, precision=hi).reshape(
-                        NP, NP, BLANE
-                    )
-                    Kb = Kb + NNb * (dt_c * b0)[None, None, :]
                 Kinv = _lanes_invert(Kb, NP)
             if ablate == "no_dots":
                 # Perf-ledger probe: a per-window constant solve matrix
                 # stands in for the per-step θ-combine MXU dots.
+                kfold = km8 + kk8 + (NP if with_trilinear else 0)
                 KN0 = jax.lax.dot(
-                    Bmk, jnp.ones((km8 + kk8, BLANE), jnp.float32),
+                    Bmk, jnp.ones((kfold, BLANE), jnp.float32),
                     precision=hi,
                 ).reshape(NP, NP, BLANE)
                 fN0 = jax.lax.dot(Bf, jnp.ones((kf8, BLANE), jnp.float32),
@@ -1252,24 +1267,15 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                         uN_new = uN * jnp.float32(0.99) + tts[0][None, :]
                         return (uN_new, lo, uN, lo1, dprev)
                     if ablate == "no_dots":
-                        # Skip every per-step table dot (merged KNl, fN,
-                        # factored r0 matvecs); keep predictor, trilinear,
+                        # Skip every per-step table dot (the folded
+                        # solve-matrix dot, fN, factored r0 matvecs, the
+                        # quadratic-form trilinear); keep predictor,
                         # solve, probes.
                         pred_hi, pred_lo, dd_, bdf_ = _dd_predictor(
                             uN, lo, uN1, lo1, step, bdf2
                         )
-                        if with_trilinear:
-                            NN = jax.lax.dot(
-                                T0, pred_hi, precision=hi
-                            ).reshape(NP, NP, BLANE)
-                            dtb0 = (dt_c * b0)[None, :]
-                            KN = KN0 + NN * dtb0[None, :, :]
-                            trip = jnp.sum(
-                                NN * pred_hi[None, :, :], axis=1
-                            ) * dtb0
-                        else:
-                            KN = KN0
-                            trip = jnp.zeros_like(pred_hi)
+                        KN = KN0
+                        trip = jnp.zeros_like(pred_hi)
                         if solve_iters is not None:
                             delta = _richardson_solve(
                                 KN, Kinv, fN0 - trip, solve_iters,
@@ -1287,7 +1293,7 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                     else:
                         uN_new, lo_new, probes, delta = _bdf_step_merged(
                             tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1,
-                            step, T0, VE, b0, dt_c, bdf2, with_trilinear,
+                            step, TQ, VE, b0, dt_c, bdf2, with_trilinear,
                             n_real, NP, km8, kk8, kf8,
                             skip_solve=(ablate == "no_solve"),
                             Kinv=Kinv, solve_iters=solve_iters,
@@ -1350,7 +1356,7 @@ def _fused_chunk(width, K8, n_real):
                                    "with_trilinear", "n_real", "km8",
                                    "kk8", "kf8", "interpret", "ablate",
                                    "solve_iters"))
-def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, T0_p, VE_p, T_p,
+def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, TQ_p, VE_p, T_p,
                                 b0, state0, *, widths, dt, bdf2=True,
                                 with_trilinear=True, n_real=15, km8=None,
                                 kk8=None, kf8=None, interpret=False,
@@ -1359,17 +1365,22 @@ def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, T0_p, VE_p, T_p,
 
     TH     : (nt, K8, B) merged θ table — [θ_mass | θ_stiff+1 | θ_rhs | g]
              along axis 1 (km8 + kk8 + kf8 + PROBE_P rows, all 8-aligned)
-    Bmk    : (W, km8+kk8, NP·NP) TRANSPOSED merged combine tensors
-             [Bm | Bk] (dt folded into the Bk block, identity row for the
-             padded diagonal) — big axis minor so VMEM residency wastes
-             no lane padding; bdf scales the θm rows at runtime
+    Bmk    : (W, km8+kk8[+NP], NP·NP) TRANSPOSED FOLDED combine tensors
+             [Bm | Bk | T0] (dt folded into the Bk block, identity row
+             for the padded diagonal; the T0 block present only when
+             with_trilinear) — big axis minor so VMEM residency wastes
+             no lane padding; bdf scales the θm rows and dt·b0·u* fills
+             the T0 rows at runtime, so ONE output-stream-bound dot
+             materializes the full state-dependent solve matrix
     BmF    : (W, NP, km8·NP) transposed k-stacked factored mass tensors
              (row (k, n) of the untransposed form is Bm3[n, :, k]) for
              the θ-factored r0 matvecs
     BkF    : (W, NP, kk8·NP) transposed factored stiffness tensors
     Bf     : (W, kf8, NP) transposed per-window rhs combine (dt folded)
-    T0_p   : (W, NP, NP·NP) transposed per-window trilinear tensors
-             (ignored when with_trilinear=False — pass a (W, 8, 8) dummy)
+    TQ_p   : (W, NP, NP·NP) [i, (j,k)]-permuted per-window trilinear
+             tensors for the quadratic-form residual term
+             tri·u* = TQ @ vec(u*⊗u*) (ignored when
+             with_trilinear=False — pass a (W, 8, 8) dummy)
     VE_p   : (W, PROBE_P, NP) per-window probe rows
     T_p    : (W, NP, NP) zero-padded boundary transfers; T_p[0] = I
     b0     : (1, B) trilinear μ-coefficient
@@ -1389,7 +1400,8 @@ def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, T0_p, VE_p, T_p,
     width = widths[0]
     if K8 != km8 + kk8 + kf8 + PROBE_P:
         raise ValueError("merged θ table rows do not match k offsets")
-    if Bmk.shape[1] != km8 + kk8 or BmF.shape[2] != km8 * n_pad \
+    kfold = km8 + kk8 + (n_pad if with_trilinear else 0)
+    if Bmk.shape[1] != kfold or BmF.shape[2] != km8 * n_pad \
             or BkF.shape[2] != kk8 * n_pad:
         raise ValueError("merged/factored combine tensor shapes do not "
                          "match the k offsets")
@@ -1443,5 +1455,5 @@ def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, T0_p, VE_p, T_p,
         interpret=interpret,
     )
     with jax.enable_x64(False):
-        return call(TH, Bmk, BmF, BkF, Bf, T0_p, VE_p, T_p, b0, THbar,
+        return call(TH, Bmk, BmF, BkF, Bf, TQ_p, VE_p, T_p, b0, THbar,
                     state0)

@@ -1481,10 +1481,18 @@ class RomConstructor(Reductor):
         Tp_np[:, :N, :N] = T_np
         # Fused v3 kernel layouts (all transposed: big axis minor, so the
         # VMEM-resident tensors waste no 128-lane tile padding):
-        #   Bmk  — merged [Bm | Bk] along k (ONE solve-matrix dot/step),
+        #   Bmk  — FOLDED [Bm | Bk | T0] along k (ONE output-stream-bound
+        #   solve-matrix dot/step materializes bdf·MN + dt·S + dt·b0·N(u*)
+        #   — the runtime rhs rows for the T0 block are dt·b0·u*),
         #   BmF/BkF — k-stacked factored tensors for the θ-factored r0
-        #   matvecs (row (k, n) = Bm3[n, :, k]).
-        Bmk_np = np.concatenate([Bm_np, Bk_np], axis=2)
+        #   matvecs (row (k, n) = Bm3[n, :, k]),
+        #   TQ — the [i, (j,k)]-permuted trilinear for the quadratic-form
+        #   residual term (an NP-row dot against vec(u*⊗u*) instead of an
+        #   NP²-row NN materialization).
+        with_tri = win.trilinear is not None
+        Bmk_np = np.concatenate(
+            [Bm_np, Bk_np] + ([T0_np] if with_tri else []), axis=2
+        )
         BmF_np = (Bm_np.reshape(W, NP, NP, km8).transpose(0, 3, 1, 2)
                   .reshape(W, km8 * NP, NP))
         BkF_np = (Bk_np.reshape(W, NP, NP, kk8).transpose(0, 3, 1, 2)
@@ -1498,7 +1506,9 @@ class RomConstructor(Reductor):
             "BmF": jnp.asarray(BmF_np.transpose(0, 2, 1)),
             "BkF": jnp.asarray(BkF_np.transpose(0, 2, 1)),
             "BfT": jnp.asarray(Bf_np.transpose(0, 2, 1)),
-            "T0T": jnp.asarray(T0_np.transpose(0, 2, 1)),
+            # T0_np is [(i,j), k]; a plain reshape of its leading axis
+            # gives the [i, (j,k)] quadratic-form layout.
+            "TQ": jnp.asarray(T0_np.reshape(W, NP, NP * NP)),
         }
         if win.dilation is not None:
             # Phase-aligned serving: the law's COEFFICIENTS are runtime
@@ -1751,7 +1761,7 @@ class RomConstructor(Reductor):
             )
             probes, state = online_sweep_windowed_fused(
                 TH, tables["Bmk"], tables["BmF"], tables["BkF"],
-                tables["BfT"], tables["T0T"], tables["VE"], tables["Tp"],
+                tables["BfT"], tables["TQ"], tables["VE"], tables["Tp"],
                 b0, state,
                 widths=tuple(int(x) for x in widths), dt=float(fom.dt),
                 bdf2=bdf2, with_trilinear=with_trilinear, n_real=N,

@@ -435,8 +435,11 @@ def test_windowed_fused_matches_v2_chain(N):
     state_ref = np.asarray(state)
 
     TH = jnp.asarray(np.concatenate([thm, thk, thf, g_p], axis=1))
-    # v3 merged/factored layouts (rom.py _windowed_pallas_tables).
-    Bmk = np.concatenate([Bm, Bk], axis=2)
+    # v3 folded/factored layouts (rom.py _windowed_pallas_tables): the
+    # trilinear tensor folds into the solve-matrix dot, and rides the
+    # quadratic-form TQ layout in the residual.
+    Bmk = np.concatenate([Bm, Bk, T0], axis=2)
+    TQ = T0.reshape(W, NP, NP * NP)
     BmF = (Bm.reshape(W, NP, NP, km8).transpose(0, 3, 1, 2)
            .reshape(W, km8 * NP, NP))
     BkF = (Bk.reshape(W, NP, NP, kk8).transpose(0, 3, 1, 2)
@@ -446,7 +449,7 @@ def test_windowed_fused_matches_v2_chain(N):
         jnp.asarray(BmF.transpose(0, 2, 1)),
         jnp.asarray(BkF.transpose(0, 2, 1)),
         jnp.asarray(Bf.transpose(0, 2, 1)),
-        jnp.asarray(T0.transpose(0, 2, 1)),
+        jnp.asarray(TQ),
         jnp.asarray(VE), jnp.asarray(Tp), b0j,
         jnp.zeros((4, NP, B), jnp.float32),
         widths=(width,) * W, dt=dt, bdf2=True, with_trilinear=True,
@@ -625,7 +628,10 @@ def test_windowed_fused_ablate_variants_run(solve_iters):
     g_p = np.zeros((NT, PROBE_P, B), np.float32)
     g_p[:, :2, :] = g
     TH = jnp.asarray(np.concatenate([thm, thk, thf, g_p], axis=1))
-    Bmk = np.concatenate([Bm, Bk], axis=2)
+    # Folded [Bm | Bk | T0] combine + quadratic-form trilinear layout
+    # (rom.py _windowed_pallas_tables).
+    Bmk = np.concatenate([Bm, Bk, T0], axis=2)
+    TQ = T0.reshape(W, NP, NP * NP)
     BmF = (Bm.reshape(W, NP, NP, km8).transpose(0, 3, 1, 2)
            .reshape(W, km8 * NP, NP))
     BkF = (Bk.reshape(W, NP, NP, kk8).transpose(0, 3, 1, 2)
@@ -634,7 +640,7 @@ def test_windowed_fused_ablate_variants_run(solve_iters):
             jnp.asarray(BmF.transpose(0, 2, 1)),
             jnp.asarray(BkF.transpose(0, 2, 1)),
             jnp.asarray(Bf.transpose(0, 2, 1)),
-            jnp.asarray(T0.transpose(0, 2, 1)),
+            jnp.asarray(TQ),
             jnp.asarray(VE), jnp.asarray(Tp),
             jnp.asarray(b0)[None, :],
             jnp.zeros((4, NP, B), jnp.float32))
