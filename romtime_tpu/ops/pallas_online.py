@@ -781,10 +781,15 @@ def _bdf_step_merged(tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1, step,
         KN = jax.lax.dot(Bmk, rhs, precision=hi).reshape(NP, NP, BLANE)
         trip = jnp.zeros_like(pred_hi)
 
-    t1m = jax.lax.dot(BmF, d, precision=hi).reshape(km8, NP, BLANE)
-    MNd = jnp.sum(t1m * tts[0:km8][:, None, :], axis=0)
-    t1k = jax.lax.dot(BkF, pred_hi, precision=hi).reshape(kk8, NP, BLANE)
-    KLp = jnp.sum(t1k * tts[km8:kmk8][:, None, :], axis=0)
+    # Factored tensors carry only the REAL k rows (k·NP output rows are
+    # what the dot streams); the θ table stays 8-padded for its sublane
+    # layout — slice just the real rows out of each 8-aligned block.
+    km = BmF.shape[0] // NP
+    kk = BkF.shape[0] // NP
+    t1m = jax.lax.dot(BmF, d, precision=hi).reshape(km, NP, BLANE)
+    MNd = jnp.sum(t1m * tts[0:km][:, None, :], axis=0)
+    t1k = jax.lax.dot(BkF, pred_hi, precision=hi).reshape(kk, NP, BLANE)
+    KLp = jnp.sum(t1k * tts[km8:km8 + kk][:, None, :], axis=0)
     r0 = MNd + fN - KLp - trip
 
     if skip_solve:
@@ -1372,10 +1377,13 @@ def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, TQ_p, VE_p, T_p,
              no lane padding; bdf scales the θm rows and dt·b0·u* fills
              the T0 rows at runtime, so ONE output-stream-bound dot
              materializes the full state-dependent solve matrix
-    BmF    : (W, NP, km8·NP) transposed k-stacked factored mass tensors
+    BmF    : (W, NP, km·NP) transposed k-stacked factored mass tensors
              (row (k, n) of the untransposed form is Bm3[n, :, k]) for
-             the θ-factored r0 matvecs
-    BkF    : (W, NP, kk8·NP) transposed factored stiffness tensors
+             the θ-factored r0 matvecs — REAL k rows only (km ≤ km8);
+             the dot streams k·NP output rows, so 8-padding here would
+             waste 8/km of the pass
+    BkF    : (W, NP, kk·NP) transposed factored stiffness tensors
+             (real k rows only, kk ≤ kk8)
     Bf     : (W, kf8, NP) transposed per-window rhs combine (dt folded)
     TQ_p   : (W, NP, NP·NP) [i, (j,k)]-permuted per-window trilinear
              tensors for the quadratic-form residual term
@@ -1401,8 +1409,11 @@ def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, TQ_p, VE_p, T_p,
     if K8 != km8 + kk8 + kf8 + PROBE_P:
         raise ValueError("merged θ table rows do not match k offsets")
     kfold = km8 + kk8 + (n_pad if with_trilinear else 0)
-    if Bmk.shape[1] != kfold or BmF.shape[2] != km8 * n_pad \
-            or BkF.shape[2] != kk8 * n_pad:
+    km = BmF.shape[2] // n_pad
+    kk = BkF.shape[2] // n_pad
+    if Bmk.shape[1] != kfold or not (1 <= km <= km8) \
+            or not (1 <= kk <= kk8) or BmF.shape[2] != km * n_pad \
+            or BkF.shape[2] != kk * n_pad:
         raise ValueError("merged/factored combine tensor shapes do not "
                          "match the k offsets")
     for k in (km8, kk8, kf8):

@@ -1493,10 +1493,15 @@ class RomConstructor(Reductor):
         Bmk_np = np.concatenate(
             [Bm_np, Bk_np] + ([T0_np] if with_tri else []), axis=2
         )
-        BmF_np = (Bm_np.reshape(W, NP, NP, km8).transpose(0, 3, 1, 2)
-                  .reshape(W, km8 * NP, NP))
-        BkF_np = (Bk_np.reshape(W, NP, NP, kk8).transpose(0, 3, 1, 2)
-                  .reshape(W, kk8 * NP, NP))
+        # The factored r0 tensors carry only the REAL k rows (km mass
+        # combines; kk stiffness-side combines incl. the padded-diagonal
+        # identity row): their dot cost is output-stream-bound in k·NP
+        # rows, so the 8-padding that the θ-table sublane layout wants
+        # would stream 8/km× wasted rows (mass k=1 → 8).
+        BmF_np = (Bm_np[:, :, :km].reshape(W, NP, NP, km)
+                  .transpose(0, 3, 1, 2).reshape(W, km * NP, NP))
+        BkF_np = (Bk_np[:, :, :kk].reshape(W, NP, NP, kk)
+                  .transpose(0, 3, 1, 2).reshape(W, kk * NP, NP))
         tbl = {
             "Bm": jnp.asarray(Bm_np), "Bk": jnp.asarray(Bk_np),
             "Bf": jnp.asarray(Bf_np), "VE": jnp.asarray(VE_np),
