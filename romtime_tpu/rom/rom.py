@@ -2693,7 +2693,12 @@ class RomConstructorNonlinear(RomConstructorMoving):
 
     def _windowed_trilinear_table(self, V_w):
         """Per-window trilinear fast-path tensor: built against the
-        window's basis (the N-MDEIM must already be projected to V_w)."""
+        window's basis (the N-MDEIM must already be projected to V_w).
+
+        Default construction is EXACT (see
+        ``_build_trilinear_table_exact``); ``ROMTIME_TRI_TABLE=deim``
+        restores the N-MDEIM reconstruction (reference hyper-reduction
+        semantics, deim/nonlinear.py analog)."""
         return self._build_trilinear_state_table(np.asarray(V_w))
 
     def _state_matrix_lanes(self, mu, t, uh, uh_n1):
@@ -2783,9 +2788,53 @@ class RomConstructorNonlinear(RomConstructorMoving):
         if not np.allclose(E_a, E_b, atol=1e-9 * scale, rtol=1e-9):
             return None  # operator is not scale-invariant — use in-body DEIM
 
-        # T0 = basis_rom (N², k) · PT_U⁻¹ (k, n_ent) · E0 (n_ent, N)
-        T0 = red.basis_rom @ (red.PT_U_inv @ E_a)
-        return T0  # (N², N)
+        if os.environ.get("ROMTIME_TRI_TABLE") == "deim":
+            # N-MDEIM reconstruction (reference hyper-reduction
+            # semantics): T0 = basis_rom (N², k) · PT_U⁻¹ (k, n_ent) ·
+            # E0 (n_ent, N). Kept as an opt-in ablation: measured on the
+            # round-4 registered fleet this reconstruction carries 4-9%
+            # relative tensor error in the mid-Mach cells and 58-91% in
+            # the steepening high-Mach corner cell; the error is SHARED
+            # by the ROM and the nested S-ROM (both consume the same
+            # table), so it is invisible to the S-ROM estimator (ratio
+            # 0.18 at the corner μ) and set the corner's served error
+            # (1.4e-5 against a 7.7e-8 windowed projection floor).
+            return red.basis_rom @ (red.PT_U_inv @ E_a)
+
+        # EXACT table (default): full banded assembly of N(V e_j)/b0 per
+        # basis column + two-sided Galerkin projection, one jitted vmap
+        # over columns. Offline cost W·N assemblies per windowed cell
+        # (seconds); zero online change — the serving kernels consume the
+        # same (N², N) tensor, now without reconstruction error.
+        return self._trilinear_exact_columns(V_np, mu_a, b0_a)
+
+    def _trilinear_exact_columns(self, V_np, mu_a, b0_a):
+        """vec(Vᵀ·N(V e_j)·V)/b0 for every basis column j, batched."""
+        from ..ops.assembly import band_matmat
+
+        fom = self.fom
+        t_a = 0.37 * float(fom.domain[fom.T])
+        key = (V_np.shape[0], V_np.shape[1])
+        cache = getattr(self, "_tri_exact_jit", None)
+        if cache is None:
+            cache = self._tri_exact_jit = {}
+        fn = cache.get(key)
+        if fn is None:
+            degree = fom.mesh.degree
+
+            def cols(V, mu, t, b0):
+                def col(vj):
+                    op = fom.assemble_trilinear(mu=mu, t=t, u_n=vj)
+                    red_j = V.T @ band_matmat(op.band, V, degree)
+                    return red_j.reshape(-1) / b0
+
+                return jax.vmap(col, in_axes=1, out_axes=1)(V)
+
+            fn = cache[key] = jax.jit(cols)
+        mu_j = {k: jnp.asarray(float(v)) for k, v in mu_a.items()}
+        T0 = fn(jnp.asarray(V_np), mu_j, jnp.asarray(t_a),
+                jnp.asarray(float(b0_a)))
+        return np.asarray(T0)
 
     def _system_parts(self, get, mu, t, uh, uh_n1):
         """(M_N, dt·(A_N + C_N + N_N(u*) + N̂_N)) (reference:

@@ -20,10 +20,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def build_hrom():
+    """Warm-resume the flagship HROM from the bench artifact dir with the
+    bench.py 'joint'-profile configuration. Shared by the per-μ and
+    corner-attribution diagnostics."""
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
+    # A sitecustomize may re-force the axon platform at interpreter
+    # startup; pin the CPU backend explicitly (tests/conftest.py pattern)
+    # or the f64 certification sweeps run through the TPU tunnel.
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
@@ -33,14 +40,10 @@ def main():
     except Exception:
         pass
 
-    import jax.numpy as jnp  # noqa: F401
-
     from romtime_tpu.conventions import (
-        Errors,
         OperatorType,
         PistonParameters,
         RomParameters,
-        Stage,
         StorageNames,
     )
     from romtime_tpu.parameters import get_uniform_dist
@@ -106,7 +109,16 @@ def main():
     rom = hrom.rom
     print(f"[{time.time()-t0:.1f}s] warm resume done; "
           f"cells={None if rom.mulocal is None else rom.mulocal.n_cells}")
+    return hrom
 
+
+def main():
+    hrom = build_hrom()
+    rom = hrom.rom
+    from romtime_tpu.conventions import Errors, PistonParameters, Stage
+
+    nx = int(os.environ.get("BENCH_NX", 1000))
+    nt = int(os.environ.get("BENCH_NT", 1500))
     n_multi = int(os.environ.get("BENCH_MULTI_MU", 16))
     mus_val = list(rom.build_sampling_space(
         num=n_multi, rnd=np.random.RandomState(7)

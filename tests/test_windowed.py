@@ -1,6 +1,8 @@
 """Time-windowed local-basis serving (rom/windowed.py + the v2 pallas
 kernels): builder invariants, engine consistency, and f32 drift."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -948,3 +950,61 @@ def test_auto_cell_wn_from_cache(tmp_path, monkeypatch):
         HyperReducedOrderModelFixed.auto_cell_wn(
             None, candidates, 1e-6, path=str(tmp_path / "none.npz")
         )
+
+
+def test_trilinear_table_exact_vs_deim(piston_windowed):
+    """The windowed trilinear fast-path tensor is EXACT by default: it
+    must equal the direct eager projection vec(Vᵀ·N(V e_j)·V)/b0 column
+    by column, while the opt-in N-MDEIM reconstruction
+    (ROMTIME_TRI_TABLE=deim — reference hyper-reduction semantics,
+    deim/nonlinear.py) generally carries reconstruction error (measured
+    58-91% relative tensor error in the round-4 high-Mach corner cell,
+    SHARED by ROM and S-ROM — the estimator-blind error source)."""
+    import jax.numpy as jnp
+
+    from romtime_tpu.conventions import Stage
+    from romtime_tpu.ops.assembly import band_matmat
+
+    hrom, _mu_val, _uh, _dir = piston_windowed
+    rom = hrom.rom
+    fom = hrom.fom
+    win = rom.windows
+    w = win.n_windows - 1
+    V = np.asarray(win.Vs[w])
+
+    mu_a = dict(hrom.mu_space[Stage.OFFLINE][0])
+    b0_a = float(fom.nonlinear_coefficient(mu_a))
+    t_a = 0.37 * float(fom.domain[fom.T])
+
+    rom.mdeim_Nh.project_basis(V=V)
+    table = rom._windowed_trilinear_table(V)
+
+    cols = []
+    for j in range(V.shape[1]):
+        op = fom.assemble_trilinear(mu=mu_a, t=t_a,
+                                    u_n=jnp.asarray(V[:, j]))
+        red = V.T @ np.asarray(
+            band_matmat(op.band, jnp.asarray(V), fom.mesh.degree)
+        )
+        cols.append(red.reshape(-1) / b0_a)
+    exact = np.stack(cols, axis=1)
+
+    scale = np.abs(exact).max()
+    np.testing.assert_allclose(np.asarray(table), exact, rtol=0,
+                               atol=1e-12 * scale)
+
+    # The DEIM reconstruction stays available as an ablation and is a
+    # genuine approximation (not bit-equal in general).
+    old = os.environ.get("ROMTIME_TRI_TABLE")
+    os.environ["ROMTIME_TRI_TABLE"] = "deim"
+    try:
+        rom._trilinear_table_cache = None
+        deim_tab = rom._windowed_trilinear_table(V)
+    finally:
+        if old is None:
+            os.environ.pop("ROMTIME_TRI_TABLE", None)
+        else:
+            os.environ["ROMTIME_TRI_TABLE"] = old
+        rom._trilinear_table_cache = None
+    assert deim_tab is not None
+    assert deim_tab.shape == exact.shape
