@@ -60,15 +60,38 @@ def _feature_value(mu, name):
     return val
 
 
+#: Serve-time guard default: a lane is flagged as extrapolating when its
+#: nearest-training-μ distance (range-normalized feature space) exceeds
+#: GUARD_FACTOR × the training set's own fill distance. 1.5 keeps every
+#: leave-one-out training point unflagged (its distance IS ≤ the fill
+#: distance) while catching the measured sampling-hole incident
+#: (rom/hrom.py: a held-out μ in a first-come-sampling hole mispredicted
+#: its dilation by 0.03 and served at 1.5e-4 vs 2e-7 in-hull).
+GUARD_FACTOR = 1.5
+
+
 @dataclass
 class DilationLaw:
     """Per-cell dilation law d(μ) = c₀ + Σᵢ cᵢ·fᵢ(μ), clamped below at
     ``floor`` (coverage of [0, tf] needs d ≥ 1). Features fᵢ follow the
-    power-product grammar of :func:`_feature_value`."""
+    power-product grammar of :func:`_feature_value`.
+
+    Fitted laws also carry a serve-time extrapolation guard: the
+    range-normalized training feature cloud (``guard_feats``, rows =
+    training μ's) and its fill distance (``guard_dref`` = max over
+    training points of the nearest-other-training distance). A serve μ
+    whose nearest-training distance exceeds ``GUARD_FACTOR · guard_dref``
+    sits in a training hole (interior or exterior) where the affine law
+    is unvalidated — the serving engines surface it as a per-lane
+    ``dil_oor`` flag rather than silently serving the extrapolated
+    dilation."""
 
     names: tuple                 # feature strings entering the law
     coef: np.ndarray             # (1 + len(names),) float64
     floor: float = 1.0
+    guard_feats: np.ndarray = None   # (n_train, p) NORMALIZED features
+    guard_inv_span: np.ndarray = None  # (p,) 1/span normalizers
+    guard_dref: float = None     # training fill distance (normalized)
 
     def predict(self, mu):
         """Dilation for a μ dict of scalars or (B,) arrays; jax-traceable
@@ -80,18 +103,64 @@ class DilationLaw:
             return d.clip(self.floor)
         return max(float(d), self.floor)
 
+    @property
+    def has_guard(self):
+        return (self.guard_feats is not None
+                and self.guard_dref is not None
+                and np.isfinite(self.guard_dref))
+
+    def guard_distance(self, mu):
+        """Nearest-training-μ distance in normalized feature space for a
+        μ dict of scalars or (B,) arrays — jax-traceable (stacks and
+        reductions only). ``None`` when the law carries no guard."""
+        if not self.has_guard:
+            return None
+        feats = [_feature_value(mu, n) * s
+                 for n, s in zip(self.names, self.guard_inv_span)]
+        # (B?, p) serve cloud vs (n_train, p) training cloud; jnp
+        # handles host scalars and traced lanes alike.
+        import jax.numpy as xp
+
+        x = xp.stack([xp.asarray(f) for f in feats], axis=-1)
+        G = xp.asarray(self.guard_feats)
+        d2 = ((x[..., None, :] - G) ** 2).sum(axis=-1)  # (B?, n_train)
+        return xp.sqrt(d2.min(axis=-1))
+
+    def extrapolation_flag(self, mu, factor=GUARD_FACTOR):
+        """Boolean (per-lane) serve-time extrapolation flag; ``None``
+        when the law carries no guard."""
+        dist = self.guard_distance(mu)
+        if dist is None:
+            return None
+        return dist > factor * self.guard_dref
+
     def to_payload(self):
-        return {
+        payload = {
             "names": np.array(list(self.names)),
             "coef": np.asarray(self.coef, np.float64),
             "floor": np.float64(self.floor),
         }
+        if self.has_guard:
+            payload["guard_feats"] = np.asarray(self.guard_feats,
+                                                np.float64)
+            payload["guard_inv_span"] = np.asarray(self.guard_inv_span,
+                                                   np.float64)
+            payload["guard_dref"] = np.float64(self.guard_dref)
+        return payload
 
     @classmethod
-    def from_payload(cls, names, coef, floor):
+    def from_payload(cls, names, coef, floor, guard_feats=None,
+                     guard_inv_span=None, guard_dref=None):
         return cls(names=tuple(str(n) for n in np.asarray(names)),
                    coef=np.asarray(coef, np.float64),
-                   floor=float(floor))
+                   floor=float(floor),
+                   guard_feats=(None if guard_feats is None
+                                else np.asarray(guard_feats, np.float64)),
+                   guard_inv_span=(None if guard_inv_span is None
+                                   else np.asarray(guard_inv_span,
+                                                   np.float64)),
+                   guard_dref=(None if guard_dref is None
+                               else float(guard_dref)))
 
 
 def resample_time(u, d, nt=None):
@@ -231,7 +300,23 @@ def fit_dilation_law(snapshots, mus, features="auto",
     # at d·dt always cover [0, tf] with the same margin for held-out μ.
     scale = (1.0 + margin) / float(pred.min())
     coef = coef * scale
-    law = DilationLaw(names=tuple(names), coef=coef, floor=1.0)
+    # Serve-time extrapolation guard: normalized training feature cloud
+    # + its fill distance (see DilationLaw docstring). Needs ≥3 points
+    # for a meaningful fill distance.
+    feats = X[:, 1:]
+    guard = {}
+    if len(mus) >= 3 and feats.shape[1]:
+        span = feats.max(axis=0) - feats.min(axis=0)
+        inv_span = np.where(span > 0, 1.0 / np.where(span > 0, span, 1.0),
+                            1.0)
+        G = feats * inv_span
+        d2 = ((G[:, None, :] - G[None, :, :]) ** 2).sum(axis=-1)
+        np.fill_diagonal(d2, np.inf)
+        dref = float(np.sqrt(d2.min(axis=1)).max())
+        if np.isfinite(dref) and dref > 0:
+            guard = dict(guard_feats=G, guard_inv_span=inv_span,
+                         guard_dref=dref)
+    law = DilationLaw(names=tuple(names), coef=coef, floor=1.0, **guard)
     return law, pred * scale
 
 

@@ -1521,6 +1521,18 @@ class RomConstructor(Reductor):
             # trace-time read would bake the first cell's law), while
             # its feature names are part of the compile key.
             tbl["dil_coef"] = jnp.asarray(win.dilation.coef, jnp.float32)
+            if win.dilation.has_guard:
+                # Serve-time extrapolation guard (rom/registration.py):
+                # normalized training feature cloud + flag threshold,
+                # runtime values for the same cell-swap reason.
+                from .registration import GUARD_FACTOR
+
+                tbl["dil_guard_feats"] = jnp.asarray(
+                    win.dilation.guard_feats, jnp.float32)
+                tbl["dil_guard_inv_span"] = jnp.asarray(
+                    win.dilation.guard_inv_span, jnp.float32)
+                tbl["dil_guard_thresh"] = jnp.asarray(
+                    GUARD_FACTOR * win.dilation.guard_dref, jnp.float32)
         self._windowed_pallas_tbl = tbl
         # Prime the Richardson auto-iteration estimate HERE (host-side,
         # eager): _windowed_solve_iters is consulted inside the traced
@@ -1618,6 +1630,9 @@ class RomConstructor(Reductor):
                "g": g_full, "b0": b0}
         if dil is not None:
             out["dil"] = dil.astype(dtype)
+            oor = self._windowed_dilation_oor(mu, tables)
+            if oor is not None:
+                out["dil_oor"] = oor
         return out
 
     def _windowed_dilation(self, mu, coef):
@@ -1639,6 +1654,33 @@ class RomConstructor(Reductor):
         # the batch shape.
         d = d * jnp.ones_like(next(iter(mu.values())))
         return jnp.maximum(d, law.floor)
+
+    def _windowed_dilation_oor(self, mu, tables):
+        """Per-lane dilation-law extrapolation flag (1.0 = the lane's μ
+        sits in a training hole where the affine law is unvalidated —
+        the measured failure mode is a 0.03 dilation misprediction
+        serving at 1.5e-4 vs 2e-7 in-hull). Nearest-training-μ distance
+        in range-normalized feature space vs the training fill distance
+        (rom/registration.py DilationLaw guard); ``None`` when the
+        active configuration has no registration guard. Traceable —
+        guard tables are runtime values so cell swaps reuse compiled
+        sweeps."""
+        win = self.windows
+        law = getattr(win, "dilation", None) if win is not None else None
+        G = tables.get("dil_guard_feats") if tables is not None else None
+        if law is None or G is None:
+            return None
+        from .registration import _feature_value
+
+        inv_span = tables["dil_guard_inv_span"]
+        thresh = tables["dil_guard_thresh"]
+        ones_b = jnp.ones_like(next(iter(mu.values())))
+        x = jnp.stack(
+            [_feature_value(mu, n) * inv_span[i] * ones_b
+             for i, n in enumerate(law.names)], axis=-1,
+        )  # (B, p)
+        d2 = ((x[:, None, :] - G[None, :, :]) ** 2).sum(-1).min(axis=1)
+        return (d2 > thresh * thresh).astype(jnp.float32)
 
     def _online_sweep_windowed_pallas(self, prepped, tables,
                                       interpret=False):
@@ -1681,6 +1723,8 @@ class RomConstructor(Reductor):
         g_full = prepped["g"]
         b0 = prepped["b0"]
         dil = prepped.get("dil")
+        dil_extra = {k: prepped[k] for k in ("dil", "dil_oor")
+                     if k in prepped}
         B = THm_full.shape[2]
         ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
         if dil is not None:
@@ -1741,7 +1785,7 @@ class RomConstructor(Reductor):
             return dict(
                 {"t": ts_grid, "probes": probes[:, :2, :],
                  "uN_final": state[0, :N, :]},
-                **({"dil": dil} if dil is not None else {}),
+                **dil_extra,
             )
 
         # θ-streaming serving path. ROMTIME_WINDOWED_KERNEL selects the
@@ -1776,7 +1820,7 @@ class RomConstructor(Reductor):
             return dict(
                 {"t": ts_grid, "probes": probes[:, :2, :],
                  "uN_final": state[0, :N, :]},
-                **({"dil": dil} if dil is not None else {}),
+                **dil_extra,
             )
 
         # v2: lax.scan over the stacked per-window
@@ -1813,7 +1857,7 @@ class RomConstructor(Reductor):
         return dict(
             {"t": ts_grid, "probes": probes[:, :2, :],
              "uN_final": state[0, :N, :]},
-            **({"dil": dil} if dil is not None else {}),
+            **dil_extra,
         )
 
     @staticmethod
@@ -1863,6 +1907,14 @@ class RomConstructor(Reductor):
             # Registration law coefficients as runtime values (see
             # _windowed_pallas_tables).
             tbl["dil_coef"] = _asarray(win.dilation.coef)
+            if win.dilation.has_guard:
+                from .registration import GUARD_FACTOR
+
+                tbl["dil_guard_feats"] = _asarray(win.dilation.guard_feats)
+                tbl["dil_guard_inv_span"] = _asarray(
+                    win.dilation.guard_inv_span)
+                tbl["dil_guard_thresh"] = _asarray(
+                    GUARD_FACTOR * win.dilation.guard_dref)
         if mode == "full":
             tbl["V_full"] = _asarray(win.Vs)
         T_np = np.concatenate(
@@ -2066,6 +2118,9 @@ class RomConstructor(Reductor):
             outs["uN_final"] = carry[0]
         if dil is not None:
             outs["dil"] = dil
+            oor = self._windowed_dilation_oor(mu, tables)
+            if oor is not None:
+                outs["dil_oor"] = oor
         return outs
 
     def _online_sweep_windowed_chained(self, mu, mode="probes"):
@@ -2232,7 +2287,10 @@ class RomConstructor(Reductor):
         dil_sig = None
         if self.windows is not None and \
                 getattr(self.windows, "dilation", None) is not None:
-            dil_sig = tuple(self.windows.dilation.names)
+            # Guard presence changes the prep's output structure (and
+            # its table shapes), so it joins the names in the key.
+            dil_sig = (tuple(self.windows.dilation.names),
+                       bool(self.windows.dilation.has_guard))
         key = ("batched" if batched else "single", mode, engine, self.N,
                compute_dtype(), dil_sig)
         fn = self._online_fns.get(key)
@@ -2860,13 +2918,24 @@ class RomConstructorNonlinear(RomConstructorMoving):
             u_star = 2.0 * uh - uh_n1
 
         NN = None
-        if isinstance(u_star, tuple) and jnp.ndim(u_star[1]) == 2:
+        if isinstance(u_star, tuple):
+            # Use the (exact-by-default) trilinear table for BOTH the
+            # serial (1-D coefficients) and lane-batched (2-D) scans —
+            # the two engines must share trilinear semantics or the
+            # S-ROM estimator (a difference of near-identical
+            # trajectories) diverges between them.
+            cN_star = u_star[1]
             T0 = self._trilinear_state_table(u_star[0])
             if T0 is not None:
-                b0 = self.fom.nonlinear_coefficient(mu)  # (B,)
-                NN = (_asarray(T0) @ u_star[1]).reshape(
-                    (self.N, self.N, -1)
-                ) * b0
+                b0 = self.fom.nonlinear_coefficient(mu)  # scalar or (B,)
+                if jnp.ndim(cN_star) == 2:
+                    NN = (_asarray(T0) @ cN_star).reshape(
+                        (self.N, self.N, -1)
+                    ) * b0
+                else:
+                    NN = (_asarray(T0) @ cN_star).reshape(
+                        (self.N, self.N)
+                    ) * b0
         if NN is None:
             NN = self.assemble_trilinear(mu=mu, t=t, uh=u_star)
 
@@ -2952,6 +3021,9 @@ class RomConstructorNonlinear(RomConstructorMoving):
             if any(r is None for r in lst):
                 if k == "dil":
                     fill = np.asarray(1.0)
+                elif k == "dil_oor":
+                    # Unregistered cells have no law to extrapolate.
+                    fill = np.asarray(0.0)
                 elif k in passthru:
                     fill = np.asarray(passthru[k])
                 else:

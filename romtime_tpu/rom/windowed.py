@@ -43,10 +43,16 @@ def _load_dilation(data, prefix):
         return None
     from .registration import DilationLaw
 
+    guard = {
+        k: data[f"{prefix}dilation_{k}"]
+        for k in ("guard_feats", "guard_inv_span", "guard_dref")
+        if f"{prefix}dilation_{k}" in data.files
+    }
     return DilationLaw.from_payload(
         names=data[f"{prefix}dilation_names"],
         coef=data[f"{prefix}dilation_coef"],
         floor=data[f"{prefix}dilation_floor"],
+        **guard,
     )
 
 

@@ -439,45 +439,188 @@ def test_hrom_piston_f32_drift(piston_hrom):
     assert drifts["auto"] <= drifts[False] * 0.8, drifts
 
 
+def _check_estimate_batch_contract(hrom, mus, trajectory_rtol=3e-8):
+    """Cancellation-honest certification of the lane-batched S-ROM
+    estimator against the reference-semantics serial path
+    (reference: rom/hrom.py:563-574 + utils.py:173-212).
+
+    The estimator is a norm of the DIFFERENCE of two nearly identical
+    trajectories, so a blanket rtol on the estimator value is dishonest:
+    the serial scan (gauss_solve on (N,N), dt applied at use) and the
+    lane-batched sweep (gauss_solve_lanes on (N,N,B), dt folded into the
+    θ-tables) are both backward-stable but round differently, and that
+    solver-level roundoff — amplified through nt BDF-2 steps — dominates
+    an estimator that sits many orders below the trajectory scale.
+
+    The honest contract is three separable assertions:
+      (a) semantics  — on the SAME trajectories, the batched coefficient-
+          difference norm equals the reference reconstruction-norm
+          estimator exactly (V_srom has orthonormal columns);
+      (b) trajectories — serial and batched sweeps agree to solver
+          precision relative to the TRAJECTORY scale;
+      (c) estimator  — serial and batched estimators agree to the
+          triangle-inequality bound implied by (b), and to 10% on every
+          step where the estimator is resolved above that noise floor.
+    """
+    from romtime_tpu.utils import compute_rom_difference
+
+    rom, srom = hrom.rom, hrom.srom
+    out = hrom.estimate_batch(mus, step=Stage.ONLINE)
+    est = out[Errors.ESTIMATOR]
+    assert est.shape[0] == len(mus)
+    assert np.all(np.isfinite(est))
+    assert out[Errors.AVERAGE_ESTIMATOR].shape == (len(mus),)
+    assert np.all(out[Errors.AVERAGE_ESTIMATOR] >= 0)
+
+    V_srom = np.asarray(srom.basis)
+    Nh = V_srom.shape[0]
+    uN_b = np.asarray(out["rom"]["uN"])  # (B, nt, N)
+    uNs_b = np.asarray(out["srom"]["uN"])  # (B, nt, N_hat)
+    nt = uN_b.shape[1]
+
+    for b, mu in enumerate(mus):
+        # (a) Formula semantics: identical inputs => identical estimator
+        # (up to norm roundoff; POD-orthonormality of V_srom ~1e-14).
+        same_inputs = np.array([
+            compute_rom_difference(
+                uN=uN_b[b, i], uN_srom=uNs_b[b, i], V_srom=V_srom
+            )
+            for i in range(nt)
+        ])
+        np.testing.assert_allclose(est[b], same_inputs,
+                                   rtol=1e-10, atol=1e-17)
+
+        # (b) Cross-engine trajectory agreement at the trajectory scale.
+        rom.solve(mu=dict(mu), step=Stage.VALIDATION)
+        srom.solve(mu=dict(mu), step=Stage.VALIDATION)
+        uN_s = np.asarray(rom.solutions.rom).T  # (nt, N)
+        uNs_s = np.asarray(srom.solutions.rom).T  # (nt, N_hat)
+        d_rom = np.linalg.norm(uN_b[b] - uN_s, axis=1)  # (nt,)
+        d_srom = np.linalg.norm(uNs_b[b] - uNs_s, axis=1)
+        scale = max(np.linalg.norm(uN_s, axis=1).max(),
+                    np.linalg.norm(uNs_s, axis=1).max())
+        assert d_rom.max() <= trajectory_rtol * scale, (
+            d_rom.max(), scale)
+        assert d_srom.max() <= trajectory_rtol * scale, (
+            d_srom.max(), scale)
+
+        # (c) Estimator agreement: triangle-inequality bound everywhere,
+        # 10% relative wherever the estimator is resolved above the
+        # cross-engine noise floor.
+        serial = np.array([
+            compute_rom_difference(
+                uN=uN_s[i], uN_srom=uNs_s[i], V_srom=V_srom
+            )
+            for i in range(nt)
+        ])
+        noise = (d_rom + d_srom) / np.sqrt(Nh)
+        gap = np.abs(est[b] - serial)
+        assert np.all(gap <= noise + 1e-12 * serial + 1e-16), (
+            (gap - noise).max())
+        resolved = serial > 20.0 * noise
+        if resolved.any():
+            np.testing.assert_allclose(est[b][resolved], serial[resolved],
+                                       rtol=0.1)
+
+
 @pytest.mark.slow
 def test_hrom_piston_estimate_batch(piston_hrom):
     """Online certification of the piston driver through the lane-batched
-    S-ROM estimator (VERDICT r1: only the heat driver exercised it). The
-    batched estimator must agree with the reference-semantics serial one
-    (reference: rom/hrom.py:563-574 + utils.py:173-212)."""
-    from romtime_tpu.utils import compute_rom_difference
-
+    S-ROM estimator (VERDICT r1: only the heat driver exercised it;
+    VERDICT r4 weak-1: tolerance re-derived from the cancellation-error
+    model — see _check_estimate_batch_contract)."""
     hrom = piston_hrom
-    rom, srom = hrom.rom, hrom.srom
     samples = hrom.rom.build_sampling_space(
         num=3, rnd=np.random.RandomState(11)
     )
     mus = [dict(s) for s in samples]
     for m in mus:
         m.pop(PistonParameters.MACH_PISTON, None)
+    _check_estimate_batch_contract(hrom, mus)
 
-    out = hrom.estimate_batch(mus, step=Stage.ONLINE)
-    est = out[Errors.ESTIMATOR]
-    assert est.shape[0] == 3
-    assert np.all(np.isfinite(est))
-    assert out[Errors.AVERAGE_ESTIMATOR].shape == (3,)
-    assert np.all(out[Errors.AVERAGE_ESTIMATOR] >= 0)
 
-    V_srom = srom.basis
-    for b, mu in enumerate(mus):
-        rom.solve(mu=dict(mu), step=Stage.VALIDATION)
-        srom.solve(mu=dict(mu), step=Stage.VALIDATION)
-        uNs = rom.solutions.rom
-        uNs_srom = srom.solutions.rom
-        serial = np.array(
-            [
-                compute_rom_difference(
-                    uN=uNs[:, i], uN_srom=uNs_srom[:, i], V_srom=V_srom
-                )
-                for i in range(uNs.shape[1])
-            ]
+@pytest.fixture(scope="module")
+def piston_hrom_tiny(tmp_path_factory):
+    """Minimal piston HROM (nx=100, nt=50) for default-tier estimator
+    certification (VERDICT r4 item 1: a cheap piston estimator smoke must
+    guard the default run; the flagship-shaped one stays in the slow
+    tier)."""
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path_factory.mktemp("piston_hrom_tiny"))
+    try:
+        L, nx, nt, tf = 1.0, 100, 50, 0.4
+        domain, bcs, forcing, u0, Lt, dLt_dt = define_piston_problem(
+            L=L, nx=nx, tf=tf, nt=nt
         )
-        np.testing.assert_allclose(est[b], serial, rtol=1e-7, atol=1e-12)
+        grid = {
+            PistonParameters.A0: get_uniform_dist(min=8.0, max=10.0),
+            PistonParameters.OMEGA: get_uniform_dist(min=15.0, max=20.0),
+            PistonParameters.DELTA: get_uniform_dist(min=0.1, max=0.15),
+            PistonParameters.ALPHA: get_uniform_dist(min=1e-6, max=1e-6),
+            PistonParameters.GAMMA: get_uniform_dist(min=1.4, max=1.4),
+        }
+        fom_params = dict(
+            domain=domain, dirichlet=bcs, forcing_term=forcing, u0=u0,
+            Lt=Lt, dLt_dt=dLt_dt, grid_params={k: "uniform" for k in grid},
+        )
+        ts = np.linspace(tf / nt, tf, nt)
+        rom_params = {
+            RomParameters.NUM_SNAPSHOTS: 2,
+            RomParameters.SROM_TRUNCATE: 2,
+            RomParameters.TOL_TIME: None,
+            RomParameters.TOL_MU: None,
+            RomParameters.NMDEIM_SIZE: 8,
+        }
+        deim_params = {RomParameters.TS: ts, RomParameters.NUM_SNAPSHOTS: 2}
+        mdeim_params = {RomParameters.TS: ts, RomParameters.NUM_SNAPSHOTS: 2}
+        mdeim_nonlinear_params = {
+            RomParameters.TS: ts[:: max(1, nt // 10)],
+            RomParameters.NUM_SNAPSHOTS: 2,
+        }
+        models = {
+            OperatorType.MASS: True,
+            OperatorType.STIFFNESS: True,
+            OperatorType.RHS: True,
+            OperatorType.CONVECTION: True,
+            OperatorType.NONLINEAR_LIFTING: True,
+            OperatorType.TRILINEAR: True,
+        }
+        hrom = HyperReducedPiston(
+            grid=grid,
+            fom_params=fom_params,
+            rom_params=rom_params,
+            deim_params=deim_params,
+            mdeim_params=mdeim_params,
+            mdeim_nonlinear_params=mdeim_nonlinear_params,
+            models=models,
+            rnd=np.random.RandomState(0),
+        )
+        hrom.setup()
+        hrom.setup_hyperreduction()
+        hrom.run_offline_rom()
+        hrom.run_offline_hyperreduction(
+            mu_space=hrom.mu_space[Stage.OFFLINE], evaluate=False
+        )
+        hrom.project_reductors()
+    finally:
+        os.chdir(cwd)
+    return hrom
+
+
+def test_hrom_piston_estimate_batch_smoke(piston_hrom_tiny):
+    """Default-tier guard for the batched-vs-serial piston estimator
+    contract (the flagship-shaped slow test certifies the same contract
+    at nx=200/nt=150)."""
+    hrom = piston_hrom_tiny
+    samples = hrom.rom.build_sampling_space(
+        num=2, rnd=np.random.RandomState(11)
+    )
+    mus = [dict(s) for s in samples]
+    for m in mus:
+        m.pop(PistonParameters.MACH_PISTON, None)
+    _check_estimate_batch_contract(hrom, mus)
 
 
 # ---------------------------------------------------------------------------

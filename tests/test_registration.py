@@ -130,6 +130,100 @@ def test_resample_time_known_shift():
 
 
 # ---------------------------------------------------------------------------
+# Serve-time extrapolation guard (VERDICT r4 item 4: the affine law was
+# served with no hull/leverage check — a μ in a training-sampling hole
+# mispredicted its dilation by 0.03 and served at 1.5e-4 vs 2e-7 in-hull)
+# ---------------------------------------------------------------------------
+def test_fitted_law_carries_guard_and_flags_holes():
+    """Reproduces the measured incident shape: clustered (first-come)
+    training sampling leaves a hole; a held-out μ in the hole must be
+    flagged while training-adjacent μ's are not."""
+    rng = np.random.default_rng(7)
+    # two tight clusters in a0 with an empty middle band — the incident's
+    # sampling-hole geometry
+    a_lo = rng.uniform(8.0, 8.3, 5)
+    a_hi = rng.uniform(9.7, 10.0, 5)
+    mus = [dict(a0=float(a), omega=float(w), delta=0.12)
+           for a, w in zip(np.concatenate([a_lo, a_hi]),
+                           rng.uniform(16.9, 17.1, 10))]
+    d_true = np.array([1.0 + 0.01 * (m["a0"] - 9) for m in mus])
+    snaps = [_wave(100, 500, speed=1.0 / d) for d in d_true]
+    law, _dils = fit_dilation_law(snaps, mus, features=("a0", "omega"),
+                                  search=(0.9, 1.15))
+    assert law.has_guard
+
+    # every training μ is (by construction) within its own fill distance
+    for m in mus:
+        assert not bool(law.extrapolation_flag(m)), m
+    # a μ adjacent to a cluster is fine
+    assert not bool(law.extrapolation_flag(
+        dict(a0=float(a_lo.mean()), omega=17.0, delta=0.12)))
+    # the hole center is flagged
+    assert bool(law.extrapolation_flag(dict(a0=9.0, omega=17.0,
+                                            delta=0.12)))
+    # so is out-of-hull extrapolation
+    assert bool(law.extrapolation_flag(dict(a0=11.0, omega=17.0,
+                                            delta=0.12)))
+
+
+def test_guard_payload_roundtrip():
+    law = DilationLaw(
+        names=("a0",), coef=np.array([1.1, 0.01]),
+        guard_feats=np.array([[0.0], [0.5], [1.0]]),
+        guard_inv_span=np.array([2.5]), guard_dref=0.5,
+    )
+    p = law.to_payload()
+    back = DilationLaw.from_payload(**{k: p[k] for k in p})
+    assert back.has_guard
+    np.testing.assert_array_equal(back.guard_feats, law.guard_feats)
+    np.testing.assert_array_equal(back.guard_inv_span, law.guard_inv_span)
+    assert back.guard_dref == law.guard_dref
+    # guardless laws still roundtrip (backwards compatibility)
+    bare = DilationLaw(names=("a0",), coef=np.array([1.1, 0.01]))
+    p = bare.to_payload()
+    assert "guard_feats" not in p
+    back = DilationLaw.from_payload(**{k: p[k] for k in p})
+    assert not back.has_guard
+    assert back.guard_distance(dict(a0=9.0)) is None
+    assert back.extrapolation_flag(dict(a0=9.0)) is None
+
+
+def test_dilation_guard_flag_in_serving_output(piston_windowed):  # noqa: F811
+    """The windowed engines surface the per-lane ``dil_oor`` flag: a lane
+    whose μ sits beyond the law's training cloud is marked 1.0, in-cloud
+    lanes 0.0 — the serve-time contract for the measured accuracy-cliff
+    incident (flag, not silence)."""
+    hrom, mu_val, _uh, _dir = piston_windowed
+    rom = hrom.rom
+    win = rom.windows
+
+    # synthetic guarded law: trained a0 cluster {9.0, 9.2, 9.4}
+    # (span 0.4 → guard_feats = a0/0.4, fill distance 0.5, flag
+    # threshold 1.5·0.5 = 0.75; guard_feats carry the RAW·inv_span
+    # convention of fit_dilation_law — no centering)
+    law = DilationLaw(
+        names=("a0",), coef=np.array([1.0 - 0.004 * 9.3, 0.004]),
+        guard_feats=np.array([[9.0], [9.2], [9.4]]) / 0.4,
+        guard_inv_span=np.array([1.0 / 0.4]), guard_dref=0.5,
+    )
+    mu_in = dict(mu_val, a0=9.1)    # normalized dist 0.25 → in
+    mu_out = dict(mu_val, a0=8.0)   # normalized dist 2.50 → flagged
+    try:
+        win.dilation = law
+        _clear_serving_caches(rom)
+        outs = rom.solve_batch([mu_in, mu_out], step=Stage.ONLINE,
+                               mode="probes", engine="windowed")
+    finally:
+        win.dilation = None
+        _clear_serving_caches(rom)
+    np.testing.assert_array_equal(
+        np.asarray(outs["dil_oor"], np.float64), [0.0, 1.0]
+    )
+    # both lanes still served (flag, not refusal)
+    assert np.all(np.isfinite(np.asarray(outs["probes"])))
+
+
+# ---------------------------------------------------------------------------
 # Serving identities on the small piston pipeline
 # ---------------------------------------------------------------------------
 def _clear_serving_caches(rom):
