@@ -326,11 +326,21 @@ def resample_to_standard(traj, d, axis=0):
 
     ``traj`` holds samples at t = (k+1)·d·dt for k = 0..nt−1 along
     ``axis``; returns samples at t = (m+1)·dt (same count). Cubic
-    Lagrange on the uniform source grid — O(dt³·u_ttt) ≈ 1e-7-class at
-    the flagship ω, below the BDF-2 floor (linear interpolation would
-    cost ~7e-6, above the ≤1e-6 certification band). d ≥ 1 guarantees
-    the standard grid is interior except the first fraction of a step,
-    where the clamped stencil extrapolates by < (1−1/d) of one step.
+    Lagrange on the uniform source grid. d ≥ 1 guarantees the standard
+    grid is interior except the first fraction of a step, where the
+    clamped stencil extrapolates by < (1−1/d) of one step.
+
+    Fidelity (measured at flagship scale, tests/test_registration.py
+    ::test_resampler_fidelity_at_flagship_scale): O((Ω·dt)⁴) per
+    frequency Ω — ≤1e-7-class for the smooth forcing/acoustic content
+    (Ω ≤ ~30 rad/s at nt=1500), but the steepened high-Mach corner
+    trajectory carries near-grid-frequency content for which raw-field
+    resampling fidelity is dt-resolution-limited (~6e-4 Frobenius —
+    the same content no discretization at this dt resolves; it is part
+    of the cross-grid ``fom_dt_gap`` bench reports). Certification
+    comparisons are unaffected: the map is LINEAR, so resampling both
+    the served lane and its matched-grid FOM reference measures the
+    pure reduction error R(u_rom − u_fom) on the standard clock.
     """
     if abs(float(d) - 1.0) < 1e-12:
         return np.asarray(traj)

@@ -129,6 +129,93 @@ def test_resample_time_known_shift():
     assert r.shape == u.shape
 
 
+@pytest.mark.slow
+def test_resampler_fidelity_at_flagship_scale():
+    """Cubic-resampler fidelity certified at FLAGSHIP scale (VERDICT r4
+    item 2): nx=1000, nt=1500, corner μ (a0=8, ω=20, δ=0.148 — the
+    steepest, highest-Mach trajectory the registered fleet serves),
+    dilation 1.19 (the fleet's measured dil_max).
+
+    What is actually true (and what this test pins):
+    (a) SMOOTH content (forcing ω=20, acoustic crossing ~π·a0): the
+        implementation interpolates at ≤1e-7 at flagship resolution —
+        the O((Ω·dt)⁴) claim, including the clamped boundary stencil.
+    (b) The REAL corner trajectory additionally carries near-grid-
+        frequency content (steepened waves crossing fixed nodes):
+        its measured raw-field cubic fidelity is dt-resolution-limited
+        at the 1e-3-class — measured here by the 4th-difference bound
+        and the cubic-vs-linear disagreement proxy, and spelled out in
+        bench.py's ``fom_dt_gap``. Any claim of 1e-7-class RAW-field
+        resampling at this μ would be dishonest; this test fails if
+        someone reintroduces it (bound asserted to stay in its
+        measured band, not below it).
+    (c) The map is LINEAR — resampling the served lane and its
+        matched-grid FOM through the same map measures the pure
+        reduction error R(u_rom − u_fom) on the standard clock, which
+        is what bench.py's ``rel_l2_multi_mu_std`` certifies.
+    """
+    from romtime_tpu.fom.nonlinear import OneDimensionalBurgers
+    from romtime_tpu.problems import define_piston_problem
+
+    nx, nt, tf, d = 1000, 1500, 1.0, 1.19
+    mu = dict(a0=8.0, omega=20.0, delta=0.148, alpha=1e-6, gamma=1.4)
+
+    # (a) smooth-content claim at flagship resolution
+    h = d * tf / nt
+    t_dil = np.arange(1, nt + 1) * h
+    t_std = np.arange(1, nt + 1) * (tf / nt)
+    w1, w2 = mu["omega"], np.pi * mu["a0"]  # forcing + acoustic crossing
+    sig = np.stack([np.sin(w1 * t_dil), np.cos(w2 * t_dil)], axis=0)
+    ref = np.stack([np.sin(w1 * t_std), np.cos(w2 * t_std)], axis=0)
+    got = resample_to_standard(sig, d, axis=1)
+    err_smooth = np.abs(got - ref).max()
+    sig_bound = (9.0 / 384.0) * max(w1, w2) ** 4 * h ** 4
+    # interior bound + the first-step clamped-stencil extrapolation
+    assert err_smooth < 10 * sig_bound, (err_smooth, sig_bound)
+    assert err_smooth < 1e-7, err_smooth
+
+    # (b)+(c) on the real flagship corner trajectory
+    domain, bcs, forcing, u0, Lt, dLt_dt = define_piston_problem(
+        L=1.0, nx=nx, tf=tf * d, nt=nt
+    )
+    fom = OneDimensionalBurgers(
+        domain=domain, dirichlet=bcs, forcing_term=forcing,
+        u0=u0, Lt=Lt, dLt_dt=dLt_dt,
+    )
+    fom.setup()
+    fom.update_parametrization(mu)
+    fom.solve()
+    u = np.asarray(fom.solutions.fom, np.float64)  # (nh, nt), dilated
+
+    # 4th central difference → ‖u⁗‖·h⁴ per step (the cubic error term)
+    d4 = u[:, 4:] - 4 * u[:, 3:-1] + 6 * u[:, 2:-2] - 4 * u[:, 1:-3] \
+        + u[:, :-4]
+    bound_fro = (9.0 / 384.0) * np.linalg.norm(d4) / np.linalg.norm(u)
+    # measured band (2026-08-20): 5.97e-4 — dt-resolution-limited, far
+    # above the smooth-content 1e-7; assert it stays in its band so the
+    # docstring's honest number can't silently rot in either direction
+    assert 5e-5 < bound_fro < 5e-3, bound_fro
+
+    # cubic-vs-linear disagreement: an implementation-level proxy for
+    # the raw-field interpolation uncertainty (measured 1.3e-3)
+    cub = resample_to_standard(u, d, axis=1)
+    s = np.arange(1, nt + 1) / d
+    i0 = np.clip(np.floor(s).astype(int) - 1, 0, nt - 2)
+    fr = s - (i0 + 1)
+    lin = u[:, i0] * (1 - fr) + u[:, i0 + 1] * fr
+    proxy = np.linalg.norm(cub - lin) / np.linalg.norm(u)
+    assert 1e-4 < proxy < 1e-2, proxy
+
+    # (c) exact linearity: the certification comparison resamples the
+    # DIFFERENCE field, so reduction-error measurements survive the map
+    e = np.sin(50.0 * t_dil)[None, :] * u * 1e-6
+    lhs = resample_to_standard(u + e, d, axis=1) - cub
+    rhs = resample_to_standard(e, d, axis=1)
+    # rtol=0: R(u+e)−R(u) cancels at the f64 eps·‖u‖ absolute scale,
+    # which swamps the relative tolerance on near-zero rhs entries
+    np.testing.assert_allclose(lhs, rhs, rtol=0, atol=1e-12)
+
+
 # ---------------------------------------------------------------------------
 # Serve-time extrapolation guard (VERDICT r4 item 4: the affine law was
 # served with no hull/leverage check — a μ in a training-sampling hole
