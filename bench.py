@@ -804,6 +804,57 @@ def main():
         t0 = time.time()
         outs = jax.tree_util.tree_map(np.asarray, outs)
         fetch_wall = time.time() - t0
+
+        # --------------------------------------------------------------
+        # Fetch-INCLUSIVE serving throughput (VERDICT r4 item 6): the
+        # full (nt, 2, B) probe buffer dominates the host link at
+        # serving batch sizes (fetch_wall above), so production serving
+        # consumes probes ON DEVICE (rom._reduce_probes — here the
+        # reference's time-averaged QoI product; BENCH_PROBE_REDUCE
+        # overrides, an int = decimation stride). Chained sweeps with
+        # each rep's REDUCED probes materialized on host — the marginal
+        # wall includes every device→host byte the consumer's product
+        # needs.
+        # --------------------------------------------------------------
+        fetch_incl = None
+        if serve_mode == "probes":
+            reduce_spec = os.environ.get("BENCH_PROBE_REDUCE", "mean")
+            if reduce_spec.lstrip("-").isdigit():
+                reduce_spec = int(reduce_spec)
+
+            def run_chain_fetch(reps):
+                acc = jnp.asarray(0.0, batch[name0].dtype)
+                out_host = None
+                for k in range(reps):
+                    b2 = dict(batch)
+                    b2[name0] = _perturb(b2[name0], acc, float(k))
+                    o = sweep_jit(b2)
+                    pr = rom._reduce_probes(o["probes"], reduce_spec)
+                    out_host = np.asarray(pr)  # forces execute + fetch
+                    acc = jnp.sum(o["uN_final"])
+                float(np.asarray(acc))
+                return out_host
+
+            log(f"online: fetch-inclusive timing "
+                f"(probe_reduce={reduce_spec!r})")
+            run_chain_fetch(1)   # compile the consumer
+            t0 = time.time()
+            run_chain_fetch(1)
+            fi_w1 = time.time() - t0
+            t0 = time.time()
+            run_chain_fetch(n_rep)
+            fi_wk = time.time() - t0
+            fi_wall = (fi_wk - fi_w1) / max(n_rep - 1, 1)
+            if fi_wall < 0.05 * fi_wk / n_rep:
+                fi_wall = fi_wk / n_rep
+            fetch_incl = {
+                "probe_reduce": str(reduce_spec),
+                "wall_s": round(fi_wall, 4),
+                "solves_per_sec": round(n_online / fi_wall, 1),
+            }
+            log(f"online: fetch-inclusive "
+                f"{fetch_incl['solves_per_sec']} solves/s "
+                f"({fi_wall:.4f} s/sweep incl. consumer fetch)")
     solves_per_sec = n_online / online_wall
 
     # ------------------------------------------------------------------
@@ -953,6 +1004,7 @@ def main():
             "solve_iters": (rom._windowed_solve_iters()
                             if n_windows > 0 else None),
             "host_fetch_wall_s": round(fetch_wall, 4),
+            "fetch_inclusive": fetch_incl,
             "single_sweep_plus_sync_wall_s": round(wall_1, 4),
             "online_sweep_wall_s": round(online_wall, 4),
             "offline_wall_s": round(offline_wall, 2),

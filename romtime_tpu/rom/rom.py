@@ -52,6 +52,14 @@ from ..ops.compensated import (
 from ..ops.linalg import gauss_solve, gauss_solve_lanes
 from ..rom.pod import orth
 from .base import Reductor
+from .engines import (
+    AutotuneMixin,
+    GlobalPallasMixin,
+    MuLocalRoutingMixin,
+    SolvePolicyMixin,
+    WindowedLanesMixin,
+    WindowedPallasMixin,
+)
 
 _UNSET = object()
 
@@ -64,7 +72,9 @@ def _trace_state_clean():
         return True
 
 
-class RomConstructor(Reductor):
+class RomConstructor(SolvePolicyMixin, GlobalPallasMixin,
+                     WindowedPallasMixin, WindowedLanesMixin,
+                     AutotuneMixin, Reductor):
     """Reduced solver for the fixed-domain heat path
     (reference: rom/rom.py:34-685)."""
 
@@ -86,198 +96,6 @@ class RomConstructor(Reductor):
     ONLINE_PRECOMPUTE = "matrices"
     ONLINE_PRECOMPUTE_BUDGET = 6 * 1024**3  # bytes
     ONLINE_PRECOMPUTE_HARD_CAP = 12 * 1024**3  # bytes (v5e HBM is 16 GB)
-
-    def _precompute_choice(self, mat_bytes):
-        """True → materialize the operator time tables. The measured
-        autotune override wins when present (still guarded by the
-        HBM-fit hard cap); otherwise the static policy (materialize when
-        configured AND the tables fit the byte budget)."""
-        override = getattr(self, "_precompute_override", None)
-        if override is not None:
-            return (override == "matrices"
-                    and mat_bytes <= self.ONLINE_PRECOMPUTE_HARD_CAP)
-        return (self.ONLINE_PRECOMPUTE == "matrices"
-                and mat_bytes <= self.ONLINE_PRECOMPUTE_BUDGET)
-
-    # Residual-form compensated stepping (ops/compensated.py): solve for
-    # the step increment δ against a double-f32 carried state, which keeps
-    # the f32 recursion within ~1e-8 of the f64 trajectory. "auto" enables
-    # it exactly when serving in float32; f64 offline runs stay on the
-    # plain path (bit-compatible with the goldens).
-    COMPENSATED = "auto"
-
-    # Richardson iterations for the fused windowed kernel's per-step
-    # solve (ops/pallas_online._richardson_solve): one per-window
-    # inversion of the mean step matrix + this many refinements per step
-    # replace the per-step blocked LU. "auto" measures the within-window
-    # contraction factor ρ = ‖I − K̄_w⁻¹K(t)‖ at the μ-box corners once
-    # per serving configuration and picks the iteration count that
-    # reaches the f32 band — or falls back to the LU when Richardson
-    # would need too many iterations to win (ρ too large: short-horizon
-    # configs where dt·S varies strongly within a window). None = LU.
-    # Override with ROMTIME_SOLVE_ITERS (0 → LU).
-    WINDOWED_SOLVE_ITERS = "auto"
-    WINDOWED_SOLVE_ITERS_CAP = 12
-    # Measured on-chip crossover (v5e, W=30/N=40/B=2048 headline point,
-    # TPU campaign 2026-08-18): Richardson at 8 iterations spends
-    # 70.5 µs/step in the solve vs the blocked LU's 61.7 µs — the
-    # per-iteration matvec pair costs ~7-9 µs, so Richardson only wins
-    # when the contraction reaches the f32 band in ≤5 iterations. Above
-    # this the auto-selector prefers the LU even though Richardson would
-    # still be ACCURATE (the 12-iter cap above is the accuracy bound).
-    WINDOWED_SOLVE_ITERS_PERF_CAP = 5
-
-    def _windowed_solve_iters(self):
-        env = os.environ.get("ROMTIME_SOLVE_ITERS")
-        if env is not None and env != "":
-            n = int(env)
-            return n if n > 0 else None
-        setting = self.WINDOWED_SOLVE_ITERS
-        if setting == "auto":
-            return self._auto_solve_iters()
-        return setting
-
-    def _auto_solve_iters(self):
-        """Measured Richardson viability for the serving windows:
-        estimate ρ = ‖I − K̄_w⁻¹K(μ,t)‖₂ over the window ends and the
-        μ-box corners (the strongest within-window θ variation), then
-        size the iteration count to reach the f32 serving band with a
-        ×1.3+0.02 margin for the state-dependent trilinear term the
-        linear probe omits. Returns None (→ blocked LU) when the count
-        exceeds the accuracy cap (12) or the measured perf crossover
-        (WINDOWED_SOLVE_ITERS_PERF_CAP = 5: on the chip, 8 Richardson
-        iterations measured SLOWER than the blocked LU — 70.5 vs
-        61.7 µs/step solve at the headline W=30/N=40 point). Measured ρ:
-        ≈ 0.01-0.04 at the headline point (→ 8 iterations → LU via the
-        perf cap), ≈ 0.5+ at short-horizon toy configs (W=4/nt=96),
-        which fall back via the accuracy cap. Cached per serving
-        configuration.
-
-        With a μ-local fleet attached whose cells include the active
-        windows, the WORST CASE across the active cell's (W, N) GROUP
-        decides (LU if any cell in the group needs it): cells sharing a
-        shape share ONE compiled kernel — the iteration count is baked
-        in at trace time and `_set_serving_windows` deliberately keeps
-        the compiled engines across same-shape cell swaps — so the
-        baked count must be valid for every cell that kernel will
-        serve. Cells at a DIFFERENT (W, N) (mixed fleets, cell_wn)
-        retrace their own engine and decide independently — a uniform
-        fleet degenerates to the whole-fleet worst case."""
-        win = self.windows
-        if win is None:
-            return None
-        ml = getattr(self, "mulocal", None)
-        if ml is not None and any(win is c for c in ml.cells):
-            shape = (win.n_windows, win.N)
-            cache = getattr(self, "_auto_iters_cache_ml", None)
-            if (isinstance(cache, dict) and cache.get("ml") is ml
-                    and shape in cache):
-                return cache[shape]
-            if not _trace_state_clean():
-                # Probes need eager execution: fall back to the LU for
-                # THIS consult only — never cache the trace-time
-                # fallback as the fleet's permanent decision.
-                return None
-            group = [c for c in ml.cells
-                     if (c.n_windows, c.N) == shape]
-            per_cell = [self._auto_iters_for(c) for c in group]
-            result = (None if any(r is None for r in per_cell)
-                      else max(per_cell))
-            if not isinstance(cache, dict) or cache.get("ml") is not ml:
-                cache = {"ml": ml}
-                self._auto_iters_cache_ml = cache
-            cache[shape] = result
-            return result
-        return self._auto_iters_for(win)
-
-    def _auto_iters_for(self, win):
-        """Per-windows-configuration iteration estimate (see
-        _auto_solve_iters). Memoized on the WindowedServing object
-        itself (its lifetime IS the cache lifetime — no retained refs
-        to dead configurations)."""
-        memo = getattr(win, "_auto_iters_memo", _UNSET)
-        if memo is not _UNSET:
-            return memo
-        # The θ-entry probes below must run eagerly; under an active
-        # trace (not primed by _windowed_pallas_tables — e.g. a direct
-        # jit of the sweep) fall back to the LU for this consult only.
-        if not _trace_state_clean():
-            return None
-
-        import itertools
-
-        fom = self.fom
-        nt = int(fom.domain[fom.NT])
-        W = win.n_windows
-        N = win.N
-        dt = float(fom.dt)
-        sources = self._theta_sources()
-        stiff = [n for n in sources if n not in ("mass", "rhs_vec")]
-
-        corners = []
-        for vals in itertools.product(*[
-            (float(min(d.support())), float(max(d.support())))
-            for d in self.grid.values()
-        ]):
-            mu = dict(zip(self.grid.keys(), vals))
-            if mu not in corners:
-                corners.append(mu)
-
-        bounds = np.asarray(win.bounds)
-        # Pin the tiny eager θ-entry probes to the CPU backend: on the
-        # axon TPU each np.asarray is a lazy-runtime fetch over the
-        # tunnel (~100 ms), and this probe runs a few hundred of them.
-        try:
-            _cpu = jax.devices("cpu")[0]
-        except RuntimeError:
-            _cpu = None
-        import contextlib
-
-        ctx = (jax.default_device(_cpu) if _cpu is not None
-               else contextlib.nullcontext())
-        rho = 0.0
-        with ctx:
-            rho = self._auto_iters_rho(corners[:8], bounds, sources,
-                                       stiff, dt, W, N, win)
-        rho_eff = min(rho * 1.3 + 0.02, 0.999)
-        iters = int(np.ceil(np.log(3e-8) / np.log(rho_eff)))
-        cap = min(self.WINDOWED_SOLVE_ITERS_CAP,
-                  self.WINDOWED_SOLVE_ITERS_PERF_CAP)
-        result = iters if iters <= cap else None
-        win._auto_iters_memo = result
-        return result
-
-    def _auto_iters_rho(self, corners, bounds, sources, stiff, dt, W, N,
-                        win):
-        rho = 0.0
-        for mu_c in corners:
-            mu_b = {k: jnp.asarray(np.array([v]), jnp.float64)
-                    for k, v in mu_c.items()}
-
-            def K_at(w, step):
-                t = jnp.asarray((step + 1) * dt, jnp.float64)
-                K = 1.5 * np.asarray(
-                    sources["mass"][0]._entries_traced(mu_b, t)
-                )[:, 0] @ np.asarray(win.combines["mass"][w]).T
-                for nm in stiff:
-                    K = K + dt * (
-                        np.asarray(
-                            sources[nm][0]._entries_traced(mu_b, t)
-                        )[:, 0]
-                        @ np.asarray(win.combines[nm][w]).T
-                    )
-                return K.reshape(N, N)
-
-            for w in range(0, W, max(1, W // 4)):
-                a, b = int(bounds[w]), int(bounds[w + 1]) - 1
-                Kbar = 0.5 * (K_at(w, a) + K_at(w, b))
-                Kinv = np.linalg.inv(Kbar)
-                for s in (a, b):
-                    M = np.eye(N) - Kinv @ K_at(w, s)
-                    rho = max(rho, float(
-                        np.linalg.norm(M, 2)
-                    ))
-        return rho
 
     def __init__(self, fom, grid: dict, name=None) -> None:
         super().__init__(grid=grid)
@@ -1022,196 +840,6 @@ class RomConstructor(Reductor):
         return outs
 
     # ------------------------------------------------------------------
-    # Fused pallas sweep (serving fast path)
-    # ------------------------------------------------------------------
-    def _pallas_trilinear(self, mu):
-        """Hook: (T0 (N², N) table, b0 (B,) coefficient) for the trilinear
-        fast path, or None when the problem has no state-dependent term."""
-        return None
-
-    def _pallas_supported(self, B):
-        """The fused kernel covers the serving configuration: probes mode,
-        all operators hyper-reduced, N ≤ 16 (one sublane tile), lane-aligned
-        batch, f32 serving dtype, and — for the nonlinear family — the
-        trilinear fast-path table (in-body DEIM stays on the scan path)."""
-        from ..ops.pallas_online import BLANE
-
-        if self.N > 64 or B % BLANE:
-            return False
-        if compute_dtype() != jnp.float32:
-            return False
-        if not self._lanes_supported():
-            return False
-        if isinstance(self, RomConstructorNonlinear):
-            if self._trilinear_state_table(np.asarray(self.basis)) is None:
-                return False
-        return True
-
-    def _online_sweep_pallas(self, mu, interpret=False):
-        """One fused TPU kernel for the whole probes-mode μ-sweep: the
-        reduced state lives in VMEM, the operator time tables stream from
-        HBM (see ops/pallas_online.py). Numerically identical to
-        ``_online_scan_batch(mode="probes")`` up to f32 op ordering."""
-        from ..ops.pallas_online import (
-            PROBE_P,
-            online_sweep_pallas,
-            online_sweep_theta_pallas,
-            pad_dim,
-        )
-
-        NP = pad_dim(self.N)
-
-        fom = self.fom
-        nt = int(fom.domain[fom.NT])
-        bdf2 = fom.BDF_SCHEME == BDF.TWO
-        N = self.N
-        dtype = jnp.float32
-        dt = _scalar(fom.dt)
-        B = int(next(iter(mu.values())).shape[0])
-
-        sources = self._theta_sources()
-        ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
-        theta_tables = {
-            name: jax.vmap(lambda t, red=red: red._thetas_traced(mu, t))(
-                ts_grid
-            ).astype(dtype)
-            for name, (red, _fb) in sources.items()
-            if red is not None
-        }
-
-        # θ-streaming layout: only the small θ(μ, t) coefficient tables go
-        # to HBM (k 8-aligned for tile-aligned DMA); the kernel
-        # reconstructs the reduced operators per step as MXU matmuls
-        # against constant padded basis tensors. The matrix θ-sources other
-        # than the mass are concatenated along k (dt folded into the
-        # basis), and the padded-diagonal identity rides along as one
-        # constant-θ row.
-        def pad8(k):
-            return -(-k // 8) * 8
-
-        def theta_pad(th, k8):
-            k = th.shape[1]
-            if k == k8:
-                return th
-            return jnp.concatenate(
-                [th, jnp.zeros((nt, k8 - k, B), dtype)], axis=1
-            )
-
-        def basis_pad_mat(basis_rom, k8, scale=1.0):
-            k = basis_rom.shape[1]
-            out = np.zeros((NP, NP, k8), np.float32)
-            out[:N, :N, :k] = np.asarray(basis_rom).reshape(N, N, k) * scale
-            return out.reshape(NP * NP, k8)
-
-        # Every constant tensor pairs with _thetas_traced via
-        # _serving_combine (folded f64 V·(PᵀU)⁻¹ under f32 serving).
-        def combine(name):
-            return sources[name][0]._serving_combine(self.ROM)
-
-        km = combine("mass").shape[1]
-        km8 = pad8(km)
-        Bm = jnp.asarray(basis_pad_mat(combine("mass"), km8))
-        THm = theta_pad(theta_tables["mass"], km8)
-
-        klin_names = [n for n in sources
-                      if n not in ("mass", "rhs_vec") and sources[n][0]]
-        kk = sum(combine(n).shape[1] for n in klin_names) + 1
-        kk8 = pad8(kk)
-        Bk_np = np.zeros((NP, NP, kk8), np.float32)
-        col = 0
-        for n in klin_names:
-            br = combine(n)
-            k = br.shape[1]
-            Bk_np[:N, :N, col:col + k] = (
-                np.asarray(br).reshape(N, N, k) * float(fom.dt)
-            )
-            col += k
-        Bk_np[np.arange(N, NP), np.arange(N, NP), col] = 1.0
-        Bk = jnp.asarray(Bk_np.reshape(NP * NP, kk8))
-        THk = theta_pad(
-            jnp.concatenate(
-                [theta_tables[n] for n in klin_names]
-                + [jnp.ones((nt, 1, B), dtype)], axis=1,
-            ),
-            kk8,
-        )
-
-        kf = combine("rhs_vec").shape[1]
-        kf8 = pad8(kf)
-        Bf_np = np.zeros((NP, kf8), np.float32)
-        Bf_np[:N, :kf] = np.asarray(combine("rhs_vec")) * float(
-            fom.dt
-        )
-        Bf = jnp.asarray(Bf_np)
-        THf = theta_pad(theta_tables["rhs_vec"], kf8)
-
-        def g_at(t):
-            scale = fom.scale_factor(mu, t) if fom.Lt else _scalar(1.0)
-            L = fom.domain[fom.L0] * scale * jnp.ones((B,), dtype=dtype)
-            g = fom.create_lifting_operator(mu=mu, t=t, L=L, only_g=True)
-            return g(jnp.stack([jnp.zeros_like(L), L]))  # (2, B)
-
-        g_tab = jax.vmap(g_at)(ts_grid)
-        g_p = jnp.zeros((nt, PROBE_P, B), dtype).at[:, :2, :].set(
-            g_tab.astype(dtype)
-        )
-
-        V_np = np.asarray(self.basis)
-        VE_p = jnp.zeros((PROBE_P, NP), dtype).at[:2, :N].set(
-            jnp.asarray(V_np[[0, -1], :], dtype)
-        )
-
-        tri = self._pallas_trilinear(mu)
-        if tri is None:
-            T0_p = jnp.zeros((NP * NP, NP), dtype)
-            b0 = jnp.ones((1, B), dtype)
-            with_trilinear = False
-        else:
-            T0, b0_vec = tri
-            T0_p = (
-                jnp.zeros((NP, NP, NP), dtype)
-                .at[:N, :N, :N]
-                .set(jnp.asarray(np.asarray(T0), dtype).reshape(N, N, N))
-                .reshape(NP * NP, NP)
-            )
-            b0 = jnp.asarray(b0_vec, dtype)[None, :]
-            with_trilinear = True
-
-        # Two streaming strategies, same step math (ops/pallas_online):
-        # materialized padded operator tables saturate HBM bandwidth and
-        # are ~15% faster when they fit (measured 31.4 vs 37.1 ms at the
-        # headline config); the θ-streaming kernel reconstructs operators
-        # per step on the MXU with ~15× less HBM traffic and is the only
-        # option at large N·B.
-        mat_bytes = 2 * nt * NP * NP * B * 4
-        if self._precompute_choice(mat_bytes):
-            MN_p = jnp.einsum("nk,tkB->tnB", Bm, THm).reshape(nt, NP, NP, B)
-            KL_p = jnp.einsum("nk,tkB->tnB", Bk, THk).reshape(nt, NP, NP, B)
-            fN_p = jnp.einsum("nk,tkB->tnB", Bf, THf)
-            probes_p, uN_fin = online_sweep_pallas(
-                MN_p, KL_p, fN_p, g_p, T0_p, VE_p, b0,
-                dt=float(fom.dt), bdf2=bdf2,
-                with_trilinear=with_trilinear, n_real=N,
-                interpret=interpret,
-            )
-        else:
-            probes_p, uN_fin = online_sweep_theta_pallas(
-                THm, THk, THf, g_p, Bm, Bk, Bf, T0_p, VE_p, b0,
-                dt=float(fom.dt), bdf2=bdf2,
-                with_trilinear=with_trilinear, n_real=N,
-                interpret=interpret,
-            )
-        return {
-            "t": ts_grid,
-            "probes": probes_p[:, :2, :],
-            "uN_final": uN_fin[:N, :],
-        }
-
-    def _prime_online_tables(self):
-        """Hook: eager host-side precomputations before the online trace."""
-        pass
-
-    # ------------------------------------------------------------------
     # Unpivoted-elimination guard (VERDICT r3 weak-4)
     # ------------------------------------------------------------------
     # The online engines eliminate without pivoting (gauss_solve
@@ -1415,841 +1043,6 @@ class RomConstructor(Reductor):
         self._windowed_lanes_tbl = {}
         return self.windows
 
-    def _windowed_pallas_tables(self):
-        """Stacked per-window constant tensors for the fused serving path,
-        built host-side ONCE as eager device arrays and passed to the
-        jitted sweep as ARGUMENTS. Creating them at trace time embeds
-        multi-MB literals in the HLO (T0 alone is W·NP²·NP f32 ≈ 11 MB at
-        W=25/NP=48), which the remote-compile tunnel and XLA choke on —
-        the observed 40-minute serving-sweep compiles."""
-        if getattr(self, "_windowed_pallas_tbl", None) is not None:
-            return self._windowed_pallas_tbl
-        from ..ops.pallas_online import PROBE_P, pad_dim
-
-        win = self.windows
-        fom = self.fom
-        N = win.N
-        NP = pad_dim(N)
-        W = win.n_windows
-        sources = self._theta_sources()
-        stiff_names = [n for n in sources if n not in ("mass", "rhs_vec")]
-
-        def pad8(k):
-            return -(-k // 8) * 8
-
-        km = win.combines["mass"].shape[2]
-        km8 = pad8(km)
-        kk = sum(win.combines[n].shape[2] for n in stiff_names) + 1
-        kk8 = pad8(kk)
-        kf = win.combines["rhs_vec"].shape[2]
-        kf8 = pad8(kf)
-
-        Bm_np = np.zeros((W, NP * NP, km8), np.float32)
-        Bk_np = np.zeros((W, NP * NP, kk8), np.float32)
-        Bf_np = np.zeros((W, NP, kf8), np.float32)
-        VE_np = np.zeros((W, PROBE_P, NP), np.float32)
-        T0_np = np.zeros((W, NP * NP, NP), np.float32)
-        for w in range(W):
-            bm = np.zeros((NP, NP, km8), np.float32)
-            bm[:N, :N, :km] = win.combines["mass"][w].reshape(N, N, km)
-            Bm_np[w] = bm.reshape(NP * NP, km8)
-            bk = np.zeros((NP, NP, kk8), np.float32)
-            col = 0
-            for n in stiff_names:
-                Cw = win.combines[n][w]
-                k = Cw.shape[1]
-                bk[:N, :N, col:col + k] = (
-                    Cw.reshape(N, N, k) * float(fom.dt)
-                )
-                col += k
-            bk[np.arange(N, NP), np.arange(N, NP), col] = 1.0
-            Bk_np[w] = bk.reshape(NP * NP, kk8)
-            Bf_np[w, :N, :kf] = win.combines["rhs_vec"][w] * float(fom.dt)
-            VE_np[w, :2, :N] = win.Vs[w][[0, -1], :]
-            if win.trilinear is not None:
-                t0 = np.zeros((NP, NP, NP), np.float32)
-                t0[:N, :N, :N] = win.trilinear[w].reshape(N, N, N)
-                T0_np[w] = t0.reshape(NP * NP, NP)
-        T_np = np.concatenate(
-            [np.eye(N, dtype=np.float32)[None],
-             np.asarray(win.transfers, np.float32)], axis=0
-        )
-        # Zero-padded transfers for the fused in-kernel boundary transfer
-        # (padded state entries are exactly 0, so zero columns/rows are
-        # numerically inert).
-        Tp_np = np.zeros((W, NP, NP), np.float32)
-        Tp_np[:, :N, :N] = T_np
-        # Fused v3 kernel layouts (all transposed: big axis minor, so the
-        # VMEM-resident tensors waste no 128-lane tile padding):
-        #   Bmk  — FOLDED [Bm | Bk | T0] along k (ONE output-stream-bound
-        #   solve-matrix dot/step materializes bdf·MN + dt·S + dt·b0·N(u*)
-        #   — the runtime rhs rows for the T0 block are dt·b0·u*),
-        #   BmF/BkF — k-stacked factored tensors for the θ-factored r0
-        #   matvecs (row (k, n) = Bm3[n, :, k]),
-        #   TQ — the [i, (j,k)]-permuted trilinear for the quadratic-form
-        #   residual term (an NP-row dot against vec(u*⊗u*) instead of an
-        #   NP²-row NN materialization).
-        with_tri = win.trilinear is not None
-        Bmk_np = np.concatenate(
-            [Bm_np, Bk_np] + ([T0_np] if with_tri else []), axis=2
-        )
-        # The factored r0 tensors carry only the REAL k rows (km mass
-        # combines; kk stiffness-side combines incl. the padded-diagonal
-        # identity row): their dot cost is output-stream-bound in k·NP
-        # rows, so the 8-padding that the θ-table sublane layout wants
-        # would stream 8/km× wasted rows (mass k=1 → 8).
-        BmF_np = (Bm_np[:, :, :km].reshape(W, NP, NP, km)
-                  .transpose(0, 3, 1, 2).reshape(W, km * NP, NP))
-        BkF_np = (Bk_np[:, :, :kk].reshape(W, NP, NP, kk)
-                  .transpose(0, 3, 1, 2).reshape(W, kk * NP, NP))
-        tbl = {
-            "Bm": jnp.asarray(Bm_np), "Bk": jnp.asarray(Bk_np),
-            "Bf": jnp.asarray(Bf_np), "VE": jnp.asarray(VE_np),
-            "T0": jnp.asarray(T0_np), "T": jnp.asarray(T_np),
-            "Tp": jnp.asarray(Tp_np),
-            "Bmk": jnp.asarray(Bmk_np.transpose(0, 2, 1)),
-            "BmF": jnp.asarray(BmF_np.transpose(0, 2, 1)),
-            "BkF": jnp.asarray(BkF_np.transpose(0, 2, 1)),
-            "BfT": jnp.asarray(Bf_np.transpose(0, 2, 1)),
-            # T0_np is [(i,j), k]; a plain reshape of its leading axis
-            # gives the [i, (j,k)] quadratic-form layout.
-            "TQ": jnp.asarray(T0_np.reshape(W, NP, NP * NP)),
-        }
-        if win.dilation is not None:
-            # Phase-aligned serving: the law's COEFFICIENTS are runtime
-            # table values (cell swaps reuse the compiled sweep — a
-            # trace-time read would bake the first cell's law), while
-            # its feature names are part of the compile key.
-            tbl["dil_coef"] = jnp.asarray(win.dilation.coef, jnp.float32)
-            if win.dilation.has_guard:
-                # Serve-time extrapolation guard (rom/registration.py):
-                # normalized training feature cloud + flag threshold,
-                # runtime values for the same cell-swap reason.
-                from .registration import GUARD_FACTOR
-
-                tbl["dil_guard_feats"] = jnp.asarray(
-                    win.dilation.guard_feats, jnp.float32)
-                tbl["dil_guard_inv_span"] = jnp.asarray(
-                    win.dilation.guard_inv_span, jnp.float32)
-                tbl["dil_guard_thresh"] = jnp.asarray(
-                    GUARD_FACTOR * win.dilation.guard_dref, jnp.float32)
-        self._windowed_pallas_tbl = tbl
-        # Prime the Richardson auto-iteration estimate HERE (host-side,
-        # eager): _windowed_solve_iters is consulted inside the traced
-        # sweep, where the θ-entry probes would leak tracers.
-        self._windowed_solve_iters()
-        return tbl
-
-    def _windowed_pallas_prep(self, mu, tables):
-        """Stage 1 of the fused windowed serving: θ entry tables (gathered
-        local assembly over the full time grid), the padded lifting-probe
-        table and the trilinear coefficient — compiled SEPARATELY from the
-        kernel scan (stage 2). One fused program takes XLA's optimizer
-        >17 min at the headline shapes; the two stages compile in ~2.5 min
-        and ~6 min and chain through HBM-resident tables."""
-        from ..ops.pallas_online import PROBE_P
-
-        win = self.windows
-        fom = self.fom
-        nt = int(fom.domain[fom.NT])
-        dtype = jnp.float32
-        dt = _scalar(fom.dt)
-        B = int(next(iter(mu.values())).shape[0])
-
-        sources = self._theta_sources()
-        ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
-        dil = self._windowed_dilation(mu, tables.get("dil_coef"))
-        if dil is not None:
-            # Phase-aligned serving: each lane integrates on its own
-            # dilated grid t_k = (k+1)·d_b·dt (rom/registration.py) —
-            # θ entries evaluate at per-lane times; the dt-scaled θ
-            # streams and the trilinear coefficient pick up the d_b
-            # factor below. Window schedules stay batch-uniform.
-            ts_grid = ts_grid[:, None] * dil[None, :].astype(dtype)
-        ent = {
-            name: jax.vmap(
-                lambda t, red=red: red._entries_traced(mu, t)
-            )(ts_grid).astype(dtype)
-            for name, (red, _fb) in sources.items()
-        }  # (nt, k, B)
-        if dil is not None:
-            dil_f = dil.astype(dtype)
-            for name in ent:
-                if name != "mass":
-                    # dt-side terms: dt_b = d_b·dt, with dt folded into
-                    # the combine tensors — the θ stream carries d_b.
-                    ent[name] = ent[name] * dil_f[None, None, :]
-        stiff_names = [n for n in sources if n not in ("mass", "rhs_vec")]
-
-        km8 = tables["Bm"].shape[2]
-        kk8 = tables["Bk"].shape[2]
-        kf8 = tables["Bf"].shape[2]
-
-        def ent_pad(th, k8):
-            k = th.shape[1]
-            if k == k8:
-                return th
-            return jnp.concatenate(
-                [th, jnp.zeros((th.shape[0], k8 - k, B), dtype)], axis=1
-            )
-
-        THm_full = ent_pad(ent["mass"], km8)
-        THk_full = ent_pad(
-            jnp.concatenate(
-                [ent[n] for n in stiff_names]
-                + [jnp.ones((nt, 1, B), dtype)], axis=1,
-            ),
-            kk8,
-        )
-        THf_full = ent_pad(ent["rhs_vec"], kf8)
-
-        if win.trilinear is not None:
-            b0 = jnp.asarray(
-                self.fom.nonlinear_coefficient(mu), dtype
-            ) * jnp.ones((B,), dtype)
-            if dil is not None:
-                # The kernels apply the trilinear as NN·(dt·b0) — the
-                # per-lane d_b folds into b0, so dt stays a static
-                # scalar and the kernels are untouched.
-                b0 = b0 * dil_f
-            b0 = b0[None, :]
-        else:
-            b0 = jnp.ones((1, B), dtype)
-
-        def g_at(t):
-            scale = fom.scale_factor(mu, t) if fom.Lt else _scalar(1.0)
-            L = fom.domain[fom.L0] * scale * jnp.ones((B,), dtype=dtype)
-            g = fom.create_lifting_operator(mu=mu, t=t, L=L, only_g=True)
-            return g(jnp.stack([jnp.zeros_like(L), L]))
-
-        g_tab = jax.vmap(g_at)(ts_grid)
-        g_full = jnp.zeros((nt, PROBE_P, B), dtype).at[:, :2, :].set(
-            g_tab.astype(dtype)
-        )
-        out = {"THm": THm_full, "THk": THk_full, "THf": THf_full,
-               "g": g_full, "b0": b0}
-        if dil is not None:
-            out["dil"] = dil.astype(dtype)
-            oor = self._windowed_dilation_oor(mu, tables)
-            if oor is not None:
-                out["dil_oor"] = oor
-        return out
-
-    def _windowed_dilation(self, mu, coef):
-        """Per-lane time dilation d(μ_b) for phase-aligned serving —
-        ``None`` when the active windowed configuration carries no
-        registration law. ``coef`` comes from the runtime table pytree
-        (cell swaps reuse compiled sweeps); the law's feature NAMES are
-        static per compiled fn (part of the `_get_online_fn` key)."""
-        win = self.windows
-        law = getattr(win, "dilation", None) if win is not None else None
-        if law is None or coef is None:
-            return None
-        from .registration import _feature_value
-
-        d = coef[0]
-        for i, n in enumerate(law.names):
-            d = d + coef[i + 1] * _feature_value(mu, n)
-        # Constant laws (no features) still serve per-lane: broadcast to
-        # the batch shape.
-        d = d * jnp.ones_like(next(iter(mu.values())))
-        return jnp.maximum(d, law.floor)
-
-    def _windowed_dilation_oor(self, mu, tables):
-        """Per-lane dilation-law extrapolation flag (1.0 = the lane's μ
-        sits in a training hole where the affine law is unvalidated —
-        the measured failure mode is a 0.03 dilation misprediction
-        serving at 1.5e-4 vs 2e-7 in-hull). Nearest-training-μ distance
-        in range-normalized feature space vs the training fill distance
-        (rom/registration.py DilationLaw guard); ``None`` when the
-        active configuration has no registration guard. Traceable —
-        guard tables are runtime values so cell swaps reuse compiled
-        sweeps."""
-        win = self.windows
-        law = getattr(win, "dilation", None) if win is not None else None
-        G = tables.get("dil_guard_feats") if tables is not None else None
-        if law is None or G is None:
-            return None
-        from .registration import _feature_value
-
-        inv_span = tables["dil_guard_inv_span"]
-        thresh = tables["dil_guard_thresh"]
-        ones_b = jnp.ones_like(next(iter(mu.values())))
-        x = jnp.stack(
-            [_feature_value(mu, n) * inv_span[i] * ones_b
-             for i, n in enumerate(law.names)], axis=-1,
-        )  # (B, p)
-        d2 = ((x[:, None, :] - G[None, :, :]) ** 2).sum(-1).min(axis=1)
-        return (d2 > thresh * thresh).astype(jnp.float32)
-
-    def _online_sweep_windowed_pallas(self, prepped, tables,
-                                      interpret=False):
-        """Stage 2 of the fused windowed serving: residual-form v2
-        kernels chained through the double-f32 carry with pure-f32 dd
-        transfers at the boundaries. θ-streaming tables (stage-1 entries
-        × per-window folded combine tensors, lax.scan over windows — ONE
-        pallas_call); falls back to materialized per-window operator
-        tables when they fit the precompute budget. ``tables`` is the
-        `_windowed_pallas_tables` pytree, passed as a jit argument."""
-        import os
-
-        from ..ops.pallas_online import (
-            PROBE_P,
-            online_sweep_pallas_v2,
-            online_sweep_theta_pallas_v2,
-            online_sweep_windowed_fused,
-            pad_dim,
-        )
-
-        win = self.windows
-        assert win is not None, "call build_windowed_serving first"
-        fom = self.fom
-        nt = int(fom.domain[fom.NT])
-        bdf2 = fom.BDF_SCHEME == BDF.TWO
-        N = win.N
-        NP = pad_dim(N)
-        dtype = jnp.float32
-        dt = _scalar(fom.dt)
-        W = win.n_windows
-        widths = np.diff(win.bounds)
-        assert len(set(widths.tolist())) == 1, (
-            "windowed pallas serving needs equal window widths "
-            "(one Mosaic compilation shared by all launches)"
-        )
-
-        THm_full = prepped["THm"]
-        THk_full = prepped["THk"]
-        THf_full = prepped["THf"]
-        g_full = prepped["g"]
-        b0 = prepped["b0"]
-        dil = prepped.get("dil")
-        dil_extra = {k: prepped[k] for k in ("dil", "dil_oor")
-                     if k in prepped}
-        B = THm_full.shape[2]
-        ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
-        if dil is not None:
-            # Phase-aligned lanes live on their own dilated grids.
-            ts_grid = ts_grid[:, None] * dil[None, :]
-        with_trilinear = win.trilinear is not None
-
-        # Materialized tables only when every window's fit the budget.
-        mat_bytes = 2 * nt * NP * NP * B * 4
-        use_matrices = self._precompute_choice(mat_bytes)
-
-        def transfer_state(state, T_np):
-            """Window-boundary dd carry transfer in pure f32
-            (ops/compensated.py dd_matvec — no emulated f64 on TPU)."""
-            hi = state[0, :N]
-            lo = state[1, :N]
-            hi1 = state[2, :N]
-            lo1 = state[3, :N]
-            T = jnp.asarray(T_np, dtype)
-            a = dd_matvec(T, hi, lo)
-            c = dd_matvec(T, hi1, lo1)
-            out = jnp.zeros((4, NP, B), dtype)
-            out = out.at[0, :N].set(a[0]).at[1, :N].set(a[1])
-            out = out.at[2, :N].set(c[0]).at[3, :N].set(c[1])
-            return out
-
-        state = jnp.zeros((4, NP, B), dtype)
-
-        if use_matrices:
-            # Small-batch path: per-window materialized-table launches
-            # (the tables for all W windows would not fit HBM at serving
-            # batch sizes; compile cost is fine at the sizes that do fit).
-            probes_parts = []
-            for w in range(W):
-                a_step, b_step = int(win.bounds[w]), int(win.bounds[w + 1])
-                Bm, Bk, Bf = tables["Bm"][w], tables["Bk"][w], tables["Bf"][w]
-                VE_p, T0_p = tables["VE"][w], tables["T0"][w]
-                if w > 0:
-                    state = transfer_state(state, tables["T"][w])
-                g_w = g_full[a_step:b_step]
-                MN_p = jnp.einsum(
-                    "nk,tkB->tnB", Bm, THm_full[a_step:b_step]
-                ).reshape(b_step - a_step, NP, NP, B)
-                KL_p = jnp.einsum(
-                    "nk,tkB->tnB", Bk, THk_full[a_step:b_step]
-                ).reshape(b_step - a_step, NP, NP, B)
-                fN_p = jnp.einsum(
-                    "nk,tkB->tnB", Bf, THf_full[a_step:b_step]
-                )
-                probes_w, state = online_sweep_pallas_v2(
-                    MN_p, KL_p, fN_p, g_w, T0_p, VE_p, b0, state,
-                    dt=float(fom.dt), step0=a_step, bdf2=bdf2,
-                    with_trilinear=with_trilinear, n_real=N,
-                    interpret=interpret,
-                )
-                probes_parts.append(probes_w)
-            probes = jnp.concatenate(probes_parts, axis=0)
-            return dict(
-                {"t": ts_grid, "probes": probes[:, :2, :],
-                 "uN_final": state[0, :N, :]},
-                **dil_extra,
-            )
-
-        # θ-streaming serving path. ROMTIME_WINDOWED_KERNEL selects the
-        # kernel generation:
-        #   "fused" (default) — v3: the window loop runs INSIDE one pallas
-        #       launch (VMEM-resident per-window constants, ONE merged θ
-        #       DMA per chunk instead of four, in-kernel VPU dd transfers,
-        #       probes DMA'd out per chunk) with the merged-dot step (one
-        #       solve-matrix dot + θ-factored r0 matvecs,
-        #       _bdf_step_merged). Measured 151 ms/sweep at the headline
-        #       W=30/N=40/B=2048 point — ~13.6k solves/s, 8% ahead of v2
-        #       (scripts/kernel_ledger.py for the per-component ablation).
-        #   "v2" — lax.scan over per-window θ-streaming launches with
-        #       out-of-kernel dd boundary transfers (164 ms/sweep at the
-        #       same point).
-        if os.environ.get("ROMTIME_WINDOWED_KERNEL", "fused") == "fused":
-            km8 = tables["Bm"].shape[2]
-            kk8 = tables["Bk"].shape[2]
-            kf8 = tables["Bf"].shape[2]
-            TH = jnp.concatenate(
-                [THm_full, THk_full, THf_full, g_full], axis=1
-            )
-            probes, state = online_sweep_windowed_fused(
-                TH, tables["Bmk"], tables["BmF"], tables["BkF"],
-                tables["BfT"], tables["TQ"], tables["VE"], tables["Tp"],
-                b0, state,
-                widths=tuple(int(x) for x in widths), dt=float(fom.dt),
-                bdf2=bdf2, with_trilinear=with_trilinear, n_real=N,
-                km8=km8, kk8=kk8, kf8=kf8, interpret=interpret,
-                solve_iters=self._windowed_solve_iters(),
-            )
-            return dict(
-                {"t": ts_grid, "probes": probes[:, :2, :],
-                 "uN_final": state[0, :N, :]},
-                **dil_extra,
-            )
-
-        # v2: lax.scan over the stacked per-window
-        # tables — exactly ONE pallas_call site (one Mosaic compile)
-        # regardless of W. A python launch loop instead traces W custom
-        # calls and the (remote) TPU pipeline compiles each one (~3.4 min
-        # per kernel at NP=48 — 25 windows never finished).
-        width = nt // W
-        THm_w = THm_full.reshape(W, width, -1, B)
-        THk_w = THk_full.reshape(W, width, -1, B)
-        THf_w = THf_full.reshape(W, width, -1, B)
-        g_w = g_full.reshape(W, width, PROBE_P, B)
-        k0s = jnp.arange(W, dtype=jnp.int32) * jnp.int32(width)
-
-        def window_body(state, wd):
-            state = transfer_state(state, wd["T"])
-            probes_w, state = online_sweep_theta_pallas_v2(
-                wd["THm"], wd["THk"], wd["THf"], wd["g"], wd["Bm"],
-                wd["Bk"], wd["Bf"], wd["T0"], wd["VE"], b0, state,
-                dt=float(fom.dt), step0=wd["k0"], bdf2=bdf2,
-                with_trilinear=with_trilinear, n_real=N,
-                interpret=interpret,
-            )
-            return state, probes_w
-
-        wdatas = {
-            "T": tables["T"], "k0": k0s, "THm": THm_w, "THk": THk_w,
-            "THf": THf_w, "g": g_w, "Bm": tables["Bm"],
-            "Bk": tables["Bk"], "Bf": tables["Bf"], "VE": tables["VE"],
-            "T0": tables["T0"],
-        }
-        state, probes_sw = jax.lax.scan(window_body, state, wdatas)
-        probes = probes_sw.reshape((nt,) + probes_sw.shape[2:])
-        return dict(
-            {"t": ts_grid, "probes": probes[:, :2, :],
-             "uN_final": state[0, :N, :]},
-            **dil_extra,
-        )
-
-    @staticmethod
-    def _transfer_carry(carry, T_np, dtype):
-        """Re-express the BDF carry in the next window's basis. For f32
-        serving the matvec runs as a pure-f32 dd matvec
-        (ops/compensated.py) — a plain f32 transfer would inject eps·‖u‖
-        once per boundary, re-creating the drift the residual-form
-        stepping removed, and emulated f64 on TPU is slow to compile and
-        run."""
-        T = jnp.asarray(T_np, dtype)
-
-        if dtype == jnp.float32:
-
-            def tx(h, l):
-                return dd_matvec(T, h, l)
-        else:
-
-            def tx(h, l):
-                return T @ h + T @ l, jnp.zeros_like(h)
-
-        hi, lo, hi1, lo1 = carry
-        a = tx(hi, lo)
-        b = tx(hi1, lo1)
-        return (a[0], a[1], b[0], b[1])
-
-    def _windowed_lanes_tables(self, mode):
-        """Stacked per-window tensors for the lanes windowed engine —
-        eager device arrays passed to the jitted sweep as ARGUMENTS (see
-        _windowed_pallas_tables for why trace-time constants are a
-        compile hazard). Keyed by (mode, compute dtype)."""
-        win = self.windows
-        dtype = np.dtype(compute_dtype()).name
-        cache = getattr(self, "_windowed_lanes_tbl", None)
-        if cache is None:
-            cache = self._windowed_lanes_tbl = {}
-        key = (mode, dtype)
-        if key in cache:
-            return cache[key]
-        sources = self._theta_sources()
-        tbl = {f"C_{name}": _asarray(win.combines[name])
-               for name in sources}
-        if win.trilinear is not None:
-            tbl["T0"] = _asarray(win.trilinear)
-        tbl["V_ends"] = _asarray(win.Vs[:, [0, -1], :])
-        if win.dilation is not None:
-            # Registration law coefficients as runtime values (see
-            # _windowed_pallas_tables).
-            tbl["dil_coef"] = _asarray(win.dilation.coef)
-            if win.dilation.has_guard:
-                from .registration import GUARD_FACTOR
-
-                tbl["dil_guard_feats"] = _asarray(win.dilation.guard_feats)
-                tbl["dil_guard_inv_span"] = _asarray(
-                    win.dilation.guard_inv_span)
-                tbl["dil_guard_thresh"] = _asarray(
-                    GUARD_FACTOR * win.dilation.guard_dref)
-        if mode == "full":
-            tbl["V_full"] = _asarray(win.Vs)
-        T_np = np.concatenate(
-            [np.eye(win.N)[None], np.asarray(win.transfers)], axis=0
-        )
-        tbl["T"] = _asarray(T_np)
-        cache[key] = tbl
-        return tbl
-
-    def _online_sweep_windowed(self, mu, tables, mode="probes"):
-        """Lane-batched windowed μ-sweep: ONE compiled window body scanned
-        over the stacked per-window tables (equal window widths), with
-        pure-f32 dd carry transfer at the boundaries. Residual-form
-        compensated stepping throughout (exact in f64, drift-free in f32).
-
-        Compile cost is a single window regardless of W — the chained
-        per-window trace (W copies of the scan body, ~9 min XLA compile at
-        W=15/N=48 on CPU) remains as `_online_sweep_windowed_chained` for
-        unequal widths. ``tables`` is the `_windowed_lanes_tables` pytree,
-        passed as a jit argument."""
-        win = self.windows
-        assert win is not None, "call build_windowed_serving first"
-        widths = np.diff(win.bounds)
-        if len(set(widths.tolist())) != 1:
-            return self._online_sweep_windowed_chained(mu, mode=mode)
-
-        fom = self.fom
-        nt = int(fom.domain[fom.NT])
-        bdf2 = fom.BDF_SCHEME == BDF.TWO
-        N = win.N
-        W = win.n_windows
-        width = nt // W
-        dtype = compute_dtype()
-        dt = _scalar(fom.dt)
-        one = _scalar(1.0)
-        one_five = _scalar(1.5)
-        B = int(next(iter(mu.values())).shape[0])
-
-        sources = self._theta_sources()
-        ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
-        dil = self._windowed_dilation(mu, tables.get("dil_coef"))
-        if dil is not None:
-            # Phase-aligned serving (rom/registration.py): per-lane
-            # dilated time grids; the dt-side θ streams and the
-            # trilinear coefficient pick up the d_b factor below.
-            dil = dil.astype(dtype)
-            ts_grid = ts_grid[:, None] * dil[None, :]
-        ent = {
-            name: jax.vmap(lambda t, red=red: red._entries_traced(mu, t))(
-                ts_grid
-            )
-            for name, (red, _fb) in sources.items()
-        }  # each (nt, k, B)
-        if dil is not None:
-            for name in ent:
-                if name != "mass":
-                    ent[name] = ent[name] * dil[None, None, :]
-        stiff_names = [n for n in sources if n not in ("mass", "rhs_vec")]
-
-        b0 = None
-        if win.trilinear is not None:
-            b0 = self.fom.nonlinear_coefficient(mu)  # (B,) or scalar
-            if dil is not None:
-                b0 = b0 * dil  # dt_b·N(u) = (d_b·b0)·dt·N₁(u)
-
-        matvec = partial(jnp.einsum, "ijB,jB->iB")
-
-        # Stacked per-window time tables (total size = the chained path's).
-        def wslice(name):
-            e = ent[name]
-            return e.reshape((W, width) + e.shape[1:])
-
-        MN_tab = jnp.einsum(
-            "Wnk,WtkB->WtnB", tables["C_mass"], wslice("mass")
-        )
-        dtS_tab = dt * sum(
-            jnp.einsum("Wnk,WtkB->WtnB", tables[f"C_{n}"], wslice(n))
-            for n in stiff_names
-        )
-        fN_tab = dt * jnp.einsum(
-            "Wnk,WtkB->WtnB", tables["C_rhs_vec"], wslice("rhs_vec")
-        )
-        T0_all = tables.get("T0")  # (W, N², N) or None
-        V_ends_all = tables["V_ends"]  # (W, 2, N)
-        V_full_all = tables.get("V_full")
-
-        # Boundary transfers with an identity slot for w=0 (the dd
-        # renormalization it performs is a no-op on a normalized carry).
-        # f32 serving transfers through the pure-f32 dd matvec
-        # (ops/compensated.py) — a plain f32 matvec would inject
-        # eps·‖u‖ per boundary, and emulated f64 on TPU is both slow and
-        # a compile hazard.
-        T_all = tables["T"]
-
-        if dtype == jnp.float32:
-
-            def tx(T, h, l):
-                return dd_matvec(T, h, l)
-        else:
-
-            def tx(T, h, l):
-                return T @ h + T @ l, jnp.zeros_like(h)
-
-        i32 = jnp.int32
-        k0s = jnp.arange(W, dtype=i32) * i32(width)
-
-        def window_body(carry, wdata):
-            T_w = wdata["T"]
-            k0 = wdata["k0"]
-            T0w = wdata.get("T0")
-            V_ends = wdata["V_ends"]
-            V_w = wdata.get("V_full")
-
-            hi, lo, hi1, lo1 = carry
-            a = tx(T_w, hi, lo)
-            c = tx(T_w, hi1, lo1)
-            carry = (a[0], a[1], c[0], c[1])
-
-            def step(carry, inputs):
-                uN_n, lo_n, uN_n1, lo_n1 = carry
-                i, (MN_flat, dtS_flat, fN_dt) = inputs
-                k = k0 + i
-                t = (k + 1).astype(dtype) * dt
-                if dil is not None:
-                    t = t * dil  # (B,) — per-lane dilated clock
-                MN = MN_flat.reshape((N, N, -1))
-                dtS = dtS_flat.reshape((N, N, -1))
-
-                if bdf2:
-                    ph, plo = dd_bdf2_predict(uN_n, lo_n, uN_n1, lo_n1)
-                    dh = dd_history_diff(uN_n, lo_n, uN_n1, lo_n1)
-                    first = k == 0
-                    pred_hi = jnp.where(first, uN_n, ph)
-                    pred_lo = jnp.where(first, lo_n, plo)
-                    d = jnp.where(first, jnp.zeros_like(dh), dh)
-                    bdf = jnp.where(k > 0, one_five, one)
-                else:
-                    pred_hi, pred_lo = uN_n, lo_n
-                    d = jnp.zeros_like(uN_n)
-                    bdf = one
-
-                if T0w is not None:
-                    NN = (T0w @ pred_hi).reshape((N, N, -1)) * b0
-                    dtS = dtS + dt * NN
-
-                KN = bdf * MN + dtS
-                r0 = matvec(MN, d) + fN_dt - matvec(dtS, pred_hi)
-                delta = gauss_solve_lanes(KN, r0)
-                uN, lo = dd_add_small(pred_hi, pred_lo, delta)
-
-                scale = fom.scale_factor(mu, t) if fom.Lt else one
-                L = fom.domain[fom.L0] * scale
-                L = L * jnp.ones((B,), dtype=dtype)
-                g = fom.create_lifting_operator(mu=mu, t=t, L=L,
-                                                only_g=True)
-
-                outputs = (dict(t=t) if mode == "probes"
-                           else dict(uN=uN, t=t))
-                if mode == "full":
-                    x_phys = _asarray(fom.mesh.x_dofs)[:, None] * (
-                        scale * jnp.ones((B,), dtype=dtype)
-                    )
-                    outputs["uc"] = V_w @ uN + g(x_phys)
-                    outputs["x"] = x_phys
-                else:
-                    x_ends = jnp.stack([jnp.zeros_like(L), L])
-                    outputs["probes"] = V_ends @ uN + g(x_ends)
-
-                return (uN, lo, uN_n, lo_n), outputs
-
-            carry, outs_w = jax.lax.scan(
-                step, carry,
-                (jnp.arange(width, dtype=i32),
-                 (wdata["MN"], wdata["dtS"], wdata["fN"])),
-                unroll=self.ONLINE_UNROLL,
-            )
-            return carry, outs_w
-
-        wdatas = {
-            "T": T_all,
-            "k0": k0s,
-            "V_ends": V_ends_all,
-            "MN": MN_tab,
-            "dtS": dtS_tab,
-            "fN": fN_tab,
-        }
-        if T0_all is not None:
-            wdatas["T0"] = T0_all
-        if V_full_all is not None:
-            wdatas["V_full"] = V_full_all
-
-        zeros = jnp.zeros((N, B), dtype=dtype)
-        carry, outs_sw = jax.lax.scan(
-            window_body, (zeros, zeros, zeros, zeros), wdatas
-        )
-        outs = {
-            key: v.reshape((nt,) + v.shape[2:])
-            for key, v in outs_sw.items()
-        }
-        if mode == "probes":
-            outs["uN_final"] = carry[0]
-        if dil is not None:
-            outs["dil"] = dil
-            oor = self._windowed_dilation_oor(mu, tables)
-            if oor is not None:
-                outs["dil_oor"] = oor
-        return outs
-
-    def _online_sweep_windowed_chained(self, mu, mode="probes"):
-        """Per-window chained trace (unequal window widths fallback)."""
-        win = self.windows
-        assert win is not None, "call build_windowed_serving first"
-        if getattr(win, "dilation", None) is not None:
-            raise NotImplementedError(
-                "phase-aligned (registered) serving requires equal "
-                "window widths — the unequal-width chained fallback "
-                "does not carry per-lane dilated clocks"
-            )
-        fom = self.fom
-        nt = int(fom.domain[fom.NT])
-        bdf2 = fom.BDF_SCHEME == BDF.TWO
-        N = win.N
-        dtype = compute_dtype()
-        dt = _scalar(fom.dt)
-        one = _scalar(1.0)
-        one_five = _scalar(1.5)
-        B = int(next(iter(mu.values())).shape[0])
-
-        sources = self._theta_sources()
-        ts_grid = (jnp.arange(nt) + 1).astype(dtype) * dt
-        ent = {
-            name: jax.vmap(lambda t, red=red: red._entries_traced(mu, t))(
-                ts_grid
-            )
-            for name, (red, _fb) in sources.items()
-        }  # each (nt, k, B)
-        stiff_names = [n for n in sources if n not in ("mass", "rhs_vec")]
-
-        b0 = None
-        if win.trilinear is not None:
-            b0 = self.fom.nonlinear_coefficient(mu)  # (B,) or scalar
-
-        matvec = partial(jnp.einsum, "ijB,jB->iB")
-
-        zeros = jnp.zeros((N, B), dtype=dtype)
-        carry = (zeros, zeros, zeros, zeros)
-        outs_all = []
-
-        for w in range(win.n_windows):
-            a_step, b_step = int(win.bounds[w]), int(win.bounds[w + 1])
-            C = {name: _asarray(win.combines[name][w]) for name in sources}
-            MN_tab = jnp.einsum(
-                "nk,tkB->tnB", C["mass"], ent["mass"][a_step:b_step]
-            )
-            dtS_tab = dt * sum(
-                jnp.einsum("nk,tkB->tnB", C[n], ent[n][a_step:b_step])
-                for n in stiff_names
-            )
-            fN_tab = dt * jnp.einsum(
-                "nk,tkB->tnB", C["rhs_vec"], ent["rhs_vec"][a_step:b_step]
-            )
-            T0w = (
-                _asarray(win.trilinear[w])
-                if win.trilinear is not None
-                else None
-            )
-            V_ends = _asarray(win.Vs[w][[0, -1], :])
-            V_w = _asarray(win.Vs[w]) if mode == "full" else None
-
-            if w > 0:
-                carry = self._transfer_carry(carry, win.transfers[w - 1],
-                                             dtype)
-
-            def step(carry, inputs, T0w=T0w, V_ends=V_ends, V_w=V_w):
-                uN_n, lo_n, uN_n1, lo_n1 = carry
-                k, (MN_flat, dtS_flat, fN_dt) = inputs
-                t = (k + 1).astype(dtype) * dt
-                MN = MN_flat.reshape((N, N, -1))
-                dtS = dtS_flat.reshape((N, N, -1))
-
-                if bdf2:
-                    ph, plo = dd_bdf2_predict(uN_n, lo_n, uN_n1, lo_n1)
-                    dh = dd_history_diff(uN_n, lo_n, uN_n1, lo_n1)
-                    first = k == 0
-                    pred_hi = jnp.where(first, uN_n, ph)
-                    pred_lo = jnp.where(first, lo_n, plo)
-                    d = jnp.where(first, jnp.zeros_like(dh), dh)
-                    bdf = jnp.where(k > 0, one_five, one)
-                else:
-                    pred_hi, pred_lo = uN_n, lo_n
-                    d = jnp.zeros_like(uN_n)
-                    bdf = one
-
-                if T0w is not None:
-                    NN = (T0w @ pred_hi).reshape((N, N, -1)) * b0
-                    dtS = dtS + dt * NN
-
-                KN = bdf * MN + dtS
-                r0 = matvec(MN, d) + fN_dt - matvec(dtS, pred_hi)
-                delta = gauss_solve_lanes(KN, r0)
-                uN, lo = dd_add_small(pred_hi, pred_lo, delta)
-
-                scale = fom.scale_factor(mu, t) if fom.Lt else one
-                L = fom.domain[fom.L0] * scale
-                L = L * jnp.ones((B,), dtype=dtype)
-                g = fom.create_lifting_operator(mu=mu, t=t, L=L, only_g=True)
-
-                outputs = dict(t=t) if mode == "probes" else dict(uN=uN, t=t)
-                if mode == "full":
-                    x_phys = _asarray(fom.mesh.x_dofs)[:, None] * (
-                        scale * jnp.ones((B,), dtype=dtype)
-                    )
-                    outputs["uc"] = V_w @ uN + g(x_phys)
-                    outputs["x"] = x_phys
-                else:
-                    x_ends = jnp.stack([jnp.zeros_like(L), L])
-                    outputs["probes"] = V_ends @ uN + g(x_ends)
-
-                return (uN, lo, uN_n, lo_n), outputs
-
-            carry, outs_w = jax.lax.scan(
-                step, carry,
-                (jnp.arange(a_step, b_step), (MN_tab, dtS_tab, fN_tab)),
-                unroll=self.ONLINE_UNROLL,
-            )
-            outs_all.append(outs_w)
-
-        outs = {
-            key: jnp.concatenate([o[key] for o in outs_all], axis=0)
-            for key in outs_all[0]
-        }
-        if mode == "probes":
-            outs["uN_final"] = carry[0]
-        return outs
-
     def _state_matrix_lanes(self, mu, t, uh, uh_n1):
         """State-dependent reduced operator for the lane-batched loop
         (None for linear problems; the nonlinear subclass overrides)."""
@@ -2373,7 +1166,7 @@ class RomConstructor(Reductor):
         return idx_mu
 
     def solve_batch(self, mus, step=Stage.ONLINE, mode="reduced", engine=None,
-                    host=True):
+                    host=True, probe_reduce=None):
         """Batched online μ-sweep: one compiled scan over a parameter batch —
         the TPU-native replacement for the reference's serial online loop
         (rom/hrom.py:521-526).
@@ -2396,7 +1189,16 @@ class RomConstructor(Reductor):
         host=False returns the raw on-device arrays (layout (nt, ..., B),
         fully computed — ``jax.block_until_ready`` applies) without the
         device→host copy; use it when QoIs feed further on-device work or
-        when the host link would dominate (docs/tpu_notes.md)."""
+        when the host link would dominate (docs/tpu_notes.md).
+
+        probe_reduce consumes the probe series ON DEVICE before anything
+        leaves it (mode="probes" serving; VERDICT r4 item 6 — the
+        (nt, 2, B) probe buffer dominates the device→host wall at
+        serving batch sizes): "mean" time-averages to (2, B) (the
+        reference's own time-averaged QoI product, utils.time_average),
+        an int k decimates to every k-th step ((nt//k, 2, B)). The full
+        buffer then never crosses the host link — only the reduced
+        array is fetched (or returned on-device with host=False)."""
         names = sorted(mus[0].keys())
         batch = {
             k: _asarray(np.array([float(mu[k]) for mu in mus])) for k in names
@@ -2416,6 +1218,10 @@ class RomConstructor(Reductor):
         self._ensure_pivot_free_certified()
 
         outs = self._get_online_fn(batched=True, mode=mode, engine=engine)(batch)
+        if probe_reduce is not None and "probes" in outs:
+            outs = dict(outs)
+            outs["probes"] = self._reduce_probes(outs["probes"],
+                                                 probe_reduce)
         if not host:
             return jax.block_until_ready(outs)
         outs = jax.tree_util.tree_map(np.asarray, outs)
@@ -2427,6 +1233,30 @@ class RomConstructor(Reductor):
             }
         return outs
 
+    def _reduce_probes(self, probes, probe_reduce):
+        """On-device probe consumer (see ``solve_batch``): a tiny cached
+        jit over the (nt, P, B) probe series — XLA fuses it with nothing
+        (one bandwidth-trivial pass) but the host link only ever sees
+        its output."""
+        cache = getattr(self, "_probe_reduce_fns", None)
+        if cache is None:
+            cache = self._probe_reduce_fns = {}
+        key = (probe_reduce, probes.shape, str(probes.dtype))
+        fn = cache.get(key)
+        if fn is None:
+            if probe_reduce == "mean":
+                fn = jax.jit(lambda p: jnp.mean(p, axis=0))
+            elif isinstance(probe_reduce, int) and probe_reduce >= 1:
+                k = int(probe_reduce)
+                fn = jax.jit(lambda p: p[k - 1::k])
+            else:
+                raise ValueError(
+                    f"probe_reduce must be 'mean' or a positive int "
+                    f"stride, got {probe_reduce!r}"
+                )
+            cache[key] = fn
+        return fn(probes)
+
     AUTOTUNE_PATH = ".romtime_autotune.json"
 
     def _resolve_engine(self, mode, B):
@@ -2435,145 +1265,6 @@ class RomConstructor(Reductor):
         if mode == "probes" and self._pallas_supported(B):
             return "pallas"
         return "lanes" if self._lanes_supported() else "vmap"
-
-    def _autotune_key(self, engine, mode, B):
-        N = (self.windows.N if self.windows is not None
-             and engine.startswith("windowed") else self.N)
-        fom = self.fom
-        nt = int(fom.domain[fom.NT])
-        return (f"{jax.default_backend()}|{engine}|{mode}|N{N}|B{B}"
-                f"|nt{nt}|{np.dtype(compute_dtype()).name}")
-
-    def autotune_online_precompute(self, mus, mode="probes", engine=None,
-                                   n_rep=3, path=None, store=True):
-        """Measure the matrices-vs-θ crossover at the CURRENT serving
-        configuration and pin the faster variant.
-
-        The static ``ONLINE_PRECOMPUTE_BUDGET`` only approximates the HBM
-        crossover between materializing the reduced-operator time tables
-        (bandwidth-bound, fastest scan body when it fits) and per-step
-        θ-recombination on the MXU (~15× less HBM traffic). This times one
-        batched sweep per variant — chained through data dependencies so
-        the timing is honest on lazy backends (docs/tpu_notes.md) — sets
-        the measured winner as the override consulted by
-        ``_precompute_choice``, and persists the measurement keyed by
-        (platform, engine, mode, N, B, nt, dtype) so later processes can
-        ``load_autotune`` instead of paying the double compile.
-
-        Returns the measurement record. Each variant costs one extra
-        compile of the online sweep (seconds on XLA, up to minutes for the
-        Mosaic serving kernels) — run once per deployment configuration.
-        """
-        import time as _time
-
-        names = sorted(mus[0].keys())
-        batch = {
-            k: _asarray(np.array([float(mu[k]) for mu in mus]))
-            for k in names
-        }
-        B = len(mus)
-        if engine is None:
-            engine = self._resolve_engine(mode, B)
-        if engine == "vmap":
-            raise ValueError(
-                "autotune applies to the table-driven batched engines "
-                "(lanes/pallas/windowed*) — the vmap fallback has no "
-                "matrices-vs-θ choice"
-            )
-        key = self._autotune_key(engine, mode, B)
-        self._prime_online_tables()
-
-        @jax.jit
-        def _perturb(v, acc, k):
-            return v + acc * 1e-30 + k * 1e-9
-
-        name0 = names[0]
-        prev_override = getattr(self, "_precompute_override", None)
-        walls = {}
-        try:
-            for variant in ("matrices", "thetas"):
-                self._precompute_override = variant
-                self._online_fns = {}
-                self._windowed_pallas_tbl = None
-                sweep = self._get_online_fn(batched=True, mode=mode,
-                                            engine=engine)
-
-                def chain(reps):
-                    acc = jnp.asarray(0.0, batch[name0].dtype)
-                    for k in range(reps):
-                        b2 = dict(batch)
-                        b2[name0] = _perturb(b2[name0], acc, float(k))
-                        o = sweep(b2)
-                        # Chain through every μ-dependent output (never
-                        # the batch-free time grid) so each sweep must
-                        # fully execute before the next dispatches.
-                        acc = sum(
-                            (jnp.sum(v).astype(acc.dtype)
-                             for k, v in o.items() if k != "t"),
-                            start=jnp.zeros_like(acc),
-                        )
-                    return float(np.asarray(acc))
-
-                chain(1)  # compile + execute
-                chain(n_rep)  # warm
-                t0 = _time.perf_counter()
-                chain(1)
-                w1 = _time.perf_counter() - t0
-                t0 = _time.perf_counter()
-                chain(n_rep)
-                wk = _time.perf_counter() - t0
-                wall = (wk - w1) / max(n_rep - 1, 1)
-                if wall < 0.05 * wk / n_rep:  # below clock resolution
-                    wall = wk / n_rep
-                walls[variant] = wall
-        except BaseException:
-            # Compiled entries embody the forced variant; with the
-            # override restored they would serve the wrong structure.
-            self._precompute_override = prev_override
-            self._online_fns = {}
-            self._windowed_pallas_tbl = None
-            raise
-        winner = min(walls, key=walls.get)
-        self._precompute_override = winner
-        if winner != "thetas":
-            # The caches hold the last-timed variant ("thetas"); drop
-            # them so the next solve recompiles the winner. When the
-            # winner IS the last-timed variant, keep its compiled sweep
-            # — a Mosaic serving-kernel compile costs minutes.
-            self._online_fns = {}
-            self._windowed_pallas_tbl = None
-        record = {"winner": winner, "wall_s": walls}
-        if store:
-            path = path or self.AUTOTUNE_PATH
-            table = {}
-            if os.path.exists(path):
-                with open(path) as f:
-                    table = json.load(f)
-            table[key] = record
-            with open(path, "w") as f:
-                json.dump(table, f, indent=1, sort_keys=True)
-        return dict(record, key=key)
-
-    def load_autotune(self, B, mode="probes", engine=None, path=None):
-        """Pin a previously measured matrices-vs-θ winner for the current
-        serving configuration (see autotune_online_precompute). Returns
-        the record, or None when this configuration was never measured."""
-        path = path or self.AUTOTUNE_PATH
-        if not os.path.exists(path):
-            return None
-        if engine is None:
-            engine = self._resolve_engine(mode, B)
-        with open(path) as f:
-            table = json.load(f)
-        record = table.get(self._autotune_key(engine, mode, B))
-        if record is not None and (getattr(self, "_precompute_override",
-                                           None) != record["winner"]):
-            self._precompute_override = record["winner"]
-            # Already-compiled sweeps have the previous choice baked in.
-            self._online_fns = {}
-            self._windowed_pallas_tbl = None
-        return record
-
 
 class RomConstructorMoving(RomConstructor):
     """Adds the reduced ALE convection operator
@@ -2597,7 +1288,8 @@ class RomConstructorMoving(RomConstructor):
         return MN, self.fom.dt * (AN + CN)
 
 
-class RomConstructorNonlinear(RomConstructorMoving):
+class RomConstructorNonlinear(MuLocalRoutingMixin,
+                              RomConstructorMoving):
     """Piston ROM: Mach-stratified sampling, trilinear + nonlinear-lifting
     operators, BDF-2 (reference: rom/rom.py:739-974)."""
 
@@ -2941,100 +1633,3 @@ class RomConstructorNonlinear(RomConstructorMoving):
 
         return MN, self.fom.dt * (AN + CN + NN + NhatN)
 
-    # ------------------------------------------------------------------
-    # μ-local windowed serving (no reference analog — the reference
-    # serves one global basis for the whole μ-box, rom/rom.py:430-555)
-    # ------------------------------------------------------------------
-    def solve_batch_mulocal(self, mus, step=Stage.ONLINE, mode="probes",
-                            engine=None, sweep_fn=None):
-        """Route each μ to its Mach cell's windowed tables and sweep.
-
-        The piston manifold's Kolmogorov width decays slowly across the
-        full Mach range (measured: one box-wide W=30/N=40 basis built
-        from 8 trajectories has a ~1.5e-4 projection floor everywhere,
-        scripts/multimu_diag.py); Mach-local bases restore the fast local
-        decay at UNCHANGED online cost — every cell shares (W, N), so
-        every sub-batch runs through the SAME compiled engine with its
-        cell's tables passed as runtime arguments.
-
-        Each cell's sub-batch is padded (by cycling its own μ) to the
-        full batch length so one compiled shape serves all cells; outputs
-        are merged back in input order, batch-first. Costs K× the
-        arithmetic of a single sweep at certification batch sizes —
-        production serving would batch per cell instead.
-
-        ``sweep_fn(mus) -> outs`` overrides the per-cell sweep (default:
-        ``solve_batch`` with the given step/mode/engine) — e.g.
-        ``parallel.sweep.solve_online_windowed_sharded`` to run each
-        cell's sub-batch sharded over a device mesh.
-        """
-        def run_cell(_c, sub):
-            if sweep_fn is not None:
-                return sweep_fn(sub)
-            return self.solve_batch(sub, step=step, mode=mode,
-                                    engine=engine)
-
-        return self.route_mulocal(mus, run_cell)
-
-    def route_mulocal(self, mus, run_cell):
-        """Shared μ-local router: group the μs by Mach cell, run
-        ``run_cell(cell_index, sub_mus)`` with that cell's serving tables
-        attached (sub-batch padded to the full batch length by cycling its
-        own μ, so one compiled shape serves all cells), and merge the
-        batch-first output rows back in input order. Restores the
-        pre-routing serving windows. Backbone of ``solve_batch_mulocal``
-        and ``HyperReducedPiston.estimate_batch_mulocal``."""
-        ml = self.mulocal
-        if ml is None:
-            raise ValueError("no μ-local serving attached — build it with "
-                             "HyperReducedPiston.build_mulocal_serving")
-        mach = np.array(
-            [self.compute_piston_mach_number(mu) for mu in mus]
-        )
-        cells = np.asarray(ml.cell_of(mach))
-        n = len(mus)
-        prev = self.windows
-        rows = {}      # batch-first keys: per-index rows, merged below
-        passthru = {}  # non-batch keys: first cell's value
-        try:
-            for c in sorted(set(cells.tolist())):
-                idx = np.nonzero(cells == c)[0]
-                sub = [dict(mus[int(i)]) for i in idx]
-                sub = (sub * -(-n // len(sub)))[:n]
-                self._set_serving_windows(ml.cells[int(c)])
-                outs = run_cell(int(c), sub)
-                for k, v in outs.items():
-                    if np.ndim(v) >= 1 and len(v) == n:
-                        slot = rows.setdefault(k, [None] * n)
-                        for j, i in enumerate(idx):
-                            slot[int(i)] = np.asarray(v[j])
-                    elif k not in passthru:
-                        passthru[k] = np.copy(v)
-        finally:
-            self._set_serving_windows(prev)
-        merged = dict(passthru)
-        for k, lst in rows.items():
-            # Mixed registration fleets: a phase-aligned cell emits
-            # per-row "t"/"dil" while unregistered cells emit a shared
-            # "t" (passthru) and no "dil" — fill the unregistered rows
-            # with the shared grid / the identity dilation.
-            if any(r is None for r in lst):
-                if k == "dil":
-                    fill = np.asarray(1.0)
-                elif k == "dil_oor":
-                    # Unregistered cells have no law to extrapolate.
-                    fill = np.asarray(0.0)
-                elif k in passthru:
-                    fill = np.asarray(passthru[k])
-                else:
-                    raise ValueError(
-                        f"μ-local merge: output '{k}' missing for some "
-                        "cells and no shared fallback value exists"
-                    )
-                lst = [fill if r is None else r for r in lst]
-            # Mixed-(W, N) fleets: per-row shapes can differ across
-            # cells (e.g. reduced coordinates at per-cell N) — keep a
-            # list of rows then; stack only when shapes agree.
-            shapes = {r.shape for r in lst}
-            merged[k] = np.stack(lst) if len(shapes) == 1 else lst
-        return merged

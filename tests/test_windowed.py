@@ -1008,3 +1008,29 @@ def test_trilinear_table_exact_vs_deim(piston_windowed):
         rom._trilinear_table_cache = None
     assert deim_tab is not None
     assert deim_tab.shape == exact.shape
+
+
+def test_probe_reduce_on_device(piston_windowed):
+    """On-device probe consumer (VERDICT r4 item 6): the reduced outputs
+    equal host-side reductions of the full probe series exactly — the
+    full (nt, 2, B) buffer just never crosses the host link."""
+    hrom, mu_val, _uh, _dir = piston_windowed
+    rom = hrom.rom
+    mus = [dict(mu_val)] * 4
+
+    full = rom.solve_batch(mus, step=Stage.ONLINE, mode="probes",
+                           engine="windowed")
+    mean = rom.solve_batch(mus, step=Stage.ONLINE, mode="probes",
+                           engine="windowed", probe_reduce="mean")
+    np.testing.assert_allclose(mean["probes"],
+                               np.asarray(full["probes"]).mean(axis=1),
+                               rtol=1e-12)
+    k = 10
+    dec = rom.solve_batch(mus, step=Stage.ONLINE, mode="probes",
+                          engine="windowed", probe_reduce=k)
+    np.testing.assert_array_equal(
+        dec["probes"], np.asarray(full["probes"])[:, k - 1::k]
+    )
+    with pytest.raises(ValueError, match="probe_reduce"):
+        rom.solve_batch(mus, step=Stage.ONLINE, mode="probes",
+                        engine="windowed", probe_reduce="median")
