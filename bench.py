@@ -99,11 +99,20 @@ def main():
         # the extreme corner at 1.4e-5, ~6× floor). The timed active
         # cell (mu_val's) stays 50x32 — headline throughput is
         # unchanged by the upper-cell shapes.
+        # Round-5 fleet (measured 2026-08-20, BENCH_r05 campaign): the
+        # r4 fleet's 15-μ tail was rows in cells 4/5 — cell 4's 100x40
+        # floor (1.4-1.8e-6 served) and cell 5's in-span stall (floor
+        # measured 1.0e-7, served 1.5e-6 at per_cell=16). Fixes: cell 4
+        # shares cell 5's 150x48 shape (one compiled kernel for both),
+        # cell 5 trains on 24 maximin μ's (the r3 capacity-vs-diversity
+        # lesson at its steepest cell). Result: 15-μ mean 2.53e-7 /
+        # max 9.70e-7 (std-clock max 9.84e-7) at 22.4k solves/s —
+        # the BASELINE joint target (≤1e-6 at ≥20k) with no asterisk.
         defaults = dict(modes=96, truncate=8, nmdeim=96, windows=50,
                         window_n=32, batch=2048, offline_mu=8, tri_mu=3,
-                        mulocal=6, per_cell="12,12,12,12,16,16",
+                        mulocal=6, per_cell="12,12,12,12,16,24",
                         register="auto",
-                        cell_wn="50x32,50x32,50x32,50x32,100x40,150x48")
+                        cell_wn="50x32,50x32,50x32,50x32,150x48,150x48")
     else:
         defaults = dict(modes=20, truncate=5, nmdeim=12, windows=0,
                         window_n=0, batch=2048, offline_mu=3, tri_mu=2,
@@ -572,6 +581,13 @@ def main():
             # nt — the same discrete BDF-2 system; rom/registration.py)
             "n_registered": int(np.sum(dils_m != 1.0)),
             "dil_max": float(np.max(dils_m)),
+            # serve-time dilation-law extrapolation guard: lanes whose μ
+            # sits in a training hole (rom/registration.py DilationLaw);
+            # None = fleet predates the guard payload
+            "n_dil_flagged": (
+                int(np.sum(np.asarray(outs_m["dil_oor"], np.float64)
+                           > 0.5))
+                if "dil_oor" in outs_m else None),
         }
         log(f"accuracy: rel-L2 over {len(mus_val)} mu: "
             f"mean {multi_stats['mean']:.3e} max {multi_stats['max']:.3e}")

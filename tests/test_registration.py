@@ -556,6 +556,34 @@ def test_register_auto_skips_unalignable_cells(piston_registered,
         os.chdir(cwd)
 
 
+def test_dil_oor_rides_mulocal_routing(piston_registered):
+    """Mixed fleet: the registered cell's per-lane dil_oor flag merges
+    through route_mulocal; unregistered-cell rows fill with 0.0 (no law
+    to extrapolate). The flag value equals the law's own host-side
+    verdict for the same μ."""
+    hrom, ml, mu_val, _uh, _prev = piston_registered
+    rom = hrom.rom
+    law = ml.cells[1].dilation
+    if not law.has_guard:
+        pytest.skip("fitted law carries no guard at this training count")
+
+    mu_lo = dict(a0=9.8, omega=15.5, delta=0.10, alpha=1e-6, gamma=1.4)
+    mu_hi = dict(a0=8.1, omega=19.5, delta=0.148, alpha=1e-6, gamma=1.4)
+    prev_ml = rom.mulocal
+    rom.mulocal = ml
+    try:
+        outs = rom.solve_batch_mulocal([dict(mu_lo), dict(mu_hi)],
+                                       step=Stage.VALIDATION,
+                                       mode="probes", engine="windowed")
+    finally:
+        rom.mulocal = prev_ml
+    oor = np.asarray(outs["dil_oor"], np.float64)
+    assert oor.shape == (2,)
+    assert oor[0] == 0.0  # unregistered cell: filled
+    expected = float(bool(law.extrapolation_flag(mu_hi)))
+    assert oor[1] == expected, (oor[1], expected)
+
+
 def test_registered_restores_mulocal(piston_registered):
     """The registered build replaced rom.mulocal — restore the previous
     fleet for downstream module-scoped tests."""
