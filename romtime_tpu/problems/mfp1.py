@@ -72,12 +72,14 @@ def define_mfp1_problem(L=None, nx=None, tf=None, nt=None):
 def __getattr__(name):
     # The reference keeps an older generation of the HROM drivers in this
     # module (reference: problems/mfp1.py:80-556, a duplicate of
-    # rom/hrom.py). The rebuild has a single unified implementation; the old
-    # import path stays valid as an alias.
+    # rom/hrom.py). The rebuild implements that legacy surface as thin
+    # subclasses of the unified drivers (mfp1_legacy.py: explicit-mu_space
+    # online evaluation + the spectrum/energy/error plots); the old import
+    # path resolves to them.
     if name in ("HyperReducedOrderModelFixed", "HyperReducedOrderModelMoving"):
-        from ..rom import hrom
+        from . import mfp1_legacy
 
-        return getattr(hrom, name)
+        return getattr(mfp1_legacy, name)
     raise AttributeError(
         f"module 'romtime_tpu.problems.mfp1' has no attribute {name!r}"
     )
