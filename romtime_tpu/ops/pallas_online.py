@@ -669,6 +669,111 @@ def _lanes_solve(KN, r0, n_real, NP, skip_solve=False):
     return delta
 
 
+def _lanes_solve_panels(KN, r0, NP):
+    """Blocked pivot-free LU of a (NP, NP, BLANE) lane block that ALSO
+    returns the factorization panels, so NEARBY systems can be solved by
+    substitution + iterative refinement instead of refactorizing
+    (`_panels_substitute`). Identical elimination to the `_lanes_solve`
+    blocked path; per pivot block jb it saves (D⁻¹_jb, U_jb, C_jb) where
+    D/U/C are the diagonal/super/sub panels of the PARTIALLY ELIMINATED
+    trailing matrix at stage jb (i.e. the block-LU factors).
+
+    Used by the paired-step serving mode: the reduced step matrix
+    K(μ, t) drifts ~0.1%/serving step (within-window variation ≤4% over
+    a full window, ROADMAP round-3 probe), so a one-to-two-step-stale
+    factorization refines to below the f32 solve roundoff in one
+    refinement pass."""
+    i32 = jnp.int32
+    one = jnp.float32(1.0)
+    BS = 8
+    NB = NP // BS
+
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (BS, 1), 0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
+    eyeB = (r_ids == c_ids).astype(jnp.float32)
+
+    def solve_blk_aug(D, rj):
+        A8 = jnp.concatenate(
+            [D, jnp.broadcast_to(eyeB[:, :, None], D.shape),
+             rj[:, None, :]], axis=1)
+        for i in range(BS):
+            inv = one / A8[i, i]
+            rowi = A8[i] * inv[None, :]
+            coli = A8[:, i, :]
+            is_i = r_ids == i32(i)
+            A8 = jnp.where(is_i[:, :, None], rowi[None, :, :],
+                           A8 - coli[:, None, :] * rowi[None, :, :])
+        return A8[:, BS:2 * BS], A8[:, 2 * BS]
+
+    def matbvec(Dinv, v):
+        return jnp.sum(Dinv * v[None, :, :], axis=1)
+
+    A = KN
+    r = r0
+    ys = []
+    panels = []
+    for jb in range(NB):
+        D = A[:BS, :BS]
+        U = A[:BS, BS:]
+        C = A[BS:, :BS]
+        Dinv, y = solve_blk_aug(D, r[:BS])
+        panels.append((Dinv, U, C))
+        ys.append(y)
+        R = A.shape[0] - BS
+        if R == 0:
+            break
+        CD = C[:, 0:1, :] * Dinv[0][None, :, :]
+        for k in range(1, BS):
+            CD = CD + C[:, k:k + 1, :] * Dinv[k][None, :, :]
+        upd = CD[:, 0:1, :] * U[0][None, :, :]
+        updr = C[:, 0, :] * y[0][None, :]
+        for i in range(1, BS):
+            upd = upd + CD[:, i:i + 1, :] * U[i][None, :, :]
+            updr = updr + C[:, i, :] * y[i][None, :]
+        A = A[BS:, BS:] - upd
+        r = r[BS:] - updr
+
+    xs = [ys[-1]]
+    for jb in range(NB - 2, -1, -1):
+        Dinv, U, _C = panels[jb]
+        xt = jnp.concatenate(xs, axis=0)
+        Ux = jnp.sum(U * xt[None, :, :], axis=1)
+        xs.insert(0, ys[jb] - matbvec(Dinv, Ux))
+    delta = jnp.concatenate(xs, axis=0)
+    return delta, panels
+
+
+def _panels_substitute(panels, r, NP):
+    """Solve with SAVED block-LU panels (`_lanes_solve_panels`): one
+    forward sweep (block solves + subdiagonal updates) and one
+    back-substitution — ≈ a matvec of VPU work, ~5× cheaper than a
+    refactorization at NP=32."""
+    BS = 8
+    NB = NP // BS
+
+    def matbvec(Dinv, v):
+        return jnp.sum(Dinv * v[None, :, :], axis=1)
+
+    ys = []
+    for jb in range(NB):
+        Dinv, _U, C = panels[jb]
+        y = matbvec(Dinv, r[:BS])
+        ys.append(y)
+        if r.shape[0] > BS:
+            updr = C[:, 0, :] * y[0][None, :]
+            for i in range(1, BS):
+                updr = updr + C[:, i, :] * y[i][None, :]
+            r = r[BS:] - updr
+
+    xs = [ys[-1]]
+    for jb in range(NB - 2, -1, -1):
+        Dinv, U, _C = panels[jb]
+        xt = jnp.concatenate(xs, axis=0)
+        Ux = jnp.sum(U * xt[None, :, :], axis=1)
+        xs.insert(0, ys[jb] - matbvec(Dinv, Ux))
+    return jnp.concatenate(xs, axis=0)
+
+
 def _lanes_invert(K, NP):
     """In-register inversion of a (NP, NP, BLANE) lane-batched block:
     unrolled pivot-free Gauss-Jordan on the augmented [K | I] block.
@@ -730,7 +835,8 @@ def _richardson_solve(KN, Kinv, r0, iters, delta0=None):
 def _bdf_step_merged(tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1, step,
                      TQ, VE, b0, dt_c, bdf2, with_trilinear, n_real, NP,
                      km8, kk8, kf8, skip_solve=False, Kinv=None,
-                     solve_iters=None, dprev=None):
+                     solve_iters=None, dprev=None, panels=None,
+                     save_panels=False, refine=1):
     """Merged-dot residual-form BDF step (v3 fused kernel).
 
     The v2 step materialized MN and KL with two K=8 MXU dots, then ran
@@ -792,15 +898,32 @@ def _bdf_step_merged(tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1, step,
     KLp = jnp.sum(t1k * tts[km8:km8 + kk][:, None, :], axis=0)
     r0 = MNd + fN - KLp - trip
 
+    out_panels = None
     if skip_solve:
         delta = r0
     elif solve_iters is not None and Kinv is not None:
         delta = _richardson_solve(KN, Kinv, r0, solve_iters,
                                   delta0=dprev)
+    elif panels is not None:
+        # Paired-step mode, reuse step: solve with the group leader's
+        # 1-2-step-stale LU panels + `refine` refinement passes against
+        # the TRUE current KN (ρ = ‖I − K_stale⁻¹K‖ ≈ per-step θ drift,
+        # ~1e-3 at serving dt, so one pass lands below the f32 solve
+        # roundoff; the BDF-1→2 switch at global step 1 is the one
+        # ρ≈1/3 outlier and rides the dissipative decay of the tiny
+        # start-up deltas, exactly like the Richardson path did).
+        delta = _panels_substitute(panels, r0, NP)
+        for _ in range(refine):
+            resid = r0 - _lanes_matvec(KN, delta)
+            delta = delta + _panels_substitute(panels, resid, NP)
+    elif save_panels:
+        delta, out_panels = _lanes_solve_panels(KN, r0, NP)
     else:
         delta = _lanes_solve(KN, r0, n_real, NP)
     uN_new, lo_new = dd_add_small(pred_hi, pred_lo, delta)
     probes = jax.lax.dot(VE, uN_new, precision=hi) + g
+    if save_panels:
+        return uN_new, lo_new, probes, delta, out_panels
     return uN_new, lo_new, probes, delta
 
 
@@ -1150,7 +1273,7 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                            state0_ref, probes_ref, state_ref,
                            *, W, width, chunk, km8, kk8, kf8, dt, bdf2,
                            with_trilinear, n_real, n_pad, ablate=None,
-                           solve_iters=None):
+                           solve_iters=None, paired_lu=None):
     NP = n_pad
     i = pl.program_id(0)
     nt = W * width
@@ -1307,8 +1430,60 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                     pr_s[slot, s] = probes
                     return (uN_new, lo_new, uN, lo, delta)
 
-                carry2 = jax.lax.fori_loop(i32(0), i32(chunk), step_body,
-                                           carry2)
+                if (paired_lu and paired_lu >= 2 and solve_iters is None
+                        and ablate is None):
+                    # Paired-step LU reuse: factorize once per group of
+                    # `paired_lu` steps (panel-saving blocked LU), solve
+                    # the followers by substitution + refinement against
+                    # their true KN. Followers are statically unrolled
+                    # inside the group body so the panels stay register
+                    # values. The FIRST TWO steps of every chunk take
+                    # the plain per-step LU: the BDF-1→BDF-2 switch at
+                    # global steps 0-1 perturbs a stale factor by 0.5·MN
+                    # (ρ ≈ 1/3 — refinement can't absorb it), and
+                    # keeping the exception static costs one extra
+                    # factorization per chunk (~3% at chunk=30). A
+                    # (chunk−2) % G remainder also falls back to the
+                    # plain per-step solve.
+                    G = paired_lu
+                    lead = min(2, chunk)
+                    n_groups = (chunk - lead) // G
+
+                    def group_body(t, carry3):
+                        uN, lo, uN1, lo1, dprev = carry3
+                        s0 = i32(lead) + t * i32(G)
+                        step = c * i32(chunk) + s0
+                        pan = None
+                        for j in range(G):
+                            sj = s0 + i32(j)
+                            tts_j = th_s[slot, sj]
+                            g_j = tts_j[off_g:off_g + PROBE_P]
+                            out = _bdf_step_merged(
+                                tts_j, Bmk, BmF, BkF, Bf, g_j,
+                                uN, lo, uN1, lo1, step + i32(j),
+                                TQ, VE, b0, dt_c, bdf2, with_trilinear,
+                                n_real, NP, km8, kk8, kf8,
+                                save_panels=(j == 0),
+                                panels=(None if j == 0 else pan),
+                            )
+                            if j == 0:
+                                uN_new, lo_new, probes, delta, pan = out
+                            else:
+                                uN_new, lo_new, probes, delta = out
+                            pr_s[slot, sj] = probes
+                            uN1, lo1 = uN, lo
+                            uN, lo = uN_new, lo_new
+                        return (uN, lo, uN1, lo1, delta)
+
+                    for s in range(lead):
+                        carry2 = step_body(i32(s), carry2)
+                    carry2 = jax.lax.fori_loop(i32(0), i32(n_groups),
+                                               group_body, carry2)
+                    for s in range(lead + n_groups * G, chunk):
+                        carry2 = step_body(i32(s), carry2)
+                else:
+                    carry2 = jax.lax.fori_loop(i32(0), i32(chunk),
+                                               step_body, carry2)
                 pr_dma(slot, c).start()
                 return carry2
 
@@ -1360,12 +1535,13 @@ def _fused_chunk(width, K8, n_real):
 @partial(jax.jit, static_argnames=("widths", "dt", "bdf2",
                                    "with_trilinear", "n_real", "km8",
                                    "kk8", "kf8", "interpret", "ablate",
-                                   "solve_iters"))
+                                   "solve_iters", "paired_lu"))
 def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, TQ_p, VE_p, T_p,
                                 b0, state0, *, widths, dt, bdf2=True,
                                 with_trilinear=True, n_real=15, km8=None,
                                 kk8=None, kf8=None, interpret=False,
-                                ablate=None, solve_iters=None):
+                                ablate=None, solve_iters=None,
+                                paired_lu=None):
     """Whole-trajectory windowed serving sweep in ONE pallas launch.
 
     TH     : (nt, K8, B) merged θ table — [θ_mass | θ_stiff+1 | θ_rhs | g]
@@ -1422,10 +1598,15 @@ def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, TQ_p, VE_p, T_p,
     chunk = (_chunk_capped(width, 8) if interpret
              else _fused_chunk(width, K8, n_real))
 
+    if paired_lu and n_real <= GJ_FORI_MIN:
+        # Small-N uses the unrolled Gauss-Jordan solve — panel reuse
+        # only pays above the blocked-LU threshold.
+        paired_lu = None
     kernel = partial(_windowed_fused_kernel, W=W, width=width, chunk=chunk,
                      km8=km8, kk8=kk8, kf8=kf8, dt=dt, bdf2=bdf2,
                      with_trilinear=with_trilinear, n_real=n_real,
-                     n_pad=n_pad, ablate=ablate, solve_iters=solve_iters)
+                     n_pad=n_pad, ablate=ablate, solve_iters=solve_iters,
+                     paired_lu=paired_lu)
     # Per-window mean θ rows for the Richardson preconditioner: K̄_w is
     # built in-kernel from these (one dot per window) and inverted once.
     # The bdf factor (1.5 for BDF-2 — the value at every step but the

@@ -82,6 +82,24 @@ class SolvePolicyMixin:
     # still be ACCURATE (the 12-iter cap above is the accuracy bound).
     WINDOWED_SOLVE_ITERS_PERF_CAP = 5
 
+    # Paired-step LU panel reuse for the fused windowed kernel: factorize
+    # once per group of this many steps (panel-saving blocked LU,
+    # ops/pallas_online._lanes_solve_panels) and solve the followers by
+    # substitution + one refinement against their true per-step KN. The
+    # per-step θ drift is ~0.1% at serving dt (within-window variation
+    # ≤4%, ROADMAP round-3 probe), so one refinement lands below the f32
+    # solve roundoff — unlike the window-mean Richardson preconditioner,
+    # the staleness here is 1-2 steps, not half a window. None/0 = off
+    # (per-step LU). Override with ROMTIME_PAIRED_LU (group size ≥ 2).
+    WINDOWED_PAIRED_LU = None
+
+    def _windowed_paired_lu(self):
+        env = os.environ.get("ROMTIME_PAIRED_LU")
+        if env is not None and env != "":
+            n = int(env)
+            return n if n >= 2 else None
+        return self.WINDOWED_PAIRED_LU
+
     def _windowed_solve_iters(self):
         env = os.environ.get("ROMTIME_SOLVE_ITERS")
         if env is not None and env != "":

@@ -441,6 +441,7 @@ class WindowedPallasMixin:
                 bdf2=bdf2, with_trilinear=with_trilinear, n_real=N,
                 km8=km8, kk8=kk8, kf8=kf8, interpret=interpret,
                 solve_iters=self._windowed_solve_iters(),
+                paired_lu=self._windowed_paired_lu(),
             )
             return dict(
                 {"t": ts_grid, "probes": probes[:, :2, :],

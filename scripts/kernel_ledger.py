@@ -123,7 +123,7 @@ def main():
         widths = tuple(int(x) for x in np.diff(win.bounds))
         bdf2 = True
 
-        def make_run(ablate, with_trilinear=True):
+        def make_run(ablate, with_trilinear=True, paired=None):
             def run(state0):
                 return online_sweep_windowed_fused(
                     TH, tables["Bmk"], tables["BmF"], tables["BkF"],
@@ -133,6 +133,7 @@ def main():
                     with_trilinear=with_trilinear, n_real=N,
                     km8=km8, kk8=kk8, kf8=kf8, ablate=ablate,
                     solve_iters=rom._windowed_solve_iters(),
+                    paired_lu=paired,
                 )
             return run
 
@@ -146,15 +147,23 @@ def main():
 
         results = {}
         variants = [
-            ("full", None, True),
-            ("no_solve", "no_solve", True),
-            ("no_dots", "no_dots", True),
-            ("no_boundary", "no_boundary", True),
-            ("no_trilinear", None, False),
-            ("empty", "empty", True),
+            ("full", None, True, None),
+            ("no_solve", "no_solve", True, None),
+            ("no_dots", "no_dots", True, None),
+            ("no_boundary", "no_boundary", True, None),
+            ("no_trilinear", None, False, None),
+            ("empty", "empty", True, None),
         ]
-        for name, ablate, tri in variants:
-            run = make_run(ablate, tri)
+        # Paired-step LU panel-reuse variants (ROMTIME_PAIRED_LU
+        # serving mode): extra full-kernel rows for the group sizes
+        # listed in LEDGER_PAIRED (comma-separated), e.g.
+        # LEDGER_PAIRED=2,3.
+        for gs in os.environ.get("LEDGER_PAIRED", "").split(","):
+            if gs.strip():
+                g = int(gs)
+                variants.append((f"full_paired{g}", None, True, g))
+        for name, ablate, tri, paired in variants:
+            run = make_run(ablate, tri, paired)
             t_c0 = time.time()
             chain(run, 1)   # compile + execute
             compile_wall = time.time() - t_c0

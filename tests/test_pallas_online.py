@@ -663,3 +663,108 @@ def test_windowed_fused_ablate_variants_run(solve_iters):
         scale = max(np.abs(ref).max(), 1e-6)
         np.testing.assert_allclose(outs[None], ref, rtol=0,
                                    atol=1e-3 * scale)
+
+
+def test_lanes_solve_panels_and_substitute():
+    """Panel-saving blocked LU (_lanes_solve_panels): the direct solve
+    matches _lanes_solve, the saved panels re-solve FRESH right-hand
+    sides by substitution, and substitution + one refinement solves a
+    NEARBY matrix (the paired-step serving mode) to f32 accuracy."""
+    from romtime_tpu.ops.pallas_online import (
+        _lanes_matvec,
+        _lanes_solve,
+        _lanes_solve_panels,
+        _panels_substitute,
+    )
+
+    rng = np.random.default_rng(5)
+    NP, BL = 24, 128
+    N = 22
+    K = np.zeros((NP, NP, BL), np.float32)
+    K[np.arange(NP), np.arange(NP)] = 1.0
+    K[:N, :N] += 0.12 * rng.normal(size=(N, N, BL)).astype(np.float32)
+    r = rng.normal(size=(NP, BL)).astype(np.float32)
+    r[N:] = 0.0
+
+    delta, panels = _lanes_solve_panels(jnp.asarray(K), jnp.asarray(r), NP)
+    ref = np.asarray(_lanes_solve(jnp.asarray(K), jnp.asarray(r), N, NP))
+    np.testing.assert_allclose(np.asarray(delta), ref, rtol=0,
+                               atol=1e-5 * np.abs(ref).max())
+    assert np.all(np.asarray(delta)[N:] == 0.0)
+
+    # Fresh rhs through the saved panels: K·x = r2.
+    r2 = rng.normal(size=(NP, BL)).astype(np.float32)
+    r2[N:] = 0.0
+    x = np.asarray(_panels_substitute(panels, jnp.asarray(r2), NP))
+    resid = np.asarray(_lanes_matvec(jnp.asarray(K), jnp.asarray(x))) - r2
+    assert np.abs(resid).max() < 1e-4 * np.abs(r2).max()
+    assert np.all(x[N:] == 0.0)
+
+    # Nearby matrix (per-step drift ~0.3% SPECTRAL — entrywise σ scaled
+    # by 2√N; the serving tables drift ~0.1%/step): substitution + one
+    # refinement against the TRUE matrix reaches the f32 solve band
+    # (refinement error ρ² ≈ 1e-5 relative).
+    K2 = K.copy()
+    K2[:N, :N] += 3e-4 * rng.normal(size=(N, N, BL)).astype(np.float32)
+    K2j = jnp.asarray(K2)
+    exact = np.stack(
+        [np.linalg.solve(K2[:, :, b].astype(np.float64), r2[:, b])
+         for b in range(0, BL, 17)], axis=1)
+    d0 = _panels_substitute(panels, jnp.asarray(r2), NP)
+    resid1 = jnp.asarray(r2) - _lanes_matvec(K2j, d0)
+    d1 = d0 + _panels_substitute(panels, resid1, NP)
+    got = np.asarray(d1)[:, ::17]
+    np.testing.assert_allclose(got, exact, rtol=0,
+                               atol=2e-5 * np.abs(exact).max())
+
+
+@pytest.mark.parametrize("group", [2, 3])
+def test_windowed_fused_paired_lu_matches(group):
+    """Paired-step LU panel reuse (ROMTIME_PAIRED_LU): the fused kernel
+    with group-G factorization + follower refinement must agree with the
+    per-step blocked LU on smooth serving-like tables. N=24 forces the
+    blocked-LU path (> GJ_FORI_MIN)."""
+    from romtime_tpu.ops.pallas_online import online_sweep_windowed_fused
+
+    N, W, width, B = 24, 3, 8, 128
+    (thm, thk, thf, g, Bm, Bk, Bf, T0, VE, Tp, b0, dt,
+     (km8, kk8, kf8)) = _windowed_synthetic(N, W, width, B, seed=13)
+    # Serving θ streams are smooth in time; damp the synthetic's
+    # per-step white noise to a ~0.5%-per-step drift so the one-to-two-
+    # step-stale panels refine inside f32 (the real tables drift ~0.1%).
+    for th in (thm, thk, thf):
+        m = th.mean(axis=0, keepdims=True)
+        th[:] = m + 0.05 * (th - m)
+    NP = pad_dim(N)
+    NT = W * width
+    g_p = np.zeros((NT, PROBE_P, B), np.float32)
+    g_p[:, :2, :] = g
+    TH = jnp.asarray(np.concatenate([thm, thk, thf, g_p], axis=1))
+    Bmk = np.concatenate([Bm, Bk, T0], axis=2)
+    TQ = T0.reshape(W, NP, NP * NP)
+    BmF = (Bm.reshape(W, NP, NP, km8).transpose(0, 3, 1, 2)
+           .reshape(W, km8 * NP, NP))
+    BkF = (Bk.reshape(W, NP, NP, kk8).transpose(0, 3, 1, 2)
+           .reshape(W, kk8 * NP, NP))
+    args = (TH, jnp.asarray(Bmk.transpose(0, 2, 1)),
+            jnp.asarray(BmF.transpose(0, 2, 1)),
+            jnp.asarray(BkF.transpose(0, 2, 1)),
+            jnp.asarray(Bf.transpose(0, 2, 1)),
+            jnp.asarray(TQ),
+            jnp.asarray(VE), jnp.asarray(Tp),
+            jnp.asarray(b0)[None, :],
+            jnp.zeros((4, NP, B), jnp.float32))
+    kw = dict(widths=(width,) * W, dt=dt, bdf2=True, with_trilinear=True,
+              n_real=N, km8=km8, kk8=kk8, kf8=kf8, interpret=True)
+
+    ref, state_ref = online_sweep_windowed_fused(*args, **kw)
+    got, state_got = online_sweep_windowed_fused(*args, paired_lu=group,
+                                                 **kw)
+    ref, got = np.asarray(ref), np.asarray(got)
+    assert np.isfinite(got).all()
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=5e-5 * scale)
+    sscale = np.abs(np.asarray(state_ref)[[0, 2]]).max()
+    np.testing.assert_allclose(np.asarray(state_got)[[0, 2]],
+                               np.asarray(state_ref)[[0, 2]], rtol=0,
+                               atol=5e-5 * sscale)
