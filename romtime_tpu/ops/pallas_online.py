@@ -836,7 +836,8 @@ def _bdf_step_merged(tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1, step,
                      TQ, VE, b0, dt_c, bdf2, with_trilinear, n_real, NP,
                      km8, kk8, kf8, skip_solve=False, Kinv=None,
                      solve_iters=None, dprev=None, panels=None,
-                     save_panels=False, refine=1):
+                     save_panels=False, refine=1, paired_mode="sub1",
+                     dprev2=None):
     """Merged-dot residual-form BDF step (v3 fused kernel).
 
     The v2 step materialized MN and KL with two K=8 MXU dots, then ran
@@ -906,16 +907,34 @@ def _bdf_step_merged(tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1, step,
                                   delta0=dprev)
     elif panels is not None:
         # Paired-step mode, reuse step: solve with the group leader's
-        # 1-2-step-stale LU panels + `refine` refinement passes against
-        # the TRUE current KN (ρ = ‖I − K_stale⁻¹K‖ ≈ per-step θ drift,
-        # ~1e-3 at serving dt, so one pass lands below the f32 solve
-        # roundoff; the BDF-1→2 switch at global step 1 is the one
-        # ρ≈1/3 outlier and rides the dissipative decay of the tiny
-        # start-up deltas, exactly like the Richardson path did).
-        delta = _panels_substitute(panels, r0, NP)
-        for _ in range(refine):
+        # few-step-stale LU panels, refining against the TRUE current
+        # KN (ρ = ‖I − K_stale⁻¹K‖ ≈ per-step θ drift, ~1e-3/step at
+        # serving dt; the BDF-1→2 switch at global step 1 never reaches
+        # this branch — the chunk's first two steps take the full LU).
+        #   sub1 : δ₀ = P(r0), one refinement — err ρ² (2 subst + 1 mv)
+        #   warm1: δ₀ = previous step's δ, one refinement —
+        #          err (Δδ/δ)·ρ ≈ 1%·ρ (1 subst + 1 mv — the cheap one;
+        #          the substitution is VPU-op-overhead-bound, so halving
+        #          the substitution count is the lever that matters)
+        #   warm2: warm start, two refinements — err 1%·ρ² (2 + 2)
+        #   warmx: δ₀ = 2·δ_prev − δ_prev2 (linear extrapolation of the
+        #          smooth delta trajectory — start error ~curvature·dt²
+        #          ≈ 1e-4 vs warm1's ~1%), one refinement (1 + 1).
+        if (paired_mode == "warmx" and dprev is not None
+                and dprev2 is not None):
+            delta = jnp.float32(2.0) * dprev - dprev2
             resid = r0 - _lanes_matvec(KN, delta)
             delta = delta + _panels_substitute(panels, resid, NP)
+        elif paired_mode in ("warm1", "warm2") and dprev is not None:
+            delta = dprev
+            for _ in range(1 if paired_mode == "warm1" else 2):
+                resid = r0 - _lanes_matvec(KN, delta)
+                delta = delta + _panels_substitute(panels, resid, NP)
+        else:
+            delta = _panels_substitute(panels, r0, NP)
+            for _ in range(refine):
+                resid = r0 - _lanes_matvec(KN, delta)
+                delta = delta + _panels_substitute(panels, resid, NP)
     elif save_panels:
         delta, out_panels = _lanes_solve_panels(KN, r0, NP)
     else:
@@ -1273,13 +1292,19 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                            state0_ref, probes_ref, state_ref,
                            *, W, width, chunk, km8, kk8, kf8, dt, bdf2,
                            with_trilinear, n_real, n_pad, ablate=None,
-                           solve_iters=None, paired_lu=None):
+                           solve_iters=None, paired_lu=None,
+                           paired_mode="sub1"):
     NP = n_pad
     i = pl.program_id(0)
     nt = W * width
     n_chunks = nt // chunk
     cpw = width // chunk          # chunks per window (width % chunk == 0)
     off_g = km8 + kk8 + kf8
+    # warmx is the only mode reading δ_{n-2}; carrying a DEAD second
+    # delta slot in the other modes trips Mosaic's while-carry layout
+    # unification (replicated init vs materialized body value), so the
+    # carry is extended only when the slot is live.
+    track_d2 = bool(paired_lu) and paired_mode == "warmx"
 
     def body(th_s, pr_s, sems, osems):
         lanes = pl.ds(i * BLANE, BLANE)
@@ -1304,7 +1329,11 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
 
         def window_body(w, carry):
             i32 = jnp.int32
-            uN, lo, uN1, lo1, dprev = carry
+            if track_d2:
+                uN, lo, uN1, lo1, dprev, dprev2 = carry
+            else:
+                uN, lo, uN1, lo1, dprev = carry
+                dprev2 = None
 
             # Boundary transfer of the dd carry through T_w on the VPU
             # (T[0] is the identity; its dd renormalization is a no-op on
@@ -1314,12 +1343,18 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                 T = T_ref[w]
                 uN, lo = dd_matvec(T, uN, lo)
                 uN1, lo1 = dd_matvec(T, uN1, lo1)
-                if solve_iters is not None:
-                    # Re-express the Richardson warm-start guess too (a
-                    # plain f32 matvec — it seeds an iteration, so eps
-                    # here is harmless).
-                    dprev = jax.lax.dot(T, dprev,
-                                        precision=jax.lax.Precision.HIGHEST)
+                if solve_iters is not None or (
+                        paired_lu and paired_mode in ("warm1", "warm2",
+                                                      "warmx")):
+                    # Re-express the warm-start guess too (a plain f32
+                    # matvec — it seeds an iteration, so eps here is
+                    # harmless). Needed by both the Richardson path and
+                    # the paired-LU warm follower modes: the delta lives
+                    # in the window-local basis.
+                    hi_p = jax.lax.Precision.HIGHEST
+                    dprev = jax.lax.dot(T, dprev, precision=hi_p)
+                    if track_d2:
+                        dprev2 = jax.lax.dot(T, dprev2, precision=hi_p)
 
             # Constants live TRANSPOSED — (k, NP·NP) with the big axis
             # minor — so their VMEM residency wastes no 128-lane padding
@@ -1385,7 +1420,11 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                     pr_dma(slot, c - i32(2)).wait()
 
                 def step_body(s, carry3):
-                    uN, lo, uN1, lo1, dprev = carry3
+                    if track_d2:
+                        uN, lo, uN1, lo1, dprev, dprev2 = carry3
+                    else:
+                        uN, lo, uN1, lo1, dprev = carry3
+                        dprev2 = None
                     step = c * i32(chunk) + s
                     tts = th_s[slot, s]            # (K8, BLANE)
                     g = tts[off_g:off_g + PROBE_P]
@@ -1393,6 +1432,8 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                         # Floor probe: loop + θ DMA + probe store only.
                         pr_s[slot, s] = g
                         uN_new = uN * jnp.float32(0.99) + tts[0][None, :]
+                        if track_d2:
+                            return (uN_new, lo, uN, lo1, dprev, dprev2)
                         return (uN_new, lo, uN, lo1, dprev)
                     if ablate == "no_dots":
                         # Skip every per-step table dot (the folded
@@ -1428,6 +1469,8 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                             dprev=dprev,
                         )
                     pr_s[slot, s] = probes
+                    if track_d2:
+                        return (uN_new, lo_new, uN, lo, delta, dprev)
                     return (uN_new, lo_new, uN, lo, delta)
 
                 if (paired_lu and paired_lu >= 2 and solve_iters is None
@@ -1450,7 +1493,11 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                     n_groups = (chunk - lead) // G
 
                     def group_body(t, carry3):
-                        uN, lo, uN1, lo1, dprev = carry3
+                        if track_d2:
+                            uN, lo, uN1, lo1, dprev, dprev2 = carry3
+                        else:
+                            uN, lo, uN1, lo1, dprev = carry3
+                            dprev2 = None
                         s0 = i32(lead) + t * i32(G)
                         step = c * i32(chunk) + s0
                         pan = None
@@ -1465,15 +1512,20 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                                 n_real, NP, km8, kk8, kf8,
                                 save_panels=(j == 0),
                                 panels=(None if j == 0 else pan),
+                                dprev=dprev, dprev2=dprev2,
+                                paired_mode=paired_mode,
                             )
                             if j == 0:
                                 uN_new, lo_new, probes, delta, pan = out
                             else:
                                 uN_new, lo_new, probes, delta = out
+                            dprev, dprev2 = delta, dprev
                             pr_s[slot, sj] = probes
                             uN1, lo1 = uN, lo
                             uN, lo = uN_new, lo_new
-                        return (uN, lo, uN1, lo1, delta)
+                        if track_d2:
+                            return (uN, lo, uN1, lo1, dprev, dprev2)
+                        return (uN, lo, uN1, lo1, dprev)
 
                     for s in range(lead):
                         carry2 = step_body(i32(s), carry2)
@@ -1487,14 +1539,19 @@ def _windowed_fused_kernel(TH_ref, Bmk_ref, BmF_ref, BkF_ref, Bf_ref,
                 pr_dma(slot, c).start()
                 return carry2
 
+            carry_in = ((uN, lo, uN1, lo1, dprev, dprev2) if track_d2
+                        else (uN, lo, uN1, lo1, dprev))
             return jax.lax.fori_loop(i32(0), i32(cpw), chunk_body,
-                                     (uN, lo, uN1, lo1, dprev))
+                                     carry_in)
 
         carry0 = (state0_ref[0], state0_ref[1], state0_ref[2],
                   state0_ref[3], jnp.zeros_like(state0_ref[0]))
-        uN, lo, uN1, lo1, _dlast = jax.lax.fori_loop(
+        if track_d2:
+            carry0 = carry0 + (jnp.zeros_like(state0_ref[0]),)
+        out = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(W), window_body, carry0
         )
+        uN, lo, uN1, lo1 = out[:4]
         i32 = jnp.int32
         nc = i32(n_chunks)
 
@@ -1535,13 +1592,14 @@ def _fused_chunk(width, K8, n_real):
 @partial(jax.jit, static_argnames=("widths", "dt", "bdf2",
                                    "with_trilinear", "n_real", "km8",
                                    "kk8", "kf8", "interpret", "ablate",
-                                   "solve_iters", "paired_lu"))
+                                   "solve_iters", "paired_lu",
+                                   "paired_mode"))
 def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, TQ_p, VE_p, T_p,
                                 b0, state0, *, widths, dt, bdf2=True,
                                 with_trilinear=True, n_real=15, km8=None,
                                 kk8=None, kf8=None, interpret=False,
                                 ablate=None, solve_iters=None,
-                                paired_lu=None):
+                                paired_lu=None, paired_mode="sub1"):
     """Whole-trajectory windowed serving sweep in ONE pallas launch.
 
     TH     : (nt, K8, B) merged θ table — [θ_mass | θ_stiff+1 | θ_rhs | g]
@@ -1606,7 +1664,7 @@ def online_sweep_windowed_fused(TH, Bmk, BmF, BkF, Bf, TQ_p, VE_p, T_p,
                      km8=km8, kk8=kk8, kf8=kf8, dt=dt, bdf2=bdf2,
                      with_trilinear=with_trilinear, n_real=n_real,
                      n_pad=n_pad, ablate=ablate, solve_iters=solve_iters,
-                     paired_lu=paired_lu)
+                     paired_lu=paired_lu, paired_mode=paired_mode)
     # Per-window mean θ rows for the Richardson preconditioner: K̄_w is
     # built in-kernel from these (one dot per window) and inverted once.
     # The bdf factor (1.5 for BDF-2 — the value at every step but the

@@ -92,6 +92,16 @@ class SolvePolicyMixin:
     # the staleness here is 1-2 steps, not half a window. None/0 = off
     # (per-step LU). Override with ROMTIME_PAIRED_LU (group size ≥ 2).
     WINDOWED_PAIRED_LU = None
+    # Follower solve flavor: "sub1" (substitute the fresh rhs + one
+    # refinement — 2 substitutions + 1 matvec), "warm1" (warm start from
+    # the previous step's delta + one refinement — 1 substitution +
+    # 1 matvec, but the ~1%/step delta drift times the panel staleness
+    # leaves ~5e-4 probe error at G≥7: measured NOT serving-grade),
+    # "warm2" (warm start + two refinements), "warmx" (linear
+    # EXTRAPOLATION 2·δ_{n-1} − δ_{n-2} as the start — curvature-sized
+    # ~1e-4 start error — + one refinement; warm1's cost at sub1-class
+    # accuracy). Override with ROMTIME_PAIRED_MODE.
+    WINDOWED_PAIRED_MODE = "sub1"
 
     def _windowed_paired_lu(self):
         env = os.environ.get("ROMTIME_PAIRED_LU")
@@ -99,6 +109,10 @@ class SolvePolicyMixin:
             n = int(env)
             return n if n >= 2 else None
         return self.WINDOWED_PAIRED_LU
+
+    def _windowed_paired_mode(self):
+        return os.environ.get("ROMTIME_PAIRED_MODE",
+                              self.WINDOWED_PAIRED_MODE)
 
     def _windowed_solve_iters(self):
         env = os.environ.get("ROMTIME_SOLVE_ITERS")

@@ -442,6 +442,7 @@ class WindowedPallasMixin:
                 km8=km8, kk8=kk8, kf8=kf8, interpret=interpret,
                 solve_iters=self._windowed_solve_iters(),
                 paired_lu=self._windowed_paired_lu(),
+                paired_mode=self._windowed_paired_mode(),
             )
             return dict(
                 {"t": ts_grid, "probes": probes[:, :2, :],

@@ -164,6 +164,14 @@ def main():
                 variants.append((f"full_paired{g}", None, True, g))
         for name, ablate, tri, paired in variants:
             run = make_run(ablate, tri, paired)
+            if not tri:
+                # with_trilinear=False needs tables built without the
+                # folded T0 block; fleet caches fold it in — skip.
+                try:
+                    chain(run, 1)
+                except ValueError as e:
+                    print(f"[ledger] {name:13s} skipped ({e})", flush=True)
+                    continue
             t_c0 = time.time()
             chain(run, 1)   # compile + execute
             compile_wall = time.time() - t_c0
@@ -185,6 +193,8 @@ def main():
         for part, key in [("theta dots", "no_dots"), ("solve", "no_solve"),
                           ("trilinear", "no_trilinear"),
                           ("boundary dd", "no_boundary")]:
+            if key not in results:
+                continue
             d = (full - results[key]) / 1500 * 1e6
             print(f"[ledger]   {part:12s} {d:7.2f}", flush=True)
         print(f"[ledger]   floor        "

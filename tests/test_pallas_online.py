@@ -718,8 +718,10 @@ def test_lanes_solve_panels_and_substitute():
                                atol=2e-5 * np.abs(exact).max())
 
 
-@pytest.mark.parametrize("group", [2, 3])
-def test_windowed_fused_paired_lu_matches(group):
+@pytest.mark.parametrize("group,mode", [(2, "sub1"), (3, "sub1"),
+                                        (3, "warm1"), (5, "warm2"),
+                                        (5, "warmx"), (14, "warmx")])
+def test_windowed_fused_paired_lu_matches(group, mode):
     """Paired-step LU panel reuse (ROMTIME_PAIRED_LU): the fused kernel
     with group-G factorization + follower refinement must agree with the
     per-step blocked LU on smooth serving-like tables. N=24 forces the
@@ -735,6 +737,16 @@ def test_windowed_fused_paired_lu_matches(group):
     for th in (thm, thk, thf):
         m = th.mean(axis=0, keepdims=True)
         th[:] = m + 0.05 * (th - m)
+    if mode in ("warm1", "warmx"):
+        # warm1 leans on the previous step's delta as the start guess —
+        # valid when the rhs (hence delta) drifts slowly, which is the
+        # serving regime but not white-noise forcing. Interpolate the θ
+        # streams linearly in time to give delta the ~1%/step drift the
+        # mode is designed for (warm2's extra refinement pass absorbs
+        # rough forcing; certified against the LU on-chip either way).
+        t = np.linspace(0.0, 1.0, thm.shape[0])[:, None, None]
+        for th in (thm, thk, thf):
+            th[:] = th[:1] * (1 - t) + th[-1:] * t
     NP = pad_dim(N)
     NT = W * width
     g_p = np.zeros((NT, PROBE_P, B), np.float32)
@@ -759,7 +771,7 @@ def test_windowed_fused_paired_lu_matches(group):
 
     ref, state_ref = online_sweep_windowed_fused(*args, **kw)
     got, state_got = online_sweep_windowed_fused(*args, paired_lu=group,
-                                                 **kw)
+                                                 paired_mode=mode, **kw)
     ref, got = np.asarray(ref), np.asarray(got)
     assert np.isfinite(got).all()
     scale = max(np.abs(ref).max(), 1e-6)
