@@ -908,6 +908,11 @@ def main():
                         km8=tables["Bm"].shape[2], kk8=tables["Bk"].shape[2],
                         kf8=tables["Bf"].shape[2], ablate=ablate,
                         solve_iters=rom._windowed_solve_iters(),
+                        # Match the timed engine's solve mode; the
+                        # kernel self-disables paired reuse for the
+                        # ablated variants (ablate != None).
+                        paired_lu=rom._windowed_paired_lu(),
+                        paired_mode=rom._windowed_paired_mode(),
                         interpret=jax.default_backend() == "cpu",
                     )
                 return run

@@ -89,9 +89,16 @@ class SolvePolicyMixin:
     # per-step θ drift is ~0.1% at serving dt (within-window variation
     # ≤4%, ROADMAP round-3 probe), so one refinement lands below the f32
     # solve roundoff — unlike the window-mean Richardson preconditioner,
-    # the staleness here is 1-2 steps, not half a window. None/0 = off
+    # the staleness here is ≤G−1 steps, not half a window. None/0 = off
     # (per-step LU). Override with ROMTIME_PAIRED_LU (group size ≥ 2).
-    WINDOWED_PAIRED_LU = None
+    # Default G=5/sub1: certified on the v5e chip 2026-08-21 at probe
+    # fidelity IDENTICAL to the per-step LU (served_engine_probe_err
+    # 5.128e-6, 15-μ max 9.70e-7, f32 drift 8.88e-7 — all unchanged)
+    # for +10.8% headline throughput (27,155 vs 24,517 solves/s).
+    # G=7+/warm1 and G=5/warmx measured FASTER (29-30k) but fail probe
+    # certification (1.3e-4 — single-refinement start error × staleness
+    # at real wave dynamics); see ROADMAP round-5 session-2 ledger.
+    WINDOWED_PAIRED_LU = 5
     # Follower solve flavor: "sub1" (substitute the fresh rhs + one
     # refinement — 2 substitutions + 1 matvec), "warm1" (warm start from
     # the previous step's delta + one refinement — 1 substitution +
