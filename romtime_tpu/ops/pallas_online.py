@@ -920,7 +920,15 @@ def _bdf_step_merged(tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1, step,
         #   warmx: δ₀ = 2·δ_prev − δ_prev2 (linear extrapolation of the
         #          smooth delta trajectory — start error ~curvature·dt²
         #          ≈ 1e-4 vs warm1's ~1%), one refinement (1 + 1).
-        if (paired_mode == "warmx" and dprev is not None
+        #   inv1/inv2: the group leader saved K_lead⁻¹ (full Jordan
+        #          inversion) instead of LU panels; followers run
+        #          preconditioned Richardson — δ₀ = K⁻¹r0 plus 1 (inv1)
+        #          or 2 (inv2) refinements, i.e. 3 or 5 matvecs and NO
+        #          op-overhead-bound substitutions.
+        if paired_mode in ("inv1", "inv2"):
+            delta = _richardson_solve(KN, panels, r0,
+                                      2 if paired_mode == "inv1" else 3)
+        elif (paired_mode == "warmx" and dprev is not None
                 and dprev2 is not None):
             delta = jnp.float32(2.0) * dprev - dprev2
             resid = r0 - _lanes_matvec(KN, delta)
@@ -935,6 +943,11 @@ def _bdf_step_merged(tts, Bmk, BmF, BkF, Bf, g, uN, lo, uN1, lo1, step,
             for _ in range(refine):
                 resid = r0 - _lanes_matvec(KN, delta)
                 delta = delta + _panels_substitute(panels, resid, NP)
+    elif save_panels and paired_mode in ("inv1", "inv2"):
+        # Group leader for the inv modes: one full Jordan inversion,
+        # solve by matvec; the inverse is the group's "panels".
+        out_panels = _lanes_invert(KN, NP)
+        delta = _lanes_matvec(out_panels, r0)
     elif save_panels:
         delta, out_panels = _lanes_solve_panels(KN, r0, NP)
     else:

@@ -720,7 +720,8 @@ def test_lanes_solve_panels_and_substitute():
 
 @pytest.mark.parametrize("group,mode", [(2, "sub1"), (3, "sub1"),
                                         (3, "warm1"), (5, "warm2"),
-                                        (5, "warmx"), (14, "warmx")])
+                                        (5, "warmx"), (14, "warmx"),
+                                        (5, "inv1"), (10, "inv2")])
 def test_windowed_fused_paired_lu_matches(group, mode):
     """Paired-step LU panel reuse (ROMTIME_PAIRED_LU): the fused kernel
     with group-G factorization + follower refinement must agree with the
